@@ -1,0 +1,243 @@
+"""Canonicalization: distributed union-find over surface-form alias graphs.
+
+The wide section of the KG pipeline (north_rule). The alias table
+(entity_id, aliases[list]) induces a bipartite graph between surface
+nodes (``s:<surface>``) and entity nodes (``e:<entity_id>``); entities
+sharing a surface form must collapse into one cluster, and every
+surface must map to its cluster's **canonical id = min entity_id**
+(deterministic, independent of partitioning / parallelism — the
+reference gets determinism from single-threaded file order, we get it
+from the min-reduction).
+
+Algorithm: iterated min-label propagation (hash-to-min family) built
+from ``groupby`` shuffles only — two exchanges per round, each the
+size of the (dimension-scale) alias graph, never corpus-sized:
+
+  round:  (labels ∪ directed-edges) groupby(node) -> forward my label
+          to every neighbor + to myself; then groupby(node) -> new
+          label = min(messages), count changes.
+
+Convergence in O(graph diameter) rounds; the driver loop stops when
+the change count hits zero (the change counter is a tiny aggregate,
+not a materialization of the data).
+
+Applying the mapping to the corpus-sized mention/triple stream is a
+**broadcast hash join** (``ray.put`` once, probe per batch with
+``pc.index_in``), mirroring the reference's broadcast-dict joins
+(/root/reference/biocypher_metta/adapters/tflink_adapter.py:42-44)
+— drop-on-miss, with dropped counts surfaced. For gazetteers too large
+to broadcast, use stages/joins.py's partitioned hash join keyed on
+surface with salting instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# Alias graph construction
+# ---------------------------------------------------------------------------
+
+def alias_edges(entities_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(entity_id, aliases: list<string>) -> (surface, entity_id) edges."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        aliases = batch["aliases"]
+        if isinstance(aliases, pa.ChunkedArray):
+            aliases = aliases.combine_chunks()
+        lengths = pc.list_value_length(aliases).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths))
+        return pa.table(
+            {
+                "surface": aliases.flatten(),
+                "entity_id": batch["entity_id"].take(idx),
+            }
+        )
+
+    return entities_ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+def _initial_labels(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def init(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s:"] * len(batch)), batch["surface"].cast(pa.string()), ""
+        )
+        e = pc.binary_join_element_wise(
+            pa.array(["e:"] * len(batch)), batch["entity_id"].cast(pa.string()), ""
+        )
+        node = pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
+                                 e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e])
+        return pa.table({"node": node, "label": node})
+
+    return (
+        edges.map_batches(init, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def both(batch: pa.Table) -> pa.Table:
+        def _cat(prefix, col):
+            out = pc.binary_join_element_wise(
+                pa.array([prefix] * len(col)), col.cast(pa.string()), ""
+            )
+            return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+        s = _cat("s:", batch["surface"])
+        e = _cat("e:", batch["entity_id"])
+        return pa.table(
+            {
+                "node": pa.concat_arrays([s, e]),
+                "neighbor": pa.concat_arrays([e, s]),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def connected_components(
+    edges: ray.data.Dataset, max_iter: int = 25
+) -> ray.data.Dataset:
+    """(surface, entity_id) alias edges -> (node, component) with
+    ``node`` carrying the ``s:``/``e:`` prefix and ``component`` the
+    min node-id of the connected component.
+
+    Deterministic for any partition count: every reduction is a min.
+    """
+    labels = _initial_labels(edges)
+    directed = _directed_edges(edges)  # static across rounds
+
+    for _ in range(max_iter):
+        lab_part = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "payload": t["label"],
+                    "kind": pa.array(["L"] * len(t), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_part = directed.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "payload": t["neighbor"],
+                    "kind": pa.array(["E"] * len(t), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def forward(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["kind"] == "L", "payload"]
+            if lab.empty:  # node with edges but no label row (cannot happen)
+                return pd.DataFrame({"node": [], "label": [], "is_self": []})
+            label = lab.min()
+            neigh = g.loc[g["kind"] == "E", "payload"]
+            nodes = list(neigh) + [g["node"].iloc[0]]
+            return pd.DataFrame(
+                {
+                    "node": nodes,
+                    "label": [label] * len(nodes),
+                    "is_self": [False] * (len(nodes) - 1) + [True],
+                }
+            )
+
+        msgs = (
+            lab_part.union(edge_part)
+            .groupby("node")
+            .map_groups(forward, batch_format="pandas")
+        )
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            new = g["label"].min()
+            old = g.loc[g["is_self"], "label"].min()
+            return pd.DataFrame(
+                {
+                    "node": [g["node"].iloc[0]],
+                    "label": [new],
+                    "changed": [int(new != old)],
+                }
+            )
+
+        new_labels = msgs.groupby("node").map_groups(
+            reduce_min, batch_format="pandas"
+        )
+        new_labels = new_labels.materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def canonical_mapping(entities_ds: ray.data.Dataset, max_iter: int = 25) -> ray.data.Dataset:
+    """entities table -> (surface, canonical_id) mapping dataset.
+
+    canonical_id = min entity_id of the surface's connected component.
+    """
+    edges = alias_edges(entities_ds)
+    cc = connected_components(edges, max_iter=max_iter)
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g["node"]
+        entities = sorted(n[2:] for n in nodes if n.startswith("e:"))
+        if not entities:
+            return pd.DataFrame({"surface": [], "canonical_id": []})
+        canon = entities[0]
+        surfaces = sorted(n[2:] for n in nodes if n.startswith("s:"))
+        return pd.DataFrame(
+            {"surface": surfaces, "canonical_id": [canon] * len(surfaces)}
+        )
+
+    return cc.groupby("component").map_groups(elect, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast application (corpus-sized side)
+# ---------------------------------------------------------------------------
+
+class CanonicalizeTriples:
+    """Actor-pool stage: map subj/obj surfaces -> canonical ids.
+
+    ``mapping_ref`` is a ``ray.put`` object ref of the small
+    (surface -> canonical_id) dict — shipped to each actor ONCE, not
+    per batch. Rows whose subject or object surface misses the map are
+    dropped (inner-join drop-on-miss) and counted in ``self.dropped``.
+    """
+
+    def __init__(self, mapping_ref):
+        mapping: dict[str, str] = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) else mapping_ref
+        self.surfaces = pa.array(sorted(mapping), type=pa.string())
+        self.canon = pa.array(
+            [mapping[s] for s in sorted(mapping)], type=pa.string()
+        )
+        self.dropped = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        si = pc.index_in(batch["subj_surface"], self.surfaces)
+        oi = pc.index_in(batch["obj_surface"], self.surfaces)
+        valid = pc.and_(si.is_valid(), oi.is_valid())
+        n_valid = pc.sum(valid.cast(pa.int64())).as_py() or 0
+        self.dropped += len(batch) - n_valid
+        batch = batch.append_column("subj", self.canon.take(si)).append_column(
+            "obj", self.canon.take(oi)
+        )
+        out = batch.filter(valid)
+        return out.drop_columns(["subj_surface", "obj_surface"])

@@ -1,0 +1,121 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Training-data-pipeline operators over document tables. Every kernel is
+deterministic and (where an oracle entry exists) expressible in ANSI
+SQL so the DuckDB side can verify it bit-for-bit — keep the Python and
+SQL definitions in lockstep (see __ray_entry__.oracle_sql).
+
+Vectorization: pandas string ops / pyarrow compute; the stopword sets
+and compiled regexes are module constants (built once per process).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.helpers import hash64_column
+
+# Stopword lists used by the n-gram-free language heuristic. Kept tiny
+# and mirrored literally in the oracle SQL.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (split on single spaces — matches
+    SQL ``len(string_split(text, ' '))``)."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    n = pc.list_value_length(toks).cast(pa.int64())
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality heuristics per document:
+
+    - n_chars: length(text)
+    - n_tokens: count of space-separated tokens
+    - mean_token_len: (n_chars - (n_tokens-1)) / n_tokens
+    - stop_ratio: fraction of tokens in the English stopword list
+    """
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    stop_mask = pc.is_in(
+        flat, value_set=pa.array(list(STOPWORDS["en"]))
+    ).to_numpy(zero_copy_only=False)
+    stop_counts = np.bincount(
+        doc_idx[stop_mask], minlength=len(batch)
+    ).astype(np.float64)
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    stop_ratio = np.where(nt > 0, stop_counts / nt, 0.0)
+    mean_token_len = np.where(nt > 0, (nc - (nt - 1)) / nt, 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": pa.array(np.round(mean_token_len, 6)),
+            "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    ``und`` when no stopword list fires. Deterministic tie-break by
+    language code order (de < en < fr)."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    langs = sorted(STOPWORDS)
+    counts = np.zeros((len(batch), len(langs)), dtype=np.int64)
+    for j, lg in enumerate(langs):
+        m = pc.is_in(flat, value_set=pa.array(list(STOPWORDS[lg]))).to_numpy(
+            zero_copy_only=False
+        )
+        counts[:, j] = np.bincount(doc_idx[m], minlength=len(batch))
+    best = counts.argmax(axis=1)
+    none = counts.max(axis=1) == 0
+    pred = np.array(langs, dtype=object)[best]
+    pred[none] = "und"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(list(pred), pa.string()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: md5-derived 64-bit hash of the
+    whitespace-normalized lowercased text (SQL mirror:
+    ``md5(lower(regexp_replace(text,'\\s+',' ','g')))`` — we emit the
+    full md5 hex so the oracle compares strings, not truncations)."""
+    import hashlib
+    import re
+
+    texts = batch[text_col].to_pylist()
+    norm = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(digests, pa.string()),
+        }
+    )

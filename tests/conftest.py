@@ -1,0 +1,38 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    """Small deterministic corpus/entities/gold_triples trio (FIXTURES.md)."""
+    from tools.gen_corpus import generate
+
+    out = tmp_path_factory.mktemp("fixtures")
+    generate(str(out), n_docs=200, seed=42)
+    return str(out)
+
+
+SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,108 @@
+"""End-to-end KG stage tests over the deterministic fixture corpus:
+extraction byte-identity, triple P/R vs gold, union-find canonicalization
+determinism across partition counts (FIXTURES.md §5-6)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session, fixture_dir):
+    ds = ray.data.read_parquet(f"{fixture_dir}/corpus.parquet")
+    return ds
+
+
+def test_extract_stage_byte_identical(ray_session, fixture_dir, corpus_ds):
+    from biocypher_metta_ray.stages.extract import extract_text_batch
+
+    got = (
+        corpus_ds.drop_columns(["text"])
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("url")["text"]
+    )
+    want = pq.read_table(
+        f"{fixture_dir}/corpus.parquet", columns=["url", "text"]
+    ).to_pandas().set_index("url")["text"]
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got.sort_index(), want.sort_index())
+
+
+def test_triples_match_gold(ray_session, fixture_dir, corpus_ds):
+    """P/R vs gold must be 1.0 (gate is >= 0.95)."""
+    from biocypher_metta_ray.pipelines.kg import surface_triples_from_corpus
+    from tools.gen_corpus import surface_to_entity, chain_canonical
+
+    surfaces = tuple(sorted(surface_to_entity()))
+    triples = surface_triples_from_corpus(
+        corpus_ds, entity_surfaces=surfaces
+    ).to_pandas()
+    # canonicalize via the static fixture mapping (distributed path
+    # is tested separately below)
+    s2e, canon = surface_to_entity(), chain_canonical()
+    triples["subj"] = triples["subj_surface"].map(lambda s: canon.get(s2e[s], s2e[s]))
+    triples["obj"] = triples["obj_surface"].map(lambda s: canon.get(s2e[s], s2e[s]))
+    got = set(map(tuple, triples[["subj", "pred", "obj", "url"]].values))
+    gold = set(
+        map(
+            tuple,
+            pq.read_table(f"{fixture_dir}/gold_triples.parquet")
+            .to_pandas()[["subj", "pred", "obj", "url"]]
+            .values,
+        )
+    )
+    tp = len(got & gold)
+    precision = tp / max(1, len(got))
+    recall = tp / max(1, len(gold))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert len(gold) > 100  # fixture actually planted triples
+
+
+@pytest.mark.parametrize("num_parts", [1, 3, 8])
+def test_canonical_mapping_deterministic(ray_session, fixture_dir, num_parts):
+    from biocypher_metta_ray.stages.canonicalize import canonical_mapping
+
+    ents = ray.data.read_parquet(f"{fixture_dir}/entities.parquet").repartition(
+        num_parts
+    )
+    mapping = (
+        canonical_mapping(ents)
+        .to_pandas()
+        .sort_values("surface")
+        .reset_index(drop=True)
+    )
+    m = dict(zip(mapping["surface"], mapping["canonical_id"]))
+    # alias chain EXTA0001..3 linked via shared surfaces -> canonical EXTA0001
+    for s in ["aw1", "aw2", "aw3", "aw4"]:
+        assert m[s] == "EXTA0001", (s, m.get(s))
+    for s in ["bw1", "bw2", "bw3"]:
+        assert m[s] == "EXTB0001"
+    # row/line alias pair of one entity
+    assert m["row"] == "ENTP0001" and m["line"] == "ENTP0001"
+    # plain surface
+    assert m["spark"] == "ENTG0001"
+    # determinism: same full mapping irrespective of partitioning
+    assert len(m) == len(mapping)
+
+
+def test_canonicalize_triples_drop_on_miss(ray_session):
+    import pyarrow as pa
+    from biocypher_metta_ray.stages.canonicalize import CanonicalizeTriples
+
+    t = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "subj_surface": ["spark", "unknown"],
+            "pred": ["interacts_with", "interacts_with"],
+            "obj_surface": ["row", "row"],
+            "pos": [0, 0],
+        }
+    )
+    stage = CanonicalizeTriples({"spark": "ENTG0001", "row": "ENTP0001"})
+    out = stage(t)
+    assert out.num_rows == 1
+    assert out["subj"][0].as_py() == "ENTG0001"
+    assert stage.dropped == 1
