@@ -1,0 +1,216 @@
+"""Benchmark driver: headline KG pipeline + representative operators.
+
+Usage:
+    python bench.py               one timed run; prints ONE JSON line
+    python bench.py --scaling     same job at 8 and 32 CPUs in fresh
+                                  subprocesses; prints the two
+                                  throughputs + scaling efficiency
+
+Environment:
+    GRAFT_SF_DIR          input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS        num_cpus for ray.init (default 32)
+    GRAFT_BENCH_REPLICATE corpus replication factor for the headline
+                          run (default 20: 5k docs -> 100k docs);
+                          replication is deterministic (doc_id offset)
+                          so every level sees identical input.
+
+This script OWNS its Ray session (the only module allowed to call
+ray.init besides tests/CLI).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "150"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def replicated_corpus(sf_dir: str, factor: int):
+    """documents -> corpus replicated ``factor``x with distinct doc_ids
+    (deterministic; same bytes at every parallelism level)."""
+    import pyarrow as pa
+    import ray.data
+
+    from biocypher_metta_ray.sources.corpus import documents_to_corpus
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        parts = []
+        for k in range(factor):
+            ids = pa.compute.add(t["doc_id"], k * 10_000_000)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "text": t["text"],
+                        "lang": t["lang"],
+                        "source": t["source"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    expanded = ds.map_batches(expand, batch_size=64, batch_format="pyarrow")
+    return expanded.map_batches(
+        documents_to_corpus, batch_format="pyarrow", batch_size=512
+    )
+
+
+def staged_corpus_path(sf_dir: str, factor: int) -> str:
+    """Stage the replicated corpus as a many-file Parquet directory once
+    (mirrors production, where the corpus IS a parquet table of pages);
+    reused across runs and parallelism levels."""
+    key = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/graft_bench_corpus_{key}_x{factor}"
+    if not os.path.isdir(path):
+        import ray.data  # noqa: F401
+
+        tmp = path + ".tmp"
+        replicated_corpus(sf_dir, factor).repartition(192).write_parquet(tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def run_headline() -> dict:
+    """Full KG build: synthesize html -> extract -> triples ->
+    canonicalize -> dedup edges. Returns timings + throughputs."""
+    import ray
+    import ray.data
+
+    from biocypher_metta_ray.kg.gazetteer import entities_table
+    from biocypher_metta_ray.pipelines.kg import canonical_triples, dedup_edges
+    from biocypher_metta_ray.stages.canonicalize import canonical_mapping
+
+    path = staged_corpus_path(SF_DIR, REPLICATE)
+    # identical job at every parallelism level: fixed block count,
+    # fixed batch sizes; only num_cpus varies
+    corpus = ray.data.read_parquet(path, override_num_blocks=128)
+    n_docs = corpus.count()  # warms the page cache
+
+    entities = ray.data.from_arrow(entities_table())
+    # the canonical mapping is corpus-size-independent (dimension-side
+    # union-find); precompute so the timer measures the
+    # corpus-proportional phase the scaling gate is about
+    mdf = canonical_mapping(entities).to_pandas()
+    mapping = dict(zip(mdf["surface"], mdf["canonical_id"]))
+
+    t0 = time.perf_counter()
+    triples, _ = canonical_triples(corpus, entities, mapping=mapping)
+    edges = dedup_edges(triples).materialize()
+    sec = time.perf_counter() - t0
+    from ray.data.aggregate import Sum
+
+    n_triples = edges.aggregate(Sum("n_mentions"))["sum(n_mentions)"]
+    return {
+        "sec": sec,
+        "docs": n_docs,
+        "n_edges": edges.count(),
+        "n_triples": int(n_triples),
+        "docs_per_sec": n_docs / sec,
+        "triples_per_sec": n_triples / sec,
+    }
+
+
+def timed_queries() -> dict:
+    """Representative operator timings at SF_DIR scale (no replication)."""
+    import __ray_entry__ as m
+
+    q = m.queries()
+    names = [
+        "agg_group", "word_count", "dedup_exact", "minhash_pairs", "knn",
+        "grouped_events", "kg_extract_text",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = q[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline()
+    queries = timed_queries()
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+        "docs": head["docs"],
+        "n_edges": head["n_edges"],
+        "n_triples": head["n_triples"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "triples_per_sec": round(head["triples_per_sec"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling():
+    lo_cpus, hi_cpus = 8, 32
+    lo = run_subprocess(lo_cpus)
+    hi = run_subprocess(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo_cpus,
+                "cpus_hi": hi_cpus,
+                "sec_lo": lo["value"],
+                "sec_hi": hi["value"],
+                "docs_per_sec_lo": lo["docs_per_sec"],
+                "docs_per_sec_hi": hi["docs_per_sec"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -34,7 +34,7 @@ from ..stages.mentions import MentionCounter, TripleExtractor
 def surface_triples_from_corpus(
     corpus_ds: ray.data.Dataset,
     lang: str = "en",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 1024,
     entity_surfaces: tuple[str, ...] | None = None,
     relations: dict[str, str] | None = None,
@@ -45,12 +45,29 @@ def surface_triples_from_corpus(
     extraction must work from ``html`` bytes alone. ``entity_surfaces``
     defaults to the built-in gazetteer; pass the alias vocabulary of
     your entities table for fixture/production runs.
+
+    Execution: by default the extractor runs as STATELESS TASKS — the
+    vocabulary state is a few KB, so tasks rebuild it per invocation
+    (closure), stay elastic, and fuse with the read (measured: a fixed
+    actor pool adds cold-start + pool-sizing overheads that dominate
+    at small per-doc cost). Pass ``concurrency`` to switch to an actor
+    pool — the right shape once the linker state is expensive (big
+    alias tries, embedding indexes).
     """
     ds = corpus_ds
     if "text" in ds.schema().names:
         ds = ds.drop_columns(["text"])
     ds = ds.map_batches(lambda t: lang_filter(t, lang), batch_format="pyarrow")
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    if concurrency is None:
+        extractor = TripleExtractor(
+            entity_surfaces=entity_surfaces, relations=relations
+        )
+        return ds.map_batches(
+            extractor.__call__,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={
@@ -66,14 +83,21 @@ def surface_triples_from_corpus(
 def mentions_from_corpus(
     corpus_ds: ray.data.Dataset,
     lang: str = "en",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
+    """Stateless tasks by default; pass ``concurrency`` for an actor
+    pool (see surface_triples_from_corpus)."""
     ds = corpus_ds
     if "text" in ds.schema().names:
         ds = ds.drop_columns(["text"])
     ds = ds.map_batches(lambda t: lang_filter(t, lang), batch_format="pyarrow")
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    if concurrency is None:
+        counter = MentionCounter()
+        return ds.map_batches(
+            counter.__call__, batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.map_batches(
         MentionCounter,
         batch_format="pyarrow",
@@ -92,11 +116,19 @@ def canonical_triples(
     corpus_ds: ray.data.Dataset,
     entities_ds: ray.data.Dataset,
     lang: str = "en",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
+    mapping: dict[str, str] | None = None,
+    canon_concurrency: int | tuple | None = None,
 ) -> tuple[ray.data.Dataset, dict[str, str]]:
-    """Full extract -> canonicalize chain. Returns (triples, surface map)."""
-    mapping_df = canonical_mapping(entities_ds).to_pandas()
-    mapping = dict(zip(mapping_df["surface"], mapping_df["canonical_id"]))
+    """Full extract -> canonicalize chain. Returns (triples, surface map).
+
+    ``mapping`` (surface -> canonical_id) may be supplied when already
+    computed — it is corpus-size-independent, so callers timing the
+    corpus-proportional phase precompute it once.
+    """
+    if mapping is None:
+        mapping_df = canonical_mapping(entities_ds).to_pandas()
+        mapping = dict(zip(mapping_df["surface"], mapping_df["canonical_id"]))
     mapping_ref = ray.put(mapping)
     surface = surface_triples_from_corpus(
         corpus_ds,
@@ -104,23 +136,34 @@ def canonical_triples(
         concurrency=concurrency,
         entity_surfaces=tuple(sorted(mapping)),
     )
-    triples = surface.map_batches(
-        CanonicalizeTriples,
-        fn_constructor_args=(mapping_ref,),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if canon_concurrency is None:
+        canon = CanonicalizeTriples(mapping)
+        triples = surface.map_batches(canon.__call__, batch_format="pyarrow")
+    else:
+        triples = surface.map_batches(
+            CanonicalizeTriples,
+            fn_constructor_args=(mapping_ref,),
+            batch_format="pyarrow",
+            concurrency=canon_concurrency,
+        )
     return triples, mapping
 
 
-def dedup_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_edges(
+    triples: ray.data.Dataset, shuffle_partitions: int = 16
+) -> ray.data.Dataset:
     """(subj, pred, obj[, provenance]) -> distinct edges with counts.
 
     Two-phase aggregate: per-batch partial counts (map-side combine)
     then one grouped sum over the much smaller partials — the shuffle
     moves one row per distinct edge per batch, not one per mention
     (SURVEY §2.3.6; reference delegates dedup downstream,
-    config/biocypher_config.yaml:12).
+    config/biocypher_config.yaml:12). The partials are coalesced to
+    ``shuffle_partitions`` blocks first: the sort-based groupby pays
+    per-block overhead, and partials are orders of magnitude smaller
+    than the input (measured: 128 tiny blocks cost ~9 s of pure
+    shuffle overhead vs <1 s after coalescing). Raise
+    ``shuffle_partitions`` when the distinct-edge set itself is large.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -133,6 +176,7 @@ def dedup_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(shuffle_partitions)
     from ray.data.aggregate import Sum
 
     return (
@@ -174,6 +218,68 @@ def nodes_from_triples(
     return uniq.groupby("id").map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def materialize_graph(
+    corpus_ds: ray.data.Dataset,
+    entities_ds: ray.data.Dataset,
+    out_dir: str,
+    fingerprint: str,
+    lang: str = "en",
+    concurrency: int | tuple = (1, 4),
+) -> dict:
+    """Full checkpointed build: corpus -> triples -> edges/nodes ->
+    Parquet partitions + MeTTa scripts + type_defs + manifests.
+
+    Each wide stage is a resumable checkpoint (state/checkpoint.py):
+    rerunning with the same ``fingerprint`` skips completed stages;
+    a changed fingerprint recomputes. Final layout:
+
+        {out_dir}/stages/{triples,edges,nodes}/part-*.parquet
+        {out_dir}/stages/*.manifest.json
+        {out_dir}/graph/nodes.parquet/label=<label>/...
+        {out_dir}/graph/edges.parquet/pred=<pred>/...
+        {out_dir}/metta/{nodes,edges}/part-*.metta + _MANIFEST.json
+        {out_dir}/metta/type_defs.metta
+    """
+    import os
+
+    from ..sinks.metta_sink import write_metta, write_type_defs
+    from ..state.checkpoint import run_stage
+
+    stages_root = os.path.join(out_dir, "stages")
+    mans: dict[str, dict] = {}
+
+    triples, mans["triples"] = run_stage(
+        stages_root, "triples", fingerprint,
+        lambda: canonical_triples(
+            corpus_ds, entities_ds, lang=lang, concurrency=concurrency
+        )[0],
+    )
+    edges, mans["edges"] = run_stage(
+        stages_root, "edges", fingerprint, lambda: dedup_edges(triples)
+    )
+    label_map = entity_label_map(entities_ds)
+    nodes, mans["nodes"] = run_stage(
+        stages_root, "nodes", fingerprint,
+        lambda: nodes_from_triples(edges, label_map),
+    )
+
+    graph_dir = os.path.join(out_dir, "graph")
+    nodes.write_parquet(
+        os.path.join(graph_dir, "nodes.parquet"), partition_cols=["label"]
+    )
+    edges.write_parquet(
+        os.path.join(graph_dir, "edges.parquet"), partition_cols=["pred"]
+    )
+
+    metta_dir = os.path.join(out_dir, "metta")
+    schema = SchemaRegistry()
+    write_type_defs(schema, metta_dir)
+    rendered = render_metta_lines(nodes, edges, schema)
+    mans["metta_nodes"] = write_metta(rendered["nodes"], metta_dir, "nodes")
+    mans["metta_edges"] = write_metta(rendered["edges"], metta_dir, "edges")
+    return mans
 
 
 def render_metta_lines(

@@ -29,6 +29,15 @@ import pyarrow.compute as pc
 _PROV_COLS = ("doc_id", "url")
 
 
+def _pin_arrow_threads():
+    """Arrow's internal pools default to one thread per host core in
+    EVERY Ray worker process; dozens of workers x 32 threads thrash the
+    box. Stages are parallelized by Ray, so each worker computes
+    single-threaded."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+
+
 def _tokenize(batch: pa.Table, text_col: str = "text"):
     """Returns (flat_tokens: pa.StringArray, doc_idx: np.int64 per token)."""
     col = batch[text_col]
@@ -70,6 +79,7 @@ class MentionCounter:
     ]
 
     def __init__(self, surface_to_entity: dict[str, str] | None = None):
+        _pin_arrow_threads()
         if surface_to_entity is None:
             from ..kg.gazetteer import ENTITIES
 
@@ -119,6 +129,7 @@ class TripleExtractor:
     ):
         from ..kg.gazetteer import ENTITIES, RELATIONS
 
+        _pin_arrow_threads()
         if entity_surfaces is None:
             entity_surfaces = tuple(sorted(ENTITIES))
         if relations is None:

@@ -1,0 +1,108 @@
+"""Stage-boundary checkpointing with lineage manifests (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference has no resume story — its writers open files in append
+mode, so a re-run duplicates every record
+(/root/reference/biocypher_metta/metta_writer.py:99,120). Here every
+checkpointed stage writes
+
+    {root}/{stage}/part-*.parquet        the stage output (parquet only)
+    {root}/{stage}.manifest.json         lineage + metrics:
+        fingerprint   caller-supplied hash of the stage inputs/config
+        rows          output row count
+        schema        output column names
+        files         part files (deterministic once written)
+        completed     true only once the data directory is final
+
+Commit protocol: parquet is written to a temp directory, the directory
+is atomically renamed into place, and the manifest (the commit point)
+is written last via atomic rename. A crashed run leaves either no
+manifest or a stale-fingerprint one; both trigger recompute. Partial
+output is never observed by a resumer.
+
+Resume semantics: if the manifest exists, is ``completed`` and its
+fingerprint matches, the stage is NOT recomputed — the Parquet reads
+back as a Dataset.
+
+Granularity: whole-stage atomic swap. At 100 TB you'd additionally
+shard the stage by input partition range (one manifest per shard,
+same fingerprint logic, skip finished shards); the fingerprint field
+already carries the caller's partition description to support that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Callable
+
+import ray.data
+
+
+def _manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, f"{stage}.manifest.json")
+
+
+def read_manifest(root: str, stage: str) -> dict | None:
+    try:
+        with open(_manifest_path(root, stage)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def run_stage(
+    root: str,
+    stage: str,
+    fingerprint: str,
+    ds_factory: Callable[[], ray.data.Dataset],
+    metrics: dict | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Execute (or resume) a checkpointed stage.
+
+    Returns ``(dataset, manifest)``; ``manifest['resumed']`` tells
+    whether the checkpoint was reused.
+    """
+    os.makedirs(root, exist_ok=True)
+    man = read_manifest(root, stage)
+    stage_dir = os.path.join(root, stage)
+    if (
+        man
+        and man.get("completed")
+        and man.get("fingerprint") == fingerprint
+        and os.path.isdir(stage_dir)
+    ):
+        return ray.data.read_parquet(stage_dir), dict(man, resumed=True)
+
+    tmp_dir = os.path.join(root, f".{stage}.tmp-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    try:
+        ds = ds_factory()
+        ds.write_parquet(tmp_dir)
+        out = ray.data.read_parquet(tmp_dir)
+        rows = out.count()
+        schema_names = out.schema().names
+        files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)
+        os.replace(tmp_dir, stage_dir)
+        manifest = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "schema": schema_names,
+            "files": files,
+            "metrics": metrics or {},
+            "completed": True,
+            "resumed": False,
+        }
+        mp = _manifest_path(root, stage)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(mp + ".tmp", mp)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    return ray.data.read_parquet(stage_dir), manifest
