@@ -266,11 +266,15 @@ def _q_latest_event(sf_dir: str):
         columns=["user_id", "event_id", "event_type", "ts", "value"],
     )
 
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
+
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        g = g.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            subset=["user_id"], keep="last"
+        )
         return g[["user_id", "event_id", "event_type", "value"]]
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return partitioned_group_map(ds, ["user_id"], latest, 16)
 
 
 def _q_top_k(sf_dir: str):

@@ -215,8 +215,10 @@ def nodes_from_triples(
     uniq = triples_or_edges.map_batches(
         EndpointNodes, batch_format="pyarrow", concurrency=(1, 2)
     )
-    return uniq.groupby("id").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from ..stages.skew import partitioned_group_map
+
+    return partitioned_group_map(
+        uniq, ["id"], lambda g: g.drop_duplicates(subset=["id"]), 8
     )
 
 

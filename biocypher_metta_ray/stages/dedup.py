@@ -68,25 +68,32 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Keep the min-id row per distinct text. Hash-partition on the
-    content hash; groups verify text equality (hash collisions) before
-    electing the winner."""
+    """Keep the min-id row per distinct text.
+
+    Hash-partition on the 64-bit content hash into a BOUNDED number of
+    partitions (one vectorized pandas dedup per partition — never one
+    Python call per distinct text; see stages/skew.py); exact text
+    equality within a partition guards against hash collisions."""
+    from .skew import partitioned_group_map
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
     )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, dedup by exact text, winner = min id
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(id_col)
             .drop_duplicates(subset=[text_col], keep="first")
             .drop(columns=["content_hash"])
         )
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas"
+    return partitioned_group_map(
+        hashed, ["content_hash"], dedup_partition, num_partitions
     )
 
 
@@ -99,14 +106,28 @@ class MinHasher:
 
     Emits one row per (doc, band): (doc_id, band, band_hash). A
     groupby((band, band_hash)) downstream yields candidate groups.
-    num_perms minhash permutations via the multiply-shift family
-    h_i(x) = (a_i * x + b_i) mod 2^61-1 with seeded odd constants.
+    ``num_perms`` permutations via the multiply-shift family
+    h_i(x) = (a_i * x + b_i) mod 2^61-1 with seeded constants.
+
+    Fully vectorized batch body: tokens hash once per UNIQUE token
+    (md5, stable), shingle hashes combine token hashes with a
+    positional polynomial, per-doc signature minima come from
+    ``np.minimum.reduceat`` over document boundaries, and band hashes
+    fold signature rows with another multiply-mix — no per-shingle
+    Python, no per-doc loop.
     """
+
+    # positional mixing constants for n-gram combination
+    _C = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+    )
 
     def __init__(self, num_perms: int = 64, num_bands: int = 16,
                  n_shingle: int = 3, seed: int = 7,
                  id_col: str = "doc_id", text_col: str = "text"):
         assert num_perms % num_bands == 0
+        assert n_shingle <= len(self._C)
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _M61, size=num_perms, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, _M61, size=num_perms, dtype=np.uint64)
@@ -117,34 +138,82 @@ class MinHasher:
         self.id_col = id_col
         self.text_col = text_col
 
-    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        if len(shingle_hashes) == 0:
-            return np.full(self.num_perms, _M61, dtype=np.uint64)
-        # (P, S) = (a[:,None] * x[None,:] + b[:,None]) mod M61  — vectorized
-        x = shingle_hashes[None, :]
-        vals = (self.a[:, None] * x + self.b[:, None]) % _M61
-        return vals.min(axis=1)
+    def _doc_shingles(self, batch: pa.Table):
+        """-> (shingle_hashes uint64[S], doc_starts int64[D+1])."""
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # hash once per unique token (C-speed md5), scatter back
+        uniq = pc.unique(flat)
+        uniq_h = hash64_column(uniq)
+        tok_h = uniq_h[
+            pc.index_in(flat, uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        n = self.n_shingle
+        D = len(batch)
+        # shingle count per doc: max(len - n + 1, 1 if len>0 else 0)
+        sh_counts = np.where(lengths >= n, lengths - n + 1, (lengths > 0).astype(np.int64))
+        doc_starts = np.concatenate(([0], np.cumsum(sh_counts)))
+        tok_starts = np.concatenate(([0], np.cumsum(lengths)))
+        S = int(doc_starts[-1])
+        out = np.zeros(S, dtype=np.uint64)
+        # windows fully inside docs with >= n tokens (vectorized gather)
+        full = lengths >= n
+        if full.any():
+            # global index of each shingle's first token
+            starts = np.repeat(tok_starts[:-1][full], sh_counts[full])
+            offs = np.concatenate([np.arange(c) for c in sh_counts[full]])
+            first = starts + offs
+            acc = np.zeros(len(first), dtype=np.uint64)
+            for k in range(n):
+                acc = (acc + self._C[k] * tok_h[first + k]) % _M61
+            out_idx = np.repeat(doc_starts[:-1][full], sh_counts[full]) + offs
+            out[out_idx] = acc
+        # short docs (0 < len < n): single shingle = mix of all tokens
+        short = (~full) & (lengths > 0)
+        for d in np.nonzero(short)[0]:
+            th = tok_h[tok_starts[d]:tok_starts[d + 1]]
+            acc = np.uint64(0)
+            for k, h in enumerate(th):
+                acc = (acc + self._C[k % len(self._C)] * h) % _M61
+            out[doc_starts[d]] = acc
+        return out, doc_starts
+
+    def signatures(self, batch: pa.Table) -> np.ndarray:
+        """-> uint64[D, num_perms] minhash signature matrix."""
+        sh, doc_starts = self._doc_shingles(batch)
+        D = len(doc_starts) - 1
+        sig = np.full((D, self.num_perms), _M61, dtype=np.uint64)
+        nonempty = np.diff(doc_starts) > 0
+        starts = doc_starts[:-1][nonempty]
+        if len(sh):
+            for p in range(self.num_perms):
+                v = (self.a[p] * sh + self.b[p]) % _M61
+                sig[nonempty, p] = np.minimum.reduceat(v, starts)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        per_doc = _token_hashes(texts, self.n_shingle)
-        out_id, out_band, out_bh = [], [], []
-        for did, sh in zip(ids, per_doc):
-            sig = self.signature(sh)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.md5(chunk.tobytes()).digest()[:8], "big"
-                ) & 0x7FFFFFFFFFFFFFFF
-                out_id.append(did)
-                out_band.append(band)
-                out_bh.append(bh)
+        sig = self.signatures(batch)
+        D = sig.shape[0]
+        # fold each band's rows into one 63-bit key (multiply-mix)
+        bands = sig.reshape(D, self.num_bands, self.rows_per_band)
+        folds = np.zeros((D, self.num_bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            folds = (folds * np.uint64(0x100000001B3)
+                     + bands[:, :, r]) % np.uint64(0x7FFFFFFFFFFFFFFF)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.num_bands)),
+                "band": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), D)
+                ),
+                "band_hash": pa.array(folds.reshape(-1).astype(np.int64)),
             }
         )
 
@@ -168,23 +237,29 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    from .skew import partitioned_group_map
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # drop singleton buckets vectorized, then a self-merge per
+        # bucket yields candidate pairs (C-speed, no per-bucket Python)
+        g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        m = g.merge(g, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        )
+
+    cand = partitioned_group_map(
+        bands, ["band", "band_hash"], pairs_in_partition, 32
     )
-    # distinct pairs (pairs can fire in multiple bands)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # global distinct (pairs can fire in multiple bands); candidate set
+    # is LSH-pruned and small, so a second bounded partition pass
+    return partitioned_group_map(
+        cand, ["doc_a", "doc_b"], lambda g: g.drop_duplicates(), 8
     )
 
 
@@ -205,7 +280,9 @@ def verify_jaccard(
     """
     import ray
 
-    # restrict the broadcast map to candidate doc ids (semi-join)
+    # candidates are consumed twice (id set + verify pass): pin the
+    # small LSH-pruned pair set once instead of re-running its lineage
+    candidates = candidates.materialize()
     cand_df = candidates.to_pandas()
     needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
 
@@ -258,6 +335,9 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Full near-dup pipeline -> verified duplicate pairs (doc_a < doc_b,
     jaccard >= threshold)."""
+    if "text" in docs.schema().names and len(docs.schema().names) > 2:
+        cols = [c for c in docs.schema().names if c in ("doc_id", "text")]
+        docs = docs.select_columns(cols)
     cand = minhash_lsh_candidates(
         docs, num_perms=num_perms, num_bands=num_bands, n_shingle=n_shingle
     )
@@ -296,25 +376,52 @@ class SimHasher:
         return fp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        per_doc = _token_hashes(texts, 1)  # unigram simhash
-        out_id, out_fp, out_band, out_key = [], [], [], []
-        mask = (1 << self.bits_per_band) - 1
-        for did, th in zip(ids, per_doc):
-            fp = self.fingerprint(th)
-            for band in range(self.num_bands):
-                key = (fp >> (band * self.bits_per_band)) & mask
-                out_id.append(did)
-                out_fp.append(fp - (1 << 63) if fp >= (1 << 63) else fp)  # signed
-                out_band.append(band)
-                out_key.append(key)
+        # vectorized across the whole batch: per-token bit matrix,
+        # per-doc bit-sum via add.reduceat over doc boundaries
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = pc.unique(flat)
+        uniq_h = hash64_column(uniq)
+        tok_h = uniq_h[
+            pc.index_in(flat, uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        D = len(batch)
+        tok_starts = np.concatenate(([0], np.cumsum(lengths)))
+        bits = (
+            (tok_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        fps = np.zeros(D, dtype=np.uint64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            sums = np.add.reduceat(bits, tok_starts[:-1][nonempty], axis=0)
+            score = 2 * sums - lengths[nonempty, None]
+            pos = (score > 0).astype(np.uint64)
+            fps[nonempty] = (pos << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mask = np.uint64((1 << self.bits_per_band) - 1)
+        shifts = (
+            np.arange(self.num_bands, dtype=np.uint64) * np.uint64(self.bits_per_band)
+        )
+        keys = ((fps[:, None] >> shifts[None, :]) & mask).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "simhash": pa.array(out_fp, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.num_bands)),
+                "simhash": pa.array(
+                    np.repeat(fps.view(np.int64), self.num_bands)
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), D)
+                ),
+                "band_key": pa.array(keys.reshape(-1)),
             }
         )
 
@@ -332,26 +439,37 @@ def simhash_candidates(
         concurrency=concurrency,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        fps = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        a, b, h = [], [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(fps[i], fps[i + 1:])
-            cnt = np.array([bin(int(v)).count("1") for v in x])
-            ok = np.nonzero(cnt <= max_hamming)[0]
-            for j in ok:
-                a.append(ids[i])
-                b.append(ids[i + 1 + j])
-                h.append(int(cnt[j]))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+    from .skew import partitioned_group_map
 
-    cand = bands.groupby(["band", "band_key"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["band", "band_key"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        m = g.merge(g, on=["band", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]].drop_duplicates(
+            subset=["doc_id_x", "doc_id_y"]
+        )
+        if m.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        x = m["simhash_x"].to_numpy().astype(np.int64).view(np.uint64)
+        y = m["simhash_y"].to_numpy().astype(np.int64).view(np.uint64)
+        v = np.bitwise_xor(x, y)
+        # vectorized popcount via byte-LUT
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        ham = np.zeros(len(v), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += lut[((v >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        out = pd.DataFrame(
+            {"doc_a": m["doc_id_x"], "doc_b": m["doc_id_y"], "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    cand = partitioned_group_map(
+        bands, ["band", "band_key"], pairs_in_partition, 32
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return partitioned_group_map(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]),
+        8,
     )

@@ -130,12 +130,16 @@ def top_k(
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Distinct over ``cols``: per-batch dedup then grouped global dedup."""
+    """Distinct over ``cols``: per-batch dedup, then a native grouped
+    aggregate (vectorized C path — never one Python call per group)."""
+    from ray.data.aggregate import Count
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[cols].drop_duplicates()
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(cols)
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="__c"))
     )
+    return out.drop_columns(["__c"])
