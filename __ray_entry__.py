@@ -397,6 +397,126 @@ def _q_parse_props(sf_dir: str):
     return ds.map_batches(parse, batch_format="pandas")
 
 
+def _q_bucket_join(sf_dir: str):
+    """Both-sides-large hash join (native Dataset.join / bucketed
+    fallback), lineitem x orders on orderkey."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "orderkey"}),
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "orderkey"}),
+        batch_format="pandas",
+    )
+    return hash_join(li, orders, on="orderkey", num_partitions=16)
+
+
+def _q_asof_join(sf_dir: str):
+    """Backward as-of join: each purchase event joined to the user's
+    most recent signup at-or-before it."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    purchases = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "purchase",
+                          ["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    signups = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "signup", ["user_id", "ts"]]
+        .rename(columns={"ts": "signup_ts"})
+        .assign(ts=lambda d: d["signup_ts"]),
+        batch_format="pandas",
+    )
+    joined = asof_join(purchases, signups, by="user_id", on="ts")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["last_signup"] = df["signup_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        df["last_signup"] = df["last_signup"].where(
+            df["signup_ts"].notna(), "never"
+        )
+        return df[["event_id", "user_id", "last_signup"]]
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
+def _q_session_windows(sf_dir: str):
+    """Gap-based sessionization (30 min) over the event stream."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.windows import session_windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    out = session_windows(ev, key="user_id", ts_col="ts", gap="30min",
+                          order_col="event_id")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["start_ts"] = df["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        df["end_ts"] = df["end_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def _q_sliding_window(sf_dir: str):
+    """Trailing 1 h per-user count/sum for every event."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.windows import sliding_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = sliding_window(ev, key="user_id", ts_col="ts", value_col="value",
+                         window="1h")
+    return out.map_batches(
+        lambda df: df[["event_id", "n_window", "sum_window"]],
+        batch_format="pandas",
+    )
+
+
+def _q_tumbling_window(sf_dir: str):
+    """Per-user hourly tumbling window aggregate."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.windows import tumbling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_window(
+        ev, key="user_id", ts_col="ts", freq="1h",
+        agg={"n_events": ("ts", "count"), "total_value": ("value", "sum")},
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window"] = df["window"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        df["total_value"] = df["total_value"].round(2)
+        return df[["user_id", "window", "n_events", "total_value"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / similarity queries
 # ---------------------------------------------------------------------------
@@ -536,6 +656,57 @@ def _q_embedding_dups(sf_dir: str):
     )
 
 
+def _q_near_dup_groups(sf_dir: str):
+    """Near-dup clusters: MinHash pairs -> connected components ->
+    (doc_id, group_id). Rows-only (LSH not SQL-expressible)."""
+    from biocypher_metta_ray.stages.dedup import near_dup_groups
+
+    docs = _rp(sf_dir, "documents")
+    return near_dup_groups(docs, threshold=0.8)
+
+
+def _q_embedding_dups_lsh(sf_dir: str):
+    """Hyperplane-LSH-bucketed near-dup pairs (approximate scale path;
+    exact variant is the `embedding_dups` oracle query)."""
+    from biocypher_metta_ray.stages.knn import embedding_dup_pairs
+
+    ds = _rp(sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(ds, threshold=0.45, num_planes=4)
+    return pairs.map_batches(
+        lambda df: df[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def _q_ivf_knn(sf_dir: str):
+    """IVF (centroid-probed) approximate top-10 for the vec_id=0 query."""
+    import pyarrow.parquet as pq
+
+    from biocypher_metta_ray.stages.knn import ivf_knn
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_knn(ds, qvec, k=10, num_centroids=8, n_probe=4)[["vec_id"]]
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Media decode/feature plumbing over a deterministic fake-media
+    table sized to the documents table (stubbed codec; rows-only)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.multimodal import decode_media, media_table
+
+    n = _rp(sf_dir, "documents").count()
+    ds = ray.data.from_arrow(media_table(n, seed=42))
+    return decode_media(ds)
+
+
 def _q_knn(sf_dir: str):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     import pyarrow.parquet as pq
@@ -577,6 +748,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_nodes": _q_union_nodes,
         "distinct_docs": _q_distinct_docs,
         "parse_props": _q_parse_props,
+        "bucket_join": _q_bucket_join,
+        "asof_join": _q_asof_join,
+        "session_windows": _q_session_windows,
+        "sliding_window": _q_sliding_window,
+        "tumbling_window": _q_tumbling_window,
         # text / dedup / similarity
         "word_count": _q_word_count,
         "token_count": _q_token_count,
@@ -586,8 +762,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "near_dup_groups": _q_near_dup_groups,
         "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
         "knn": _q_knn,
+        "ivf_knn": _q_ivf_knn,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -746,6 +926,62 @@ def oracle_sql() -> dict[str, str]:
                    'supplier', s_name FROM supplier
         """,
         "distinct_docs": "SELECT DISTINCT source, lang FROM documents",
+        "bucket_join": """
+            SELECT l.l_orderkey AS orderkey, l.l_linenumber, l.l_quantity,
+                   o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id,
+                   coalesce(strftime(max(s.ts), '%Y-%m-%d %H:%M:%S.%f'),
+                            'never') AS last_signup
+            FROM events p
+            LEFT JOIN events s
+              ON s.user_id = p.user_id AND s.event_type = 'signup'
+             AND s.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events),
+            marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o),
+            sessions AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "sliding_window": """
+            SELECT event_id,
+                   count(*) OVER w AS n_window,
+                   round(sum(value) OVER w, 2) AS sum_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "tumbling_window": """
+            SELECT user_id,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
         "parse_props": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

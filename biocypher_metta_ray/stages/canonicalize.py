@@ -67,26 +67,10 @@ def alias_edges(entities_ds: ray.data.Dataset) -> ray.data.Dataset:
 # Distributed connected components (min-label propagation)
 # ---------------------------------------------------------------------------
 
-def _initial_labels(edges: ray.data.Dataset) -> ray.data.Dataset:
-    def init(batch: pa.Table) -> pa.Table:
-        s = pc.binary_join_element_wise(
-            pa.array(["s:"] * len(batch)), batch["surface"].cast(pa.string()), ""
-        )
-        e = pc.binary_join_element_wise(
-            pa.array(["e:"] * len(batch)), batch["entity_id"].cast(pa.string()), ""
-        )
-        node = pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
-                                 e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e])
-        return pa.table({"node": node, "label": node})
+def prefix_bipartite_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(surface, entity_id) -> namespaced (src, dst) string edges
+    (``s:``/``e:`` prefixes keep the two id spaces disjoint)."""
 
-    return (
-        edges.map_batches(init, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-
-
-def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     def both(batch: pa.Table) -> pa.Table:
         def _cat(prefix, col):
             out = pc.binary_join_element_wise(
@@ -94,12 +78,41 @@ def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
             )
             return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
-        s = _cat("s:", batch["surface"])
-        e = _cat("e:", batch["entity_id"])
         return pa.table(
             {
-                "node": pa.concat_arrays([s, e]),
-                "neighbor": pa.concat_arrays([e, s]),
+                "src": _cat("s:", batch["surface"]),
+                "dst": _cat("e:", batch["entity_id"]),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def _initial_labels(edges: ray.data.Dataset) -> ray.data.Dataset:
+    from .skew import partitioned_group_map
+
+    def init(batch: pa.Table) -> pa.Table:
+        def _cc(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        node = pa.concat_arrays([_cc(batch["src"]), _cc(batch["dst"])])
+        return pa.table({"node": node, "label": node})
+
+    labeled = edges.map_batches(init, batch_format="pyarrow")
+    return partitioned_group_map(
+        labeled, ["node"], lambda g: g.drop_duplicates(subset=["node"]), 8
+    )
+
+
+def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def both(batch: pa.Table) -> pa.Table:
+        def _cc(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        return pa.table(
+            {
+                "node": pa.concat_arrays([_cc(batch["src"]), _cc(batch["dst"])]),
+                "neighbor": pa.concat_arrays([_cc(batch["dst"]), _cc(batch["src"])]),
             }
         )
 
@@ -109,14 +122,16 @@ def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 def connected_components(
     edges: ray.data.Dataset, max_iter: int = 25
 ) -> ray.data.Dataset:
-    """(surface, entity_id) alias edges -> (node, component) with
-    ``node`` carrying the ``s:``/``e:`` prefix and ``component`` the
-    min node-id of the connected component.
+    """Generic undirected connected components over (src, dst) string
+    edges -> (node, component), component = min node-id of the
+    component.
 
     Deterministic for any partition count: every reduction is a min.
     """
     labels = _initial_labels(edges)
     directed = _directed_edges(edges)  # static across rounds
+
+    from .skew import partitioned_group_map
 
     for _ in range(max_iter):
         lab_part = labels.map_batches(
@@ -141,40 +156,40 @@ def connected_components(
         )
 
         def forward(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g.loc[g["kind"] == "L", "payload"]
-            if lab.empty:  # node with edges but no label row (cannot happen)
-                return pd.DataFrame({"node": [], "label": [], "is_self": []})
-            label = lab.min()
-            neigh = g.loc[g["kind"] == "E", "payload"]
-            nodes = list(neigh) + [g["node"].iloc[0]]
-            return pd.DataFrame(
-                {
-                    "node": nodes,
-                    "label": [label] * len(nodes),
-                    "is_self": [False] * (len(nodes) - 1) + [True],
-                }
+            # vectorized over the whole hash partition: current label
+            # per node, forwarded to every neighbor + back to self
+            lab = g[g["kind"] == "L"][["node", "payload"]].rename(
+                columns={"payload": "label"}
             )
+            lab = lab.groupby("node", sort=False)["label"].min().reset_index()
+            ed = g[g["kind"] == "E"][["node", "payload"]]
+            fwd = ed.merge(lab, on="node")[["payload", "label"]].rename(
+                columns={"payload": "node"}
+            )
+            fwd["is_self"] = False
+            slf = lab.copy()
+            slf["is_self"] = True
+            return pd.concat([fwd, slf], ignore_index=True)
 
-        msgs = (
-            lab_part.union(edge_part)
-            .groupby("node")
-            .map_groups(forward, batch_format="pandas")
+        msgs = partitioned_group_map(
+            lab_part.union(edge_part), ["node"], forward, 16
         )
 
         def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-            new = g["label"].min()
-            old = g.loc[g["is_self"], "label"].min()
-            return pd.DataFrame(
-                {
-                    "node": [g["node"].iloc[0]],
-                    "label": [new],
-                    "changed": [int(new != old)],
-                }
+            agg = g.groupby("node", sort=False).agg(
+                label=("label", "min")
             )
+            old = (
+                g[g["is_self"]]
+                .groupby("node", sort=False)["label"]
+                .min()
+                .rename("old")
+            )
+            out = agg.join(old).reset_index()
+            out["changed"] = (out["label"] != out["old"]).astype("int64")
+            return out[["node", "label", "changed"]]
 
-        new_labels = msgs.groupby("node").map_groups(
-            reduce_min, batch_format="pandas"
-        )
+        new_labels = partitioned_group_map(msgs, ["node"], reduce_min, 16)
         new_labels = new_labels.materialize()
         changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"])
@@ -192,21 +207,27 @@ def canonical_mapping(entities_ds: ray.data.Dataset, max_iter: int = 25) -> ray.
 
     canonical_id = min entity_id of the surface's connected component.
     """
-    edges = alias_edges(entities_ds)
+    edges = prefix_bipartite_edges(alias_edges(entities_ds))
     cc = connected_components(edges, max_iter=max_iter)
 
     def elect(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = g["node"]
-        entities = sorted(n[2:] for n in nodes if n.startswith("e:"))
-        if not entities:
-            return pd.DataFrame({"surface": [], "canonical_id": []})
-        canon = entities[0]
-        surfaces = sorted(n[2:] for n in nodes if n.startswith("s:"))
-        return pd.DataFrame(
-            {"surface": surfaces, "canonical_id": [canon] * len(surfaces)}
+        # vectorized across components within the partition:
+        # canonical = min e:-node per component, emitted per s:-node
+        is_e = g["node"].str.startswith("e:")
+        canon = (
+            g[is_e]
+            .assign(canonical_id=lambda d: d["node"].str[2:])
+            .groupby("component", sort=False)["canonical_id"]
+            .min()
+            .reset_index()
         )
+        surf = g[~is_e].assign(surface=lambda d: d["node"].str[2:])
+        out = surf.merge(canon, on="component")
+        return out[["surface", "canonical_id"]]
 
-    return cc.groupby("component").map_groups(elect, batch_format="pandas")
+    from .skew import partitioned_group_map
+
+    return partitioned_group_map(cc, ["component"], elect, 16)
 
 
 # ---------------------------------------------------------------------------

@@ -326,6 +326,49 @@ def verify_jaccard(
     return candidates.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def near_dup_groups(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    num_bands: int = 16,
+    n_shingle: int = 3,
+) -> ray.data.Dataset:
+    """Full near-dedup: MinHash-LSH pairs -> connected components ->
+    (doc_id, group_id) with group_id = min doc_id of the duplicate
+    cluster (deterministic representative election, same min-reduction
+    as KG canonicalization). Docs without a near-dup are omitted — the
+    caller keeps them as-is."""
+    from .canonicalize import connected_components
+
+    pairs = minhash_dedup(
+        docs, threshold=threshold, num_perms=num_perms,
+        num_bands=num_bands, n_shingle=n_shingle,
+    )
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-pad so the CC string-min equals the numeric min
+        return pd.DataFrame(
+            {
+                "src": df["doc_a"].astype(str).str.zfill(12),
+                "dst": df["doc_b"].astype(str).str.zfill(12),
+            }
+        )
+
+    cc = connected_components(
+        pairs.map_batches(as_edges, batch_format="pandas")
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].astype("int64"),
+                "group_id": df["component"].astype("int64"),
+            }
+        )
+
+    return cc.map_batches(fmt, batch_format="pandas")
+
+
 def minhash_dedup(
     docs: ray.data.Dataset,
     threshold: float = 0.8,

@@ -1,0 +1,120 @@
+"""Event-time windowing over ordered, partitioned streams.
+
+Ray Data is a batch engine with no event-time watermarks (see the
+streaming-shaped-workloads note in the Ray docs); stream-shaped tables
+(the ``events`` table) are treated as a log partitioned by key and
+sorted by timestamp within the key. Windows are computed per hash
+partition with fully vectorized pandas bodies (stages/skew.py —
+bounded partition count, ordering restored by an explicit sort inside
+the partition, so results are independent of arrival order).
+
+- :func:`tumbling_window` — fixed-size buckets (floor of ts).
+- :func:`session_windows` — gap-based sessionization per key.
+- :func:`sliding_window` — trailing time-interval aggregates per row
+  (closed on both ends, matching SQL ``RANGE BETWEEN INTERVAL x
+  PRECEDING AND CURRENT ROW``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .skew import partitioned_group_map
+
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    freq: str,
+    agg: dict[str, tuple[str, str]],
+) -> ray.data.Dataset:
+    """Fixed windows: groupby (key, floor(ts, freq)) with map-side
+    partials. ``agg`` maps output column -> (input column, op) with op
+    in {sum, count}."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window"] = df[ts_col].dt.floor(freq)
+        names = {}
+        g = df.groupby([key, "window"], sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        for out_col, (col, op) in agg.items():
+            if op == "count":
+                out[out_col] = g.size()
+            elif op == "sum":
+                out[out_col] = g[col].sum()
+            else:
+                raise ValueError(op)
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(16)
+    aggs = [Sum(c, alias_name=c) for c in agg]
+    return partials.groupby([key, "window"]).aggregate(*aggs)
+
+
+def session_windows(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    gap: str = "30min",
+    order_col: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous event of the same key exceeds ``gap``.
+
+    Output: (key, session_id [1-based per key], n_events, start_ts,
+    end_ts). Deterministic tie-break via ``order_col``.
+    """
+    gap_td = pd.Timedelta(gap)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + ([order_col] if order_col else [])
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        new_key = g[key] != g[key].shift()
+        gap_break = (g[ts_col] - g[ts_col].shift()) > gap_td
+        new_session = (new_key | gap_break).astype("int64")
+        sid = new_session.cumsum()
+        first_per_key = sid.groupby(g[key]).transform("min")
+        g["session_id"] = (sid - first_per_key + 1).astype("int64")
+        out = (
+            g.groupby([key, "session_id"], sort=False)
+            .agg(
+                n_events=(ts_col, "size"),
+                start_ts=(ts_col, "min"),
+                end_ts=(ts_col, "max"),
+            )
+            .reset_index()
+        )
+        return out
+
+    return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def sliding_window(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1h",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-row trailing-window aggregates: count and sum of
+    ``value_col`` over [ts - window, ts] within the row's key."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        roll = (
+            g.set_index(ts_col)
+            .groupby(key, sort=False)[value_col]
+            .rolling(window, closed="both")
+        )
+        g["n_window"] = roll.count().to_numpy().astype("int64")
+        g["sum_window"] = np.round(roll.sum().to_numpy(), 2)
+        return g
+
+    return partitioned_group_map(ds, [key], body, num_partitions)
