@@ -135,6 +135,15 @@ def _q_kg_edge_sexpr(sf_dir: str):
     return render_metta_lines(None, edges)["edges"]
 
 
+def _q_kg_prolog_facts(sf_dir: str):
+    """Prolog node facts (prolog_writer.py:85-92 semantics: lowercased
+    label(id). lines)."""
+    from biocypher_metta_ray.pipelines.kg import render_prolog_lines
+
+    nodes = _q_kg_nodes(sf_dir)
+    return render_prolog_lines(nodes, None)["nodes"]
+
+
 def _q_kg_canonical_map(sf_dir: str):
     import ray.data
 
@@ -735,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_node_sexpr": _q_kg_node_sexpr,
         "kg_edge_sexpr": _q_kg_edge_sexpr,
+        "kg_prolog_facts": _q_kg_prolog_facts,
         "kg_canonical_map": _q_kg_canonical_map,
         # relational operators
         "filter_project": _q_filter_project,
@@ -870,6 +880,14 @@ def oracle_sql() -> dict[str, str]:
             FROM edges
             JOIN (VALUES {edge_rows}) AS et(pred, src, tgt, render_label)
               ON edges.pred = et.pred
+        """,
+        "kg_prolog_facts": f"""
+            WITH t AS ({p['triples']}),
+            surfs AS (SELECT subj_surface AS surface FROM t
+                      UNION ALL SELECT obj_surface FROM t),
+            nodes AS (SELECT DISTINCT gaz.entity_id AS id, gaz.label
+                      FROM surfs s JOIN {p['gaz']} ON s.surface = gaz.surface)
+            SELECT lower(label) || '(' || lower(id) || ').' AS line FROM nodes
         """,
         "kg_canonical_map": f"""
             SELECT surface, canonical_id

@@ -228,7 +228,8 @@ def materialize_graph(
     out_dir: str,
     fingerprint: str,
     lang: str = "en",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
+    prolog: bool = False,
 ) -> dict:
     """Full checkpointed build: corpus -> triples -> edges/nodes ->
     Parquet partitions + MeTTa scripts + type_defs + manifests.
@@ -248,7 +249,10 @@ def materialize_graph(
 
     from ..sinks.metta_sink import write_metta, write_type_defs
     from ..state.checkpoint import run_stage
+    from ..state.metrics import enable_metrics, snapshot
 
+    enable_metrics()
+    snapshot(reset=True)
     stages_root = os.path.join(out_dir, "stages")
     mans: dict[str, dict] = {}
 
@@ -258,6 +262,7 @@ def materialize_graph(
             corpus_ds, entities_ds, lang=lang, concurrency=concurrency
         )[0],
     )
+    mans["triples"] = dict(mans["triples"], metrics=snapshot())
     edges, mans["edges"] = run_stage(
         stages_root, "edges", fingerprint, lambda: dedup_edges(triples)
     )
@@ -281,6 +286,11 @@ def materialize_graph(
     rendered = render_metta_lines(nodes, edges, schema)
     mans["metta_nodes"] = write_metta(rendered["nodes"], metta_dir, "nodes")
     mans["metta_edges"] = write_metta(rendered["edges"], metta_dir, "edges")
+    if prolog:
+        pl_dir = os.path.join(out_dir, "prolog")
+        pl = render_prolog_lines(nodes, edges, schema)
+        mans["prolog_nodes"] = write_metta(pl["nodes"], pl_dir, "nodes", ext=".pl")
+        mans["prolog_edges"] = write_metta(pl["edges"], pl_dir, "edges", ext=".pl")
     return mans
 
 
@@ -329,6 +339,72 @@ def render_metta_lines(
             else:
                 props = [None] * len(srcs)
             lines = self.r.render_edge_batch(srcs, dsts, labels, props)
+            return pa.table({"line": pa.array(lines, pa.string())})
+
+    out = {}
+    if nodes is not None:
+        out["nodes"] = nodes.map_batches(
+            NodeRender, batch_format="pyarrow", concurrency=(1, 2)
+        )
+    if edges is not None:
+        out["edges"] = edges.map_batches(
+            EdgeRender, batch_format="pyarrow", concurrency=(1, 2)
+        )
+    return out
+
+
+def render_prolog_lines(
+    nodes: ray.data.Dataset | None,
+    edges: ray.data.Dataset | None,
+    schema: SchemaRegistry | None = None,
+) -> dict[str, ray.data.Dataset]:
+    """nodes/edges datasets -> datasets of Prolog fact lines
+    (render.PrologRenderer; reference prolog_writer.py:85-130)."""
+    schema_path = (schema or SchemaRegistry()).schema_path
+
+    class NodeRender:
+        def __init__(self):
+            from ..render import PrologRenderer
+
+            self.r = PrologRenderer(SchemaRegistry(schema_path))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lines: list[str] = []
+            props = (
+                batch["props_json"].to_pylist()
+                if "props_json" in batch.column_names
+                else [None] * len(batch)
+            )
+            for i, lab, pj in zip(
+                batch["id"].to_pylist(), batch["label"].to_pylist(), props
+            ):
+                lines.extend(self.r.render_node(i, lab, json.loads(pj) if pj else None))
+            return pa.table({"line": pa.array(lines, pa.string())})
+
+    class EdgeRender:
+        def __init__(self):
+            from ..render import PrologRenderer
+
+            self.r = PrologRenderer(SchemaRegistry(schema_path))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lines: list[str] = []
+            if "props_json" in batch.column_names:
+                props = batch["props_json"].to_pylist()
+            elif "n_mentions" in batch.column_names:
+                props = [
+                    json.dumps({"n_mentions": int(n)})
+                    for n in batch["n_mentions"].to_pylist()
+                ]
+            else:
+                props = [None] * len(batch)
+            for s, d, lab, pj in zip(
+                batch["subj"].to_pylist(), batch["obj"].to_pylist(),
+                batch["pred"].to_pylist(), props,
+            ):
+                lines.extend(
+                    self.r.render_edge(s, d, lab, json.loads(pj) if pj else None)
+                )
             return pa.table({"line": pa.array(lines, pa.string())})
 
     out = {}

@@ -31,9 +31,10 @@ class MettaDatasink(Datasink):
     """Writes a dataset with a ``line`` string column as .metta files,
     one per write task, deterministic names, atomic rename."""
 
-    def __init__(self, out_dir: str, group: str):
+    def __init__(self, out_dir: str, group: str, ext: str = ".metta"):
         self.dir = os.path.join(out_dir, group)
         self.group = group
+        self.ext = ext
 
     def on_write_start(self) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -41,7 +42,7 @@ class MettaDatasink(Datasink):
     def write(self, blocks: Iterable, ctx) -> Any:
         rows = 0
         nbytes = 0
-        path = os.path.join(self.dir, f"part-{ctx.task_idx:05d}.metta")
+        path = os.path.join(self.dir, f"part-{ctx.task_idx:05d}{self.ext}")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             for block in blocks:
@@ -76,10 +77,11 @@ class MettaDatasink(Datasink):
             json.dump(manifest, f, indent=1, sort_keys=True)
 
 
-def write_metta(lines_ds: ray.data.Dataset, out_dir: str, group: str) -> dict:
+def write_metta(lines_ds: ray.data.Dataset, out_dir: str, group: str,
+                ext: str = ".metta") -> dict:
     """Write a ``line``-column dataset under ``{out_dir}/{group}/`` and
     return the manifest."""
-    lines_ds.write_datasink(MettaDatasink(out_dir, group))
+    lines_ds.write_datasink(MettaDatasink(out_dir, group, ext))
     with open(os.path.join(out_dir, group, "_MANIFEST.json")) as f:
         return json.load(f)
 

@@ -28,8 +28,12 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     out = batch.drop_columns(["html"]).append_column(
         "text", pa.array(texts, type=pa.string())
     )
-    if not all(keep):
+    n_dropped = len(keep) - sum(keep)
+    if n_dropped:
         out = out.filter(pa.array(keep, type=pa.bool_()))
+        from ..state.metrics import incr
+
+        incr("extract_text", "rows_dropped", n_dropped)
     return out
 
 
