@@ -1,0 +1,164 @@
+"""Entity linking: alias-trie mention detection + context rerank.
+
+The north-star linker shape: batched mention detection over an alias
+trie with candidate scoring for ambiguous surface forms. This is a
+genuinely stateful stage — the trie and the per-entity context
+profiles are built once per actor in ``__init__`` (actor pool via
+``concurrency=``; reference analogue: dbsnp index injection,
+create_knowledge_graph.py:28-31) — unlike the lightweight gazetteer
+matcher in stages/mentions.py, which stays task-friendly.
+
+Semantics:
+
+- aliases may span multiple tokens; matching is greedy
+  longest-match-first, left to right, non-overlapping;
+- an unambiguous surface links directly (drop-on-miss for unknown
+  text, as always);
+- an ambiguous surface (shared by several entities) is scored against
+  each candidate's CONTEXT PROFILE — the bag of the entity's other
+  aliases' tokens plus its canonical name tokens — by counting
+  profile terms present in the document's token set (TF-IDF-lite:
+  rarity-weighted by 1/df over the profile vocabulary). Deterministic
+  tie-break: min entity_id.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class EntityLinker:
+    """Actor-pool stage: text -> linked mentions
+    (prov..., surface, entity_id, pos, n_candidates, score)."""
+
+    def __init__(self, entities: list[dict] | pd.DataFrame):
+        """``entities``: rows of (entity_id, label, canonical_name,
+        aliases list[str])."""
+        if isinstance(entities, pd.DataFrame):
+            entities = entities.to_dict("records")
+        # trie: first token -> [(token_tuple, entity_id)], longest first
+        self.trie: dict[str, list[tuple[tuple[str, ...], str]]] = defaultdict(list)
+        profiles: dict[str, set[str]] = defaultdict(set)
+        surface_owners: dict[tuple[str, ...], list[str]] = defaultdict(list)
+        for row in entities:
+            eid = row["entity_id"]
+            terms = set()
+            for alias in list(row.get("aliases") or []) + [row.get("canonical_name") or ""]:
+                toks = tuple(alias.split())
+                if not toks:
+                    continue
+                terms.update(toks)
+                if eid not in surface_owners[toks]:
+                    surface_owners[toks].append(eid)
+            profiles[eid] = terms
+        for toks, eids in surface_owners.items():
+            for eid in sorted(eids):
+                self.trie[toks[0]].append((toks, eid))
+        for first in self.trie:
+            self.trie[first].sort(key=lambda te: (-len(te[0]), te[1]))
+        # profile doc frequency for rarity weighting
+        df_count: dict[str, int] = defaultdict(int)
+        for terms in profiles.values():
+            for t in terms:
+                df_count[t] += 1
+        n_ent = max(1, len(profiles))
+        self.idf = {t: float(np.log(1 + n_ent / c)) for t, c in df_count.items()}
+        self.profiles = dict(profiles)
+        self.max_alias_len = max(
+            (len(toks) for lst in self.trie.values() for toks, _ in lst),
+            default=1,
+        )
+
+    def _link_doc(self, toks: list[str]):
+        """-> list of (pos, surface, entity_id, n_candidates, score)."""
+        tokset = set(toks)
+        out = []
+        i, n = 0, len(toks)
+        while i < n:
+            cands = self.trie.get(toks[i])
+            hit = None
+            if cands:
+                for alias_toks, _eid in cands:
+                    L = len(alias_toks)
+                    if i + L <= n and tuple(toks[i:i + L]) == alias_toks:
+                        # collect ALL entities owning this exact alias
+                        owners = sorted(
+                            {e for at, e in cands if at == alias_toks}
+                        )
+                        hit = (alias_toks, owners)
+                        break  # longest match first
+            if hit is None:
+                i += 1
+                continue
+            alias_toks, owners = hit
+            surface = " ".join(alias_toks)
+            if len(owners) == 1:
+                best, score = owners[0], 0.0
+            else:
+                best, score = None, -1.0
+                for eid in owners:  # sorted -> deterministic tie-break
+                    profile = self.profiles[eid] - set(alias_toks)
+                    s = sum(self.idf.get(t, 0.0) for t in profile & tokset)
+                    if s > score:
+                        best, score = eid, s
+            out.append((i, surface, best, len(owners), round(score, 6)))
+            i += len(alias_toks)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        prov_cols = [c for c in ("doc_id", "url") if c in batch.column_names]
+        rows = {c: [] for c in prov_cols}
+        rows.update(
+            {"pos": [], "surface": [], "entity_id": [], "n_candidates": [],
+             "score": []}
+        )
+        for ridx, text in enumerate(texts):
+            for pos, surface, eid, ncand, score in self._link_doc(text.split()):
+                for c in prov_cols:
+                    rows[c].append(batch[c][ridx].as_py())
+                rows["pos"].append(pos)
+                rows["surface"].append(surface)
+                rows["entity_id"].append(eid)
+                rows["n_candidates"].append(ncand)
+                rows["score"].append(score)
+        schema_types = {
+            "pos": pa.int64(), "surface": pa.string(),
+            "entity_id": pa.string(), "n_candidates": pa.int32(),
+            "score": pa.float64(),
+        }
+        data = {}
+        for c in prov_cols:
+            data[c] = pa.array(rows[c], batch.schema.field(c).type)
+        for c, t in schema_types.items():
+            data[c] = pa.array(rows[c], t)
+        return pa.table(data)
+
+
+def link_entities(
+    ds,
+    entities: pd.DataFrame,
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 512,
+):
+    """corpus-with-text -> linked mentions (actor pool: trie + profiles
+    built once per actor)."""
+    import ray
+
+    ref = ray.put(entities)
+
+    class Pooled(EntityLinker):
+        def __init__(self):
+            super().__init__(ray.get(ref))
+
+    return ds.map_batches(
+        Pooled,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,113 @@
+"""Extractor registry / build runner tests (create_knowledge_graph.py
+analogue: importlib resolution, union, conformance, dedup, sinks)."""
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+
+import ray.data
+
+GTF = """\
+chr1\tX\tgene\t100\t200\t.\t+\t.\tgene_id "ENSG0001.1"; gene_name "A1"; gene_type "pc";
+chr1\tX\tgene\t300\t400\t.\t-\t.\tgene_id "ENSG0002.2"; gene_name "A2"; gene_type "pc";
+chr1\tX\ttranscript\t100\t180\t.\t+\t.\tgene_id "ENSG0001.1"; transcript_id "ENST0001.1"; transcript_name "T1";
+"""
+
+BED = "chr1\t0\t999\tregA\nchr1\t1000\t1999\tregB\n"
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    d = tmp_path_factory.mktemp("reg")
+    (d / "x.gtf").write_text(GTF)
+    (d / "x.bed").write_text(BED)
+    cfg = {
+        "extractors": {
+            "genes": {
+                "module": "biocypher_metta_ray.kg.extractors",
+                "func": "gtf_gene_extractor",
+                "args": {"path": str(d / "x.gtf")},
+            },
+            "transcripts": {
+                "module": "biocypher_metta_ray.kg.extractors",
+                "func": "gtf_transcript_extractor",
+                "args": {"path": str(d / "x.gtf")},
+            },
+            "regions": {
+                "module": "biocypher_metta_ray.kg.extractors",
+                "func": "bed_region_extractor",
+                "args": {"path": str(d / "x.bed"), "label": "enhancer"},
+            },
+            "web": {
+                "module": "biocypher_metta_ray.kg.extractors",
+                "func": "web_kg_extractor",
+                "args": {"documents_dir": "/root/testdata/sf0.001"},
+            },
+        }
+    }
+    import yaml
+
+    (d / "cfg.yaml").write_text(yaml.safe_dump(cfg))
+    return d
+
+
+def test_run_build(ray_session, cfg, tmp_path_factory):
+    from biocypher_metta_ray.pipelines.registry import run_build
+
+    out = str(tmp_path_factory.mktemp("build_out"))
+    report = run_build(str(cfg / "cfg.yaml"), out, prolog=True)
+    assert report["n_nodes"] > 20  # genes + transcript + regions + web entities
+    assert report["n_edges"] > 100
+    # all sinks written
+    assert os.path.exists(f"{out}/metta/type_defs.metta")
+    assert glob.glob(f"{out}/graph/nodes.parquet/label=gene/*")
+    assert glob.glob(f"{out}/graph/nodes.parquet/label=enhancer/*")
+    assert glob.glob(f"{out}/prolog/edges/part-*.pl")
+    # per-source facts present
+    lines = []
+    for p in glob.glob(f"{out}/metta/nodes/part-*.metta"):
+        lines.extend(open(p).read().splitlines())
+    assert "(gene ENSG0001)" in lines  # version-stripped GTF gene
+    assert any(l.startswith("(enhancer chr1_1_1000_GRCh38)") for l in lines)
+    # transcribed_to edge from the GTF transcript
+    elines = []
+    for p in glob.glob(f"{out}/metta/edges/part-*.metta"):
+        elines.extend(open(p).read().splitlines())
+    assert "(transcribed_to (gene ENSG0001) (transcript ENST0001))" in elines
+    report2 = json.load(open(f"{out}/build_report.json"))
+    assert report2["n_nodes"] == report["n_nodes"]
+
+
+def test_conform_drops_unknown_labels(ray_session):
+    from biocypher_metta_ray.pipelines.registry import conform
+    from biocypher_metta_ray.schema import SchemaRegistry
+
+    nodes = ray.data.from_items(
+        [
+            {"id": "a", "label": "gene", "props_json": None},
+            {"id": "b", "label": "not_a_label", "props_json": None},
+        ]
+    )
+    edges = ray.data.from_items(
+        [
+            {"subj": "a", "pred": "interacts_with", "obj": "b", "props_json": None},
+            {"subj": "a", "pred": "bogus_pred", "obj": "b", "props_json": None},
+        ]
+    )
+    n, e = conform(nodes, edges, SchemaRegistry())
+    assert n.count() == 1 and e.count() == 1
+
+
+def test_cli_dry_run(ray_session, cfg, tmp_path_factory):
+    """CLI entry via main() in-process (Ray already initialised)."""
+    from biocypher_metta_ray.__main__ import main
+
+    out = str(tmp_path_factory.mktemp("cli_out"))
+    main(["build", "--config", str(cfg / "cfg.yaml"),
+          "--output-dir", out, "--dry-run"])
+    assert os.path.exists(f"{out}/build_report.json")
+    rep = json.load(open(f"{out}/build_report.json"))
+    assert rep["n_nodes"] <= 400  # dry-run truncation applied
