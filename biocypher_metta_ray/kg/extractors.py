@@ -168,6 +168,178 @@ def bed_region_extractor(
             "edges": None}
 
 
+def swissprot_extractor(path: str) -> dict:
+    """SwissProt records -> protein nodes + transcript->protein
+    ``translates_to`` edges from Ensembl dbxrefs
+    (uniprot_protein_adapter.py:46-62, uniprot_adapter.py:37-74)."""
+    from ..sources.records import read_swissprot
+
+    ds = read_swissprot(path)
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["synonyms"] = df["dbxrefs"].map(lambda xs: sorted(xs))
+        out = pd.DataFrame(
+            {
+                "id": df["accession"],
+                "label": "protein",
+                "props_json": [
+                    json.dumps(
+                        {"protein_name": n, "synonyms": list(s)},
+                        sort_keys=True,
+                    )
+                    for n, s in zip(df["protein_name"], df["synonyms"])
+                ],
+            }
+        )
+        return out
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"subj": [], "pred": [], "obj": [], "props_json": []}
+        for acc, xs in zip(df["accession"], df["dbxrefs"]):
+            for x in xs:
+                if x.startswith("Ensembl:ENST"):
+                    enst = x.split(":", 1)[1].split(".")[0]  # version strip
+                    rows["subj"].append(enst)
+                    rows["pred"].append("translates_to")
+                    rows["obj"].append(acc)
+                    rows["props_json"].append(None)
+        return pd.DataFrame(rows)
+
+    return {
+        "nodes": ds.map_batches(to_nodes, batch_format="pandas"),
+        "edges": ds.map_batches(to_edges, batch_format="pandas"),
+    }
+
+
+def gaf_extractor(path: str) -> dict:
+    """GAF -> GO->protein ``go_gene_product`` edges with
+    qualifier/evidence props (gaf_adapter.py:92-103)."""
+    from ..sources.records import read_gaf
+
+    ds = read_gaf(path)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["go_id"],
+                "pred": "go_gene_product",
+                "obj": df["db_object_id"],
+                "props_json": [
+                    json.dumps({"qualifier": q, "evidence": e}, sort_keys=True)
+                    for q, e in zip(df["qualifier"], df["evidence_code"])
+                ],
+            }
+        )
+
+    return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
+
+
+def obo_extractor(path: str) -> dict:
+    """OBO terms -> ``go`` nodes + ``subclass`` hierarchy edges
+    (ontologies_adapter.py:55-147 semantics; obsolete terms skipped)."""
+    from ..sources.records import read_obo
+
+    ds = read_obo(path)
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["is_obsolete"]]
+        return pd.DataFrame(
+            {
+                "id": df["id"],
+                "label": "go",
+                "props_json": [
+                    json.dumps(
+                        {"term_name": n, "subontology": ns}, sort_keys=True
+                    )
+                    for n, ns in zip(df["name"], df["namespace"])
+                ],
+            }
+        )
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["is_obsolete"]]
+        rows = {"subj": [], "pred": [], "obj": [], "props_json": []}
+        for tid, parents in zip(df["id"], df["is_a"]):
+            for p in parents:
+                rows["subj"].append(tid)
+                rows["pred"].append("subclass")
+                rows["obj"].append(p)
+                rows["props_json"].append(None)
+        return pd.DataFrame(rows)
+
+    return {
+        "nodes": ds.map_batches(to_nodes, batch_format="pandas"),
+        "edges": ds.map_batches(to_edges, batch_format="pandas"),
+    }
+
+
+def reactome_extractor(path: str) -> dict:
+    """2-col TSV gene->pathway -> ``genes_pathways`` edges; R-HSA
+    prefix filter + ensembl version strip (reactome_adapter.py:48-76)."""
+    from ..sources.records import read_two_col_tsv
+
+    ds = read_two_col_tsv(path, names=("gene", "pathway"),
+                          prefix_filter=(None, "R-HSA"))
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["gene"].str.split(".", n=1).str[0],
+                "pred": "genes_pathways",
+                "obj": df["pathway"],
+                "props_json": None,
+            }
+        )
+
+    return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
+
+
+def coexpression_extractor(
+    dir_path: str, id_map: dict[str, str] | None = None, top_k: int | None = None
+) -> dict:
+    """Directory of per-gene files (filename = gene key; lines
+    ``other_gene score``) -> ``coexpressed_with`` edges; optional
+    broadcast id map applied to BOTH endpoints with drop-on-miss
+    (coxpressdb_adapter.py:34-47)."""
+    import ray as _ray
+
+    from ..sources.records import read_keyed_dir
+
+    ds = read_keyed_dir(dir_path, key_name="gene")
+    map_ref = _ray.put(id_map) if id_map is not None else None
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(map_ref) if map_ref is not None else None
+        rows = {"subj": [], "pred": [], "obj": [], "props_json": []}
+        for gene, text in zip(df["gene"], df["text"]):
+            src = m.get(gene) if m is not None else gene
+            if src is None:
+                continue
+            n = 0
+            for line in text.splitlines():
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                dst = m.get(parts[0]) if m is not None else parts[0]
+                if dst is None:
+                    continue
+                try:
+                    score = float(parts[1])
+                except ValueError:
+                    continue
+                rows["subj"].append(src)
+                rows["pred"].append("coexpressed_with")
+                rows["obj"].append(dst)
+                rows["props_json"].append(json.dumps({"score": score}))
+                n += 1
+                if top_k is not None and n >= top_k:
+                    break
+        return pd.DataFrame(rows)
+
+    return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
+
+
 def web_kg_extractor(
     corpus_path: str | None = None,
     documents_dir: str | None = None,

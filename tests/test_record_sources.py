@@ -1,0 +1,148 @@
+"""Record-format sources + their extractors (SwissProt/GAF/OBO/
+2-col TSV/keyed dir), mirroring reference adapters 5-14 (SURVEY §2.1)."""
+
+import gzip
+
+import pytest
+
+import ray.data
+
+SWISSPROT = """\
+ID   TEST1_HUMAN             Reviewed;         100 AA.
+AC   P12345; Q99999;
+DE   RecName: Full=Test protein one;
+DR   Ensembl; ENST00000001.5; ENSP0001; ENSG0001.
+DR   GO; GO:0005515; F:protein binding; IEA.
+SQ   SEQUENCE
+//
+ID   TEST2_HUMAN             Reviewed;         50 AA.
+AC   P54321;
+DE   RecName: Full=Second prot;
+DR   Ensembl; ENST00000002.1; x; y.
+//
+"""
+
+GAF = """\
+!gaf-version: 2.2
+UniProtKB\tP12345\tTP1\tenables\tGO:0005515\tPMID:1\tIEA\t\tF\trest\tmore
+UniProtKB\tP54321\tTP2\tinvolved_in\tGO:0008150\tPMID:2\tIDA\t\tP\trest\tmore
+UniProtKB\tP54321\tTP2\tinvolved_in\tNOTGO:1\tPMID:2\tIDA\t\tP\trest\tmore
+"""
+
+OBO = """\
+format-version: 1.2
+
+[Term]
+id: GO:0000001
+name: mitochondrion inheritance
+namespace: biological_process
+is_a: GO:0048308 ! organelle inheritance
+is_a: GO:0048311 ! mitochondrion distribution
+
+[Term]
+id: GO:0000002
+name: obsolete thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+"""
+
+REACTOME = "ENSG0001.4\tR-HSA-1\nENSG0002\tR-HSA-2\nENSG0003\tR-OTHER-9\n"
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("records")
+    with gzip.open(d / "sprot.dat.gz", "wt") as f:
+        f.write(SWISSPROT)
+    (d / "anno.gaf").write_text(GAF)
+    (d / "onto.obo").write_text(OBO)
+    (d / "reactome.tsv").write_text(REACTOME)
+    co = d / "coexp"
+    co.mkdir()
+    (co / "111.txt").write_text("222 0.9\n333 0.5\nbadline\n")
+    (co / "222.txt").write_text("111 0.9\n")
+    return d
+
+
+def test_swissprot_extractor(ray_session, files):
+    from biocypher_metta_ray.kg.extractors import swissprot_extractor
+
+    out = swissprot_extractor(str(files / "sprot.dat.gz"))
+    nodes = out["nodes"].to_pandas().sort_values("id")
+    assert list(nodes["id"]) == ["P12345", "P54321"]
+    assert "Test_protein_one" not in nodes["props_json"].iloc[0]  # raw name kept
+    edges = out["edges"].to_pandas()
+    got = set(zip(edges["subj"], edges["obj"]))
+    assert got == {("ENST00000001", "P12345"), ("ENST00000002", "P54321")}
+
+
+def test_gaf_extractor(ray_session, files):
+    from biocypher_metta_ray.kg.extractors import gaf_extractor
+
+    edges = gaf_extractor(str(files / "anno.gaf"))["edges"].to_pandas()
+    assert len(edges) == 2  # non-GO row dropped
+    assert set(edges["subj"]) == {"GO:0005515", "GO:0008150"}
+    assert '"qualifier": "enables"' in edges.sort_values("subj")["props_json"].iloc[0]
+
+
+def test_obo_extractor(ray_session, files):
+    from biocypher_metta_ray.kg.extractors import obo_extractor
+
+    out = obo_extractor(str(files / "onto.obo"))
+    nodes = out["nodes"].to_pandas()
+    assert list(nodes["id"]) == ["GO:0000001"]  # obsolete skipped
+    assert '"subontology": "biological_process"' in nodes["props_json"].iloc[0]
+    edges = out["edges"].to_pandas().sort_values("obj")
+    assert list(edges["obj"]) == ["GO:0048308", "GO:0048311"]
+    assert set(edges["pred"]) == {"subclass"}
+
+
+def test_reactome_extractor(ray_session, files):
+    from biocypher_metta_ray.kg.extractors import reactome_extractor
+
+    edges = reactome_extractor(str(files / "reactome.tsv"))["edges"].to_pandas()
+    assert len(edges) == 2  # R-OTHER filtered
+    assert set(edges["subj"]) == {"ENSG0001", "ENSG0002"}  # version strip
+
+
+def test_coexpression_extractor_with_id_map(ray_session, files):
+    from biocypher_metta_ray.kg.extractors import coexpression_extractor
+
+    idmap = {"111": "ENSG0111", "222": "ENSG0222"}  # 333 missing -> dropped
+    edges = coexpression_extractor(str(files / "coexp"), id_map=idmap)[
+        "edges"
+    ].to_pandas()
+    got = set(zip(edges["subj"], edges["obj"]))
+    assert got == {("ENSG0111", "ENSG0222"), ("ENSG0222", "ENSG0111")}
+
+
+def test_registry_end_to_end_with_record_sources(ray_session, files, tmp_path):
+    """All record extractors through run_build -> rendered MeTTa."""
+    import glob
+
+    from biocypher_metta_ray.pipelines.registry import run_build
+
+    cfg = {
+        "extractors": {
+            "prot": {"module": "biocypher_metta_ray.kg.extractors",
+                     "func": "swissprot_extractor",
+                     "args": {"path": str(files / "sprot.dat.gz")}},
+            "go": {"module": "biocypher_metta_ray.kg.extractors",
+                   "func": "obo_extractor",
+                   "args": {"path": str(files / "onto.obo")}},
+            "anno": {"module": "biocypher_metta_ray.kg.extractors",
+                     "func": "gaf_extractor",
+                     "args": {"path": str(files / "anno.gaf")}},
+        }
+    }
+    report = run_build(cfg, str(tmp_path))
+    lines = []
+    for p in glob.glob(f"{tmp_path}/metta/**/part-*.metta", recursive=True):
+        lines.extend(open(p).read().splitlines())
+    assert "(protein P12345)" in lines
+    assert "(go GO:0000001)" in lines
+    assert "(subclass (go GO:0000001) (go GO:0048308))" in lines
+    assert "(go_gene_product (go GO:0005515) (protein P12345))" in lines
+    assert "(translates_to (transcript ENST00000001) (protein P12345))" in lines
