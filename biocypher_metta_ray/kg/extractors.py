@@ -340,6 +340,60 @@ def coexpression_extractor(
     return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
 
 
+def wide_variant_extractor(
+    path: str,
+    fields: dict[str, int] | None = None,
+    annotation_fields: dict[str, int] | None = None,
+    label: str = "snp",
+) -> dict:
+    """FAVOR-style very-wide positional CSV -> variant nodes with a
+    NESTED ``annotation`` props dict (favor_adapter.py:27-122:
+    positional FIELDS projection, '.'->0 cleanup, to_float clamp,
+    composite variant id via helpers.build_variant_id). The nested
+    dict renders recursively in MeTTa (metta_writer.py:158-160).
+    """
+    from ..functions.helpers import build_variant_id, to_float
+    from ..sources.bio_formats import read_lines
+
+    fields = fields or {"chr": 0, "pos": 1, "ref": 2, "alt": 3}
+    annotation_fields = annotation_fields or {}
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"id": [], "label": [], "props_json": []}
+        for line in df["text"]:
+            parts = line.split(",")
+            need = max([*fields.values(), *annotation_fields.values()], default=0)
+            if len(parts) <= need:
+                continue  # log-and-skip
+            try:
+                chrom = parts[fields["chr"]]
+                pos = int(parts[fields["pos"]])
+                ref = parts[fields["ref"]]
+                alt = parts[fields["alt"]]
+            except (ValueError, KeyError):
+                continue
+            ann = {}
+            for name, idx in annotation_fields.items():
+                raw = parts[idx]
+                if raw == ".":  # '.' -> 0 (favor_adapter.py:74-83)
+                    ann[name] = 0
+                    continue
+                try:
+                    ann[name] = to_float(raw)
+                except ValueError:
+                    ann[name] = raw
+            props = {"chr": chrom, "pos": pos, "ref": ref, "alt": alt,
+                     "annotation": ann}
+            rows["id"].append(build_variant_id(chrom, pos, ref, alt))
+            rows["label"].append(label)
+            rows["props_json"].append(json.dumps(props, sort_keys=True))
+        return pd.DataFrame(rows)
+
+    ds = read_lines(path)
+    return {"nodes": ds.map_batches(to_nodes, batch_format="pandas"),
+            "edges": None}
+
+
 def web_kg_extractor(
     corpus_path: str | None = None,
     documents_dir: str | None = None,

@@ -98,7 +98,9 @@ def grouped_agg(
             agg["__n"] = g.size()["size"].values
         return agg
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # coalesce the (small) partials before the sort-based shuffle —
+    # per-block overhead dominates otherwise (see BASELINE.md notes)
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(16)
     from ray.data.aggregate import Sum
 
     aggs = [Sum(c, alias_name=c) for c in sums]
@@ -139,6 +141,7 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
 
     out = (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(16)
         .groupby(cols)
         .aggregate(Count(alias_name="__c"))
     )

@@ -146,3 +146,28 @@ def test_registry_end_to_end_with_record_sources(ray_session, files, tmp_path):
     assert "(subclass (go GO:0000001) (go GO:0048308))" in lines
     assert "(go_gene_product (go GO:0005515) (protein P12345))" in lines
     assert "(translates_to (transcript ENST00000001) (protein P12345))" in lines
+
+
+def test_wide_variant_extractor(ray_session, tmp_path):
+    """FAVOR-like wide CSV -> nested annotation props, '.'->0,
+    to_float clamp, composite variant id; renders recursively."""
+    from biocypher_metta_ray.kg.extractors import wide_variant_extractor
+    from biocypher_metta_ray.render import MettaRenderer
+    from biocypher_metta_ray.schema import SchemaRegistry
+    import json as _json
+
+    p = tmp_path / "wide.csv"
+    p.write_text("1,100,A,T,0.5,.,1e400\nbadline\n2,200,G,C,2.5,0.1,3\n")
+    out = wide_variant_extractor(
+        str(p),
+        annotation_fields={"cadd": 4, "gerp": 5, "huge": 6},
+    )["nodes"].to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == ["1_100_A_T_GRCh38", "2_200_G_C_GRCh38"]
+    props = _json.loads(out["props_json"][0])
+    assert props["annotation"] == {"cadd": 0.5, "gerp": 0, "huge": 1e307}
+    # recursive render parity (metta_writer.py:158-160)
+    lines = MettaRenderer(SchemaRegistry()).render_node(
+        out["id"][0], "snp", props
+    )
+    assert "(annotation (snp 1_100_A_T_GRCh38))" in lines
+    assert "(cadd (annotation (snp 1_100_A_T_GRCh38)) 0.5)" in lines
