@@ -345,38 +345,59 @@ def wide_variant_extractor(
     fields: dict[str, int] | None = None,
     annotation_fields: dict[str, int] | None = None,
     label: str = "snp",
+    chrom: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
 ) -> dict:
     """FAVOR-style very-wide positional CSV -> variant nodes with a
     NESTED ``annotation`` props dict (favor_adapter.py:27-122:
     positional FIELDS projection, '.'->0 cleanup, to_float clamp,
-    composite variant id via helpers.build_variant_id). The nested
-    dict renders recursively in MeTTa (metta_writer.py:158-160).
+    composite variant id via helpers.build_variant_id, optional
+    chr/start/end window filter per check_genomic_location). The
+    nested dict renders recursively in MeTTa (metta_writer.py:158-160).
+    Quoted fields with embedded commas are handled (csv grammar).
+    Malformed/short rows are dropped and counted (state.metrics:
+    ``wide_variant/rows_dropped``).
     """
+    import csv
+
     from ..functions.helpers import build_variant_id, to_float
     from ..sources.bio_formats import read_lines
 
     fields = fields or {"chr": 0, "pos": 1, "ref": 2, "alt": 3}
+    missing = {"chr", "pos", "ref", "alt"} - set(fields)
+    if missing:
+        raise ValueError(f"fields must map chr/pos/ref/alt; missing {missing}")
     annotation_fields = annotation_fields or {}
+    need = max([*fields.values(), *annotation_fields.values()], default=0)
+    window_chrom, window = chrom, (start, end)
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"id": [], "label": [], "props_json": []}
-        for line in df["text"]:
-            parts = line.split(",")
-            need = max([*fields.values(), *annotation_fields.values()], default=0)
+        dropped = 0
+        for parts in csv.reader(df["text"]):
             if len(parts) <= need:
-                continue  # log-and-skip
+                dropped += 1
+                continue
             try:
                 chrom = parts[fields["chr"]]
                 pos = int(parts[fields["pos"]])
                 ref = parts[fields["ref"]]
                 alt = parts[fields["alt"]]
-            except (ValueError, KeyError):
+            except ValueError:
+                dropped += 1
                 continue
+            if window_chrom is not None:
+                if chrom != window_chrom:
+                    continue
+                lo, hi = window
+                if (lo is not None and pos < lo) or (hi is not None and pos > hi):
+                    continue
             ann = {}
             for name, idx in annotation_fields.items():
                 raw = parts[idx]
-                if raw == ".":  # '.' -> 0 (favor_adapter.py:74-83)
-                    ann[name] = 0
+                if raw == ".":  # '.' -> 0 then to_float (favor_adapter.py:74-83)
+                    ann[name] = to_float(0)
                     continue
                 try:
                     ann[name] = to_float(raw)
@@ -387,6 +408,10 @@ def wide_variant_extractor(
             rows["id"].append(build_variant_id(chrom, pos, ref, alt))
             rows["label"].append(label)
             rows["props_json"].append(json.dumps(props, sort_keys=True))
+        if dropped:
+            from ..state.metrics import incr
+
+            incr("wide_variant", "rows_dropped", dropped)
         return pd.DataFrame(rows)
 
     ds = read_lines(path)

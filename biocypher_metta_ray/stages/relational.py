@@ -81,6 +81,7 @@ def grouped_agg(
     keys: list[str],
     sums: list[str] | None = None,
     count_as: str | None = None,
+    shuffle_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Grouped sum/count with map-side combining.
 
@@ -99,8 +100,13 @@ def grouped_agg(
         return agg
 
     # coalesce the (small) partials before the sort-based shuffle —
-    # per-block overhead dominates otherwise (see BASELINE.md notes)
-    partials = ds.map_batches(partial, batch_format="pandas").repartition(16)
+    # per-block overhead dominates otherwise (see BASELINE.md notes).
+    # For HIGH-CARDINALITY keys the partials barely shrink: raise
+    # shuffle_partitions so blocks stay memory-sized and the shuffle
+    # keeps parallelism.
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(
+        shuffle_partitions
+    )
     from ray.data.aggregate import Sum
 
     aggs = [Sum(c, alias_name=c) for c in sums]
@@ -131,7 +137,8 @@ def top_k(
     )
 
 
-def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+def distinct(ds: ray.data.Dataset, cols: list[str],
+             shuffle_partitions: int = 16) -> ray.data.Dataset:
     """Distinct over ``cols``: per-batch dedup, then a native grouped
     aggregate (vectorized C path — never one Python call per group)."""
     from ray.data.aggregate import Count
@@ -141,7 +148,7 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
 
     out = (
         ds.map_batches(partial, batch_format="pandas")
-        .repartition(16)
+        .repartition(shuffle_partitions)
         .groupby(cols)
         .aggregate(Count(alias_name="__c"))
     )

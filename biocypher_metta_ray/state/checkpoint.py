@@ -76,6 +76,19 @@ def run_stage(
     ):
         return ray.data.read_parquet(stage_dir), dict(man, resumed=True)
 
+    # a SIGKILLed run can leave temp dirs behind; sweep only STALE ones
+    # (mtime > 1h) so a concurrent run's live tmp dir is never deleted
+    import time
+
+    now = time.time()
+    for stale in os.listdir(root):
+        if stale.startswith(f".{stage}.tmp-"):
+            p = os.path.join(root, stale)
+            try:
+                if now - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     tmp_dir = os.path.join(root, f".{stage}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp_dir, exist_ok=True)
     try:
