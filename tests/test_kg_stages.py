@@ -106,3 +106,31 @@ def test_canonicalize_triples_drop_on_miss(ray_session):
     assert out.num_rows == 1
     assert out["subj"][0].as_py() == "ENTG0001"
     assert stage.dropped == 1
+
+
+@pytest.mark.parametrize("num_parts", [1, 6])
+def test_canonical_edges_deterministic_across_partitioning(
+    ray_session, fixture_dir, num_parts
+):
+    """north_rule: canonical triple output must not depend on how the
+    corpus is partitioned (the reference gets this from single-threaded
+    file order; we get it from min-reductions + content-keyed dedup)."""
+    import ray.data
+    from biocypher_metta_ray.pipelines.kg import canonical_triples, dedup_edges
+
+    ents = ray.data.read_parquet(f"{fixture_dir}/entities.parquet")
+    corpus = ray.data.read_parquet(f"{fixture_dir}/corpus.parquet").repartition(
+        num_parts
+    )
+    triples, _ = canonical_triples(corpus, ents)
+    edges = (
+        dedup_edges(triples)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    key = tuple(map(tuple, edges[["subj", "pred", "obj", "n_mentions"]].values))
+    if not hasattr(test_canonical_edges_deterministic_across_partitioning, "_ref"):
+        test_canonical_edges_deterministic_across_partitioning._ref = key
+    else:
+        assert key == test_canonical_edges_deterministic_across_partitioning._ref

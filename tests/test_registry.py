@@ -111,3 +111,16 @@ def test_cli_dry_run(ray_session, cfg, tmp_path_factory):
     assert os.path.exists(f"{out}/build_report.json")
     rep = json.load(open(f"{out}/build_report.json"))
     assert rep["n_nodes"] <= 400  # dry-run truncation applied
+
+
+def test_example_config_resolves():
+    """The shipped example config parses and its extractor resolves."""
+    import yaml
+
+    from biocypher_metta_ray.pipelines.registry import resolve_extractor
+
+    path = "biocypher_metta_ray/config/extractors_example.yaml"
+    cfg = yaml.safe_load(open(path))
+    for name, spec in cfg["extractors"].items():
+        fn, args = resolve_extractor(spec)
+        assert callable(fn), name
