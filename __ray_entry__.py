@@ -530,6 +530,26 @@ def _q_tumbling_window(sf_dir: str):
 # Text analysis / dedup / similarity queries
 # ---------------------------------------------------------------------------
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-source sample: 3 docs per source with the
+    smallest content fingerprint."""
+    from biocypher_metta_ray.stages.relational import stratified_sample
+    from biocypher_metta_ray.stages.text_stats import fingerprint_batch
+
+    docs = _rp(sf_dir, "documents")
+
+    def with_fp(t: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(t)
+        return t.append_column("fingerprint", fp["fingerprint"])
+
+    ds = docs.map_batches(with_fp, batch_format="pyarrow")
+    out = stratified_sample(ds, ["source"], "fingerprint", k=3)
+    return out.map_batches(
+        lambda df: df[["source", "doc_id", "fingerprint"]],
+        batch_format="pandas",
+    )
+
+
 def _q_word_count(sf_dir: str):
     from biocypher_metta_ray.stages.relational import grouped_agg
 
@@ -764,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "tumbling_window": _q_tumbling_window,
         # text / dedup / similarity
+        "stratified_sample": _q_stratified_sample,
         "word_count": _q_word_count,
         "token_count": _q_token_count,
         "quality": _q_quality,
@@ -1004,6 +1025,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id, fingerprint FROM (
+                SELECT source, doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS fingerprint,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(trim(regexp_replace(lower(text),
+                                             '\\s+', ' ', 'g')))) AS rn
+                FROM documents)
+            WHERE rn <= 3
         """,
         "word_count": """
             SELECT tok AS token, count(*) AS n

@@ -137,6 +137,61 @@ def top_k(
     )
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic per-group sampling: the ``k`` rows with the
+    smallest ``order_col`` per group (order by a content hash/
+    fingerprint column for an unbiased-but-reproducible sample;
+    equivalent to SQL ``row_number() OVER (PARTITION BY g ORDER BY o)
+    <= k``). Hash-partitioned, vectorized per partition."""
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([*group_cols, order_col], kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    return partitioned_group_map(ds, group_cols, body, num_partitions)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fraction: float,
+    salt: str = "split",
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic train/holdout split on a stable key hash: the
+    same key always lands on the same side, across runs, partitionings
+    and cluster sizes (never ``random_sample`` for reproducible
+    pipelines)."""
+    from ..functions.helpers import hash64_column
+
+    cut = int(fraction * 10_000)
+
+    def side(keep: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = [
+                f"{salt}:{v}" for v in batch[key_col].to_pylist()
+            ]
+            bucket = hash64_column(pa.array(keys)) % np.uint64(10_000)
+            mask = bucket < cut if keep else bucket >= cut
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    return (
+        ds.map_batches(side(True), batch_format="pyarrow"),
+        ds.map_batches(side(False), batch_format="pyarrow"),
+    )
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str],
              shuffle_partitions: int = 16) -> ray.data.Dataset:
     """Distinct over ``cols``: per-batch dedup, then a native grouped

@@ -86,3 +86,17 @@ def test_partitioned_group_map_equals_per_group(ray_session):
         ).to_pandas()
         got = got.set_index("k")["v"].round(4).sort_index()
         pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_hash_split_deterministic_and_disjoint(ray_session):
+    from biocypher_metta_ray.stages.relational import hash_split
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    train, hold = hash_split(ds, "doc_id", 0.8)
+    a = set(train.to_pandas()["doc_id"])
+    b = set(hold.to_pandas()["doc_id"])
+    assert not (a & b) and len(a) + len(b) == 500
+    assert 0.7 < len(a) / 500 < 0.9  # close to the requested fraction
+    # reproducible across a second evaluation and partitioning
+    train2, _ = hash_split(ds.repartition(7), "doc_id", 0.8)
+    assert set(train2.to_pandas()["doc_id"]) == a
