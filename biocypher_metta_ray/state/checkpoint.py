@@ -119,3 +119,35 @@ def run_stage(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise
     return ray.data.read_parquet(stage_dir), manifest
+
+
+def run_stage_sharded(
+    root: str,
+    stage: str,
+    fingerprint: str,
+    shards: dict[str, Callable[[], ray.data.Dataset]],
+    metrics: dict | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Per-partition checkpointing: each shard (e.g. an input file
+    range or key range) is its own atomic checkpoint ``{stage}/{name}``
+    with its own manifest; a resumed run recomputes ONLY the shards
+    whose manifest is missing, incomplete or fingerprint-stale and
+    reads the rest back (north_rule: resumable with per-partition
+    lineage). The returned dataset is the union of all shard outputs;
+    the combined manifest maps shard name -> shard manifest.
+    """
+    stage_root = os.path.join(root, stage)
+    out_ds = None
+    combined: dict = {"stage": stage, "fingerprint": fingerprint,
+                      "shards": {}, "resumed_shards": [],
+                      "computed_shards": []}
+    for name in sorted(shards):
+        ds, man = run_stage(
+            stage_root, name, fingerprint, shards[name], metrics=metrics
+        )
+        combined["shards"][name] = man
+        (combined["resumed_shards"] if man.get("resumed")
+         else combined["computed_shards"]).append(name)
+        out_ds = ds if out_ds is None else out_ds.union(ds)
+    combined["rows"] = sum(m["rows"] for m in combined["shards"].values())
+    return out_ds, combined

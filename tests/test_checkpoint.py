@@ -87,3 +87,32 @@ def test_metta_sink_atomicity(ray_session, tmp_path):
     assert files == set(man["files"])
     assert not glob.glob(f"{tmp_path}/nodes/*.tmp")
     assert man["rows"] == 100
+
+
+def test_sharded_stage_resumes_per_partition(ray_session, tmp_path):
+    """Kill-after-shard-k semantics: only unfinished shards recompute."""
+    from biocypher_metta_ray.state.checkpoint import run_stage_sharded
+
+    calls = {"a": 0, "b": 0}
+
+    def mk(name, lo, hi):
+        def f():
+            calls[name] += 1
+            return ray.data.range(hi - lo).map_batches(
+                lambda df: df.assign(v=df["id"] + lo), batch_format="pandas"
+            )
+        return f
+
+    shards = {"a": mk("a", 0, 50), "b": mk("b", 50, 80)}
+    root = str(tmp_path)
+    ds, man = run_stage_sharded(root, "tripleshard", "fp1", shards)
+    assert man["rows"] == 80 and man["computed_shards"] == ["a", "b"]
+    assert calls == {"a": 1, "b": 1}
+
+    # simulate a crash that lost shard b's manifest only
+    os.remove(f"{root}/tripleshard/b.manifest.json")
+    ds2, man2 = run_stage_sharded(root, "tripleshard", "fp1", shards)
+    assert man2["resumed_shards"] == ["a"]
+    assert man2["computed_shards"] == ["b"]
+    assert calls == {"a": 1, "b": 2}  # shard a factory never re-ran
+    assert sorted(ds2.to_pandas()["v"]) == list(range(80))
