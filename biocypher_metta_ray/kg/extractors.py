@@ -119,6 +119,175 @@ def gtf_transcript_extractor(path: str) -> dict:
     }
 
 
+def gtf_exon_extractor(path: str) -> dict:
+    """GTF exon rows -> exon nodes with gene/transcript/exon_number
+    props (gencode_exon_adapter.py:42-74)."""
+    from ..sources.bio_formats import read_gtf
+
+    ds = read_gtf(
+        path, type_filter="exon",
+        attr_keys=("gene_id", "transcript_id", "exon_id", "exon_number"),
+    )
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["exon_id"].str.split(".", n=1).str[0]
+        out = pd.DataFrame(
+            {
+                "id": eid,
+                "label": "exon",
+                "props_json": _props_json(
+                    df, ["chr", "start", "end", "gene_id", "transcript_id",
+                         "exon_number"]
+                ),
+            }
+        )
+        return out[out["id"].notna()]
+
+    return {"nodes": ds.map_batches(to_nodes, batch_format="pandas"),
+            "edges": None}
+
+
+def tsv_edge_extractor(
+    path: str,
+    pred: str,
+    subj_col: int,
+    obj_col: int,
+    sep: str | None = "\t",
+    score_col: int | None = None,
+    score_scale: float = 1.0,
+    subj_map: dict[str, str] | None = None,
+    obj_map: dict[str, str] | None = None,
+    subj_prefix_strip: str | None = None,
+    obj_prefix_strip: str | None = None,
+    evidence_col: int | None = None,
+    evidence_prefix: str = "pubmed:",
+    skip_header: bool = False,
+) -> dict:
+    """Generic delimited-file edge extractor covering the reference's
+    TSV-edge adapter family: tflink (entrez->ensembl maps + pubmed
+    evidence list explode, tflink_adapter.py:42-54), string_ppi
+    ('9606.' prefix strip + score/1000, string_ppi_adapter.py:42-52),
+    refseq_closest_gene and friends. Broadcast id maps apply
+    drop-on-miss to each endpoint."""
+    import ray as _ray
+
+    from ..sources.bio_formats import read_lines
+
+    smap_ref = _ray.put(subj_map) if subj_map is not None else None
+    omap_ref = _ray.put(obj_map) if obj_map is not None else None
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        sm = _ray.get(smap_ref) if smap_ref is not None else None
+        om = _ray.get(omap_ref) if omap_ref is not None else None
+        lines = df["text"]
+        if skip_header:
+            lines = lines[~lines.index.isin(lines.index[:1])]
+        parts = lines.str.split(sep, expand=True)
+        need = max(subj_col, obj_col, score_col or 0, evidence_col or 0)
+        if parts.shape[1] <= need:
+            return pd.DataFrame(
+                {"subj": [], "pred": [], "obj": [], "props_json": []}
+            )
+        subj = parts[subj_col]
+        obj = parts[obj_col]
+        if subj_prefix_strip:
+            subj = subj.str.removeprefix(subj_prefix_strip)
+        if obj_prefix_strip:
+            obj = obj.str.removeprefix(obj_prefix_strip)
+        if sm is not None:
+            subj = subj.map(sm)  # None on miss
+        if om is not None:
+            obj = obj.map(om)
+        props = []
+        for i in parts.index:
+            p = {}
+            if score_col is not None:
+                try:
+                    p["score"] = float(parts.loc[i, score_col]) * score_scale
+                except (TypeError, ValueError):
+                    pass
+            if evidence_col is not None and parts.loc[i, evidence_col]:
+                p["evidence"] = [
+                    evidence_prefix + e
+                    for e in str(parts.loc[i, evidence_col]).split(";") if e
+                ]
+            props.append(json.dumps(p, sort_keys=True) if p else None)
+        out = pd.DataFrame(
+            {"subj": subj, "pred": pred, "obj": obj, "props_json": props}
+        )
+        return out[out["subj"].notna() & out["obj"].notna()]
+
+    return {"nodes": None,
+            "edges": read_lines(path).map_batches(to_edges, batch_format="pandas")}
+
+
+def pathway_list_extractor(
+    path: str, species_filter: str | None = "Homo sapiens"
+) -> dict:
+    """Pathway list TSV (id, name, species) -> pathway nodes with a
+    species filter (reactome_pathway_adapter.py:40-51)."""
+    from ..sources.bio_formats import read_lines
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["text"].str.split("\t", expand=True)
+        if parts.shape[1] < 3:
+            return pd.DataFrame({"id": [], "label": [], "props_json": []})
+        out = pd.DataFrame(
+            {"id": parts[0], "name": parts[1], "species": parts[2]}
+        )
+        if species_filter is not None:
+            out = out[out["species"] == species_filter]
+        return pd.DataFrame(
+            {
+                "id": out["id"],
+                "label": "pathway",
+                "props_json": [
+                    json.dumps({"pathway_name": n}, sort_keys=True)
+                    for n in out["name"]
+                ],
+            }
+        )
+
+    return {"nodes": read_lines(path).map_batches(to_nodes, batch_format="pandas"),
+            "edges": None}
+
+
+SV_TYPE_MAP = {
+    "<DEL>": "deletion", "<DUP>": "duplication", "<INS>": "insertion",
+    "<INV>": "inversion", "<CNV>": "copy number variation",
+}
+
+
+def vcf_sv_extractor(path: str) -> dict:
+    """Structural-variant VCF -> structural_variant nodes: ALT symbol
+    mapped through a type enum (rows with unknown symbols dropped) and
+    END= pulled from INFO (dbvar_adapter.py:12,37-48)."""
+    from ..sources.bio_formats import read_vcf
+
+    ds = read_vcf(path, info_keys=("END",))
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["variant_type"] = df["alt"].map(SV_TYPE_MAP)
+        df = df[df["variant_type"].notna()]  # predicate drop
+        df["end"] = pd.to_numeric(df["END"], errors="coerce")
+        df = df[df["end"].notna()]
+        df["end"] = df["end"].astype("int64")
+        df = df.rename(columns={"pos": "start"})
+        return pd.DataFrame(
+            {
+                "id": df["id"],
+                "label": "structural_variant",
+                "props_json": _props_json(
+                    df, ["chr", "start", "end", "variant_type"]
+                ),
+            }
+        )
+
+    return {"nodes": ds.map_batches(to_nodes, batch_format="pandas"),
+            "edges": None}
+
+
 def vcf_variant_extractor(
     path: str, label: str = "snp", info_keys: tuple[str, ...] = ("VC", "CAF")
 ) -> dict:

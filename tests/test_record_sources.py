@@ -171,3 +171,73 @@ def test_wide_variant_extractor(ray_session, tmp_path):
     )
     assert "(annotation (snp 1_100_A_T_GRCh38))" in lines
     assert "(cadd (annotation (snp 1_100_A_T_GRCh38)) 0.5)" in lines
+
+
+def test_gtf_exon_extractor(ray_session, tmp_path):
+    from biocypher_metta_ray.kg.extractors import gtf_exon_extractor
+
+    p = tmp_path / "e.gtf"
+    p.write_text(
+        'chr1\tX\texon\t10\t20\t.\t+\t.\tgene_id "G1.1"; transcript_id "T1.1"; '
+        'exon_id "E1.2"; exon_number "1";\n'
+        'chr1\tX\tgene\t10\t99\t.\t+\t.\tgene_id "G1.1";\n'
+    )
+    out = gtf_exon_extractor(str(p))["nodes"].to_pandas()
+    assert list(out["id"]) == ["E1"]
+    assert '"exon_number": "1"' in out["props_json"].iloc[0]
+
+
+def test_tsv_edge_extractor_tflink_style(ray_session, tmp_path):
+    """entrez->ensembl maps on both ends + pubmed evidence explode
+    (tflink_adapter.py:42-54)."""
+    from biocypher_metta_ray.kg.extractors import tsv_edge_extractor
+
+    p = tmp_path / "tflink.tsv"
+    p.write_text("100\t200\t11111;22222\n100\t999\t33333\n")
+    idmap = {"100": "ENSG0100", "200": "ENSG0200"}  # 999 missing -> drop
+    edges = tsv_edge_extractor(
+        str(p), pred="tf_gene" if False else "interacts_with",
+        subj_col=0, obj_col=1, evidence_col=2,
+        subj_map=idmap, obj_map=idmap,
+    )["edges"].to_pandas()
+    assert len(edges) == 1
+    assert edges["subj"].iloc[0] == "ENSG0100"
+    assert '"evidence": ["pubmed:11111", "pubmed:22222"]' in edges["props_json"].iloc[0]
+
+
+def test_tsv_edge_extractor_string_ppi_style(ray_session, tmp_path):
+    """prefix strip + score/1000 (string_ppi_adapter.py:42-52)."""
+    from biocypher_metta_ray.kg.extractors import tsv_edge_extractor
+
+    p = tmp_path / "ppi.txt"
+    p.write_text("9606.P1 9606.P2 800\n")
+    edges = tsv_edge_extractor(
+        str(p), pred="interacts_with", subj_col=0, obj_col=1, sep=" ",
+        score_col=2, score_scale=0.001,
+        subj_prefix_strip="9606.", obj_prefix_strip="9606.",
+    )["edges"].to_pandas()
+    assert edges["subj"].iloc[0] == "P1" and edges["obj"].iloc[0] == "P2"
+    assert '"score": 0.8' in edges["props_json"].iloc[0]
+
+
+def test_pathway_list_and_sv_extractors(ray_session, tmp_path):
+    from biocypher_metta_ray.kg.extractors import (
+        pathway_list_extractor,
+        vcf_sv_extractor,
+    )
+
+    pw = tmp_path / "pathways.tsv"
+    pw.write_text("R-HSA-1\tSignaling\tHomo sapiens\nR-MMU-2\tOther\tMus musculus\n")
+    nodes = pathway_list_extractor(str(pw))["nodes"].to_pandas()
+    assert list(nodes["id"]) == ["R-HSA-1"]  # species filter
+
+    sv = tmp_path / "sv.vcf"
+    sv.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t1000\tnsv1\tN\t<DEL>\t.\t.\tEND=2000;X=1\n"
+        "1\t3000\tnsv2\tN\t<WEIRD>\t.\t.\tEND=4000\n"
+    )
+    out = vcf_sv_extractor(str(sv))["nodes"].to_pandas()
+    assert list(out["id"]) == ["nsv1"]  # unknown ALT symbol dropped
+    assert '"variant_type": "deletion"' in out["props_json"].iloc[0]
+    assert '"end": 2000' in out["props_json"].iloc[0]
