@@ -135,6 +135,28 @@ def _q_kg_edge_sexpr(sf_dir: str):
     return render_metta_lines(None, edges)["edges"]
 
 
+def _q_kg_linked_mentions(sf_dir: str):
+    """Entity linking over the documents corpus with the gazetteer as
+    the alias table (single-token aliases -> greedy matching equals
+    every token hit; multi-token/ambiguity behavior unit-tested in
+    tests/test_linker.py)."""
+    import pyarrow.compute as _pc
+
+    from biocypher_metta_ray.kg.gazetteer import entities_table
+    from biocypher_metta_ray.sources.corpus import read_documents_as_corpus
+    from biocypher_metta_ray.stages.extract import extract_text_batch, lang_filter
+    from biocypher_metta_ray.stages.linker import link_entities
+
+    corpus = read_documents_as_corpus(sf_dir)
+    ds = corpus.map_batches(lambda t: lang_filter(t, "en"), batch_format="pyarrow")
+    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    linked = link_entities(ds, entities_table().to_pandas())
+    return linked.map_batches(
+        lambda df: df[["doc_id", "pos", "surface", "entity_id"]],
+        batch_format="pandas",
+    )
+
+
 def _q_kg_prolog_facts(sf_dir: str):
     """Prolog node facts (prolog_writer.py:85-92 semantics: lowercased
     label(id). lines)."""
@@ -764,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_node_sexpr": _q_kg_node_sexpr,
         "kg_edge_sexpr": _q_kg_edge_sexpr,
+        "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_prolog_facts": _q_kg_prolog_facts,
         "kg_canonical_map": _q_kg_canonical_map,
         # relational operators
@@ -901,6 +924,12 @@ def oracle_sql() -> dict[str, str]:
             FROM edges
             JOIN (VALUES {edge_rows}) AS et(pred, src, tgt, render_label)
               ON edges.pred = et.pred
+        """,
+        "kg_linked_mentions": f"""
+            SELECT t.doc_id, t.p - 1 AS pos, t.tok AS surface,
+                   gaz.entity_id
+            FROM ({p['toks']}) t
+            JOIN {p['gaz']} ON t.tok = gaz.surface
         """,
         "kg_prolog_facts": f"""
             WITH t AS ({p['triples']}),

@@ -48,7 +48,9 @@ class EntityLinker:
         for row in entities:
             eid = row["entity_id"]
             terms = set()
-            for alias in list(row.get("aliases") or []) + [row.get("canonical_name") or ""]:
+            aliases = row.get("aliases")  # may be list OR numpy array
+            aliases = [] if aliases is None else list(aliases)
+            for alias in aliases + [row.get("canonical_name") or ""]:
                 toks = tuple(alias.split())
                 if not toks:
                     continue
