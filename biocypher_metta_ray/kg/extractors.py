@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -171,17 +172,23 @@ def tsv_edge_extractor(
     drop-on-miss to each endpoint."""
     import ray as _ray
 
-    from ..sources.bio_formats import read_lines
+    from ..sources.bio_formats import first_lines_of, read_lines
 
     smap_ref = _ray.put(subj_map) if subj_map is not None else None
     omap_ref = _ray.put(obj_map) if obj_map is not None else None
+    # skip_header: read each input file's FIRST line at build time
+    # (tiny driver-side I/O) and filter exact matches inside the
+    # distributed kernel. A positional per-batch drop is WRONG under
+    # Ray's block splitting — read_text batches don't start at file
+    # boundaries, so "drop batch row 0" silently loses data lines.
+    headers = frozenset(first_lines_of(path)) if skip_header else frozenset()
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         sm = _ray.get(smap_ref) if smap_ref is not None else None
         om = _ray.get(omap_ref) if omap_ref is not None else None
         lines = df["text"]
-        if skip_header:
-            lines = lines[~lines.index.isin(lines.index[:1])]
+        if headers:
+            lines = lines[~lines.isin(headers)]
         parts = lines.str.split(sep, expand=True)
         need = max(subj_col, obj_col, score_col or 0, evidence_col or 0)
         if parts.shape[1] <= need:
@@ -198,20 +205,30 @@ def tsv_edge_extractor(
             subj = subj.map(sm)  # None on miss
         if om is not None:
             obj = obj.map(om)
-        props = []
-        for i in parts.index:
-            p = {}
-            if score_col is not None:
-                try:
-                    p["score"] = float(parts.loc[i, score_col]) * score_scale
-                except (TypeError, ValueError):
-                    pass
-            if evidence_col is not None and parts.loc[i, evidence_col]:
-                p["evidence"] = [
-                    evidence_prefix + e
-                    for e in str(parts.loc[i, evidence_col]).split(";") if e
-                ]
-            props.append(json.dumps(p, sort_keys=True) if p else None)
+        scores = (
+            pd.to_numeric(parts[score_col], errors="coerce") * score_scale
+            if score_col is not None
+            else pd.Series(np.nan, index=parts.index)
+        )
+        evid = (
+            parts[evidence_col].fillna("").astype(str)
+            if evidence_col is not None
+            else pd.Series("", index=parts.index)
+        )
+        props = [
+            json.dumps(p, sort_keys=True) if p else None
+            for p in (
+                {
+                    **({"score": float(s)} if s == s else {}),
+                    **(
+                        {"evidence": [evidence_prefix + e
+                                      for e in ev.split(";") if e]}
+                        if ev else {}
+                    ),
+                }
+                for s, ev in zip(scores.to_numpy(), evid.to_numpy())
+            )
+        ]
         out = pd.DataFrame(
             {"subj": subj, "pred": pred, "obj": obj, "props_json": props}
         )
@@ -440,6 +457,37 @@ def obo_extractor(path: str) -> dict:
     return {
         "nodes": ds.map_batches(to_nodes, batch_format="pandas"),
         "edges": ds.map_batches(to_edges, batch_format="pandas"),
+    }
+
+
+def owl_ontology_extractor(
+    path: str,
+    label: str = "ontology_term",
+    edge_label: str | None = None,
+    subontologies: bool = False,
+    include_xrefs: bool = False,
+    dry_run: bool = False,
+    source: str | None = None,
+    source_url: str | None = None,
+) -> dict:
+    """OWL (RDF/XML) ontology -> term nodes + subclass/part_of/has_part
+    edges, the full ontologies_adapter family (GO/UBERON/CLO:
+    ontologies_adapter.py:47-212, gene_ontology_adapter.py:17-42 for
+    the ``subontologies`` second pass). Restriction-block rewriting and
+    the documented deviations live in sources/owl.py."""
+    from ..sources.owl import ontology_edges, ontology_terms, read_owl_triples
+
+    triples = read_owl_triples(path)
+    return {
+        "nodes": ontology_terms(
+            triples, label=label, subontologies=subontologies,
+            dry_run=dry_run, source=source, source_url=source_url,
+        ),
+        "edges": ontology_edges(
+            triples, label=edge_label or f"{label}_relationship",
+            include_xrefs=include_xrefs, dry_run=dry_run,
+            source=source, source_url=source_url,
+        ),
     }
 
 

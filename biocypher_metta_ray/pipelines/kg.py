@@ -272,12 +272,16 @@ def materialize_graph(
         lambda: nodes_from_triples(edges, label_map),
     )
 
+    from ..state.checkpoint import overwrite_parquet
+
     graph_dir = os.path.join(out_dir, "graph")
-    nodes.write_parquet(
-        os.path.join(graph_dir, "nodes.parquet"), partition_cols=["label"]
+    overwrite_parquet(
+        nodes, os.path.join(graph_dir, "nodes.parquet"),
+        partition_cols=["label"],
     )
-    edges.write_parquet(
-        os.path.join(graph_dir, "edges.parquet"), partition_cols=["pred"]
+    overwrite_parquet(
+        edges, os.path.join(graph_dir, "edges.parquet"),
+        partition_cols=["pred"],
     )
 
     metta_dir = os.path.join(out_dir, "metta")

@@ -141,14 +141,18 @@ def run_build(
     from .kg import render_metta_lines, render_prolog_lines
 
     rendered = render_metta_lines(nodes, edges, schema)
+    from ..state.checkpoint import overwrite_parquet
+
     if nodes is not None:
-        nodes.write_parquet(os.path.join(output_dir, "graph", "nodes.parquet"),
-                            partition_cols=["label"])
+        overwrite_parquet(nodes,
+                          os.path.join(output_dir, "graph", "nodes.parquet"),
+                          partition_cols=["label"])
         report["metta_nodes"] = write_metta(rendered["nodes"], metta_dir, "nodes")
         report["n_nodes"] = nodes.count()
     if edges is not None:
-        edges.write_parquet(os.path.join(output_dir, "graph", "edges.parquet"),
-                            partition_cols=["pred"])
+        overwrite_parquet(edges,
+                          os.path.join(output_dir, "graph", "edges.parquet"),
+                          partition_cols=["pred"])
         report["metta_edges"] = write_metta(rendered["edges"], metta_dir, "edges")
         report["n_edges"] = edges.count()
     if prolog:

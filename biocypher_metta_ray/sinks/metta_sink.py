@@ -38,6 +38,16 @@ class MettaDatasink(Datasink):
 
     def on_write_start(self) -> None:
         os.makedirs(self.dir, exist_ok=True)
+        # a rerun with FEWER write tasks would otherwise leave the old
+        # run's higher-numbered part files in place (stale duplicates);
+        # part names are deterministic, so clear them all up front
+        for f in os.listdir(self.dir):
+            if (f.startswith("part-") and f.endswith((self.ext, ".tmp"))) \
+                    or f == "_MANIFEST.json":
+                try:
+                    os.remove(os.path.join(self.dir, f))
+                except OSError:
+                    pass
 
     def write(self, blocks: Iterable, ctx) -> Any:
         rows = 0

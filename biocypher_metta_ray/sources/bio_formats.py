@@ -31,6 +31,37 @@ GTF_COLS = [
 VCF_COLS = ["chr", "pos", "id", "ref", "alt", "qual", "filter", "info"]
 
 
+def first_lines_of(path: str) -> list[str]:
+    """First line of every file ``path`` resolves to (file, dir, or
+    glob) — tiny driver-side reads used to identify header lines so a
+    distributed text read can filter them by VALUE. Positional
+    header-skipping is unsound once Ray splits files into blocks."""
+    import glob as _glob
+    import gzip
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    out = []
+    for f in files:
+        opener = gzip.open if f.endswith(".gz") else open
+        try:
+            with opener(f, "rt") as fh:
+                line = fh.readline()
+        except OSError:
+            continue
+        if line:
+            out.append(line.rstrip("\n").rstrip("\r"))
+    return out
+
+
 def read_lines(path: str, **kwargs) -> ray.data.Dataset:
     """Text-line source (gzip transparent via Arrow's compressed
     stream when the filename ends in .gz)."""

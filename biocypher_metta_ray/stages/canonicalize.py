@@ -120,19 +120,26 @@ def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_iter: int = 25
+    edges: ray.data.Dataset, max_iter: int = 25, strict: bool = True
 ) -> ray.data.Dataset:
     """Generic undirected connected components over (src, dst) string
     edges -> (node, component), component = min node-id of the
     component.
 
     Deterministic for any partition count: every reduction is a min.
+
+    Convergence: min-label propagation needs O(component diameter)
+    rounds. If labels are still changing after ``max_iter`` rounds the
+    result would be WRONG for long chains, so ``strict`` (default)
+    raises; ``strict=False`` downgrades to a metrics counter +
+    RuntimeWarning for callers that accept an approximate clustering.
     """
     labels = _initial_labels(edges)
     directed = _directed_edges(edges)  # static across rounds
 
     from .skew import partitioned_group_map
 
+    changed = 0
     for _ in range(max_iter):
         lab_part = labels.map_batches(
             lambda t: pa.table(
@@ -195,6 +202,20 @@ def connected_components(
         labels = new_labels.drop_columns(["changed"])
         if not changed:
             break
+    if changed:
+        from ..state.metrics import incr
+
+        incr("connected_components", "nonconverged_labels", int(changed))
+        msg = (
+            f"connected_components did not converge after {max_iter} "
+            f"rounds ({changed} labels still changing) — component ids "
+            "for diameter>max_iter chains would be wrong; raise max_iter"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "component": t["label"]}),

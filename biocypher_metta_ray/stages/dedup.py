@@ -263,6 +263,42 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_sets(
+    docs: ray.data.Dataset,
+    n_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-doc DISTINCT shingle-hash sets: (id, sh: list<int64> sorted).
+
+    Reuses the vectorized MinHasher shingling kernel (single-space
+    tokenization, md5 token hashes combined positionally mod 2^61-1);
+    set equality of shingle strings maps to equality of hashes, so
+    Jaccard over the hash sets equals string-shingle Jaccard (up to
+    astronomically-unlikely 61-bit collisions).
+    """
+    hasher = MinHasher(num_perms=1, num_bands=1, n_shingle=n_shingle,
+                       id_col=id_col, text_col=text_col)
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        sh, starts = hasher._doc_shingles(batch)
+        # pack each sorted-unique set as raw little-endian bytes: a FLAT
+        # binary column joins natively (Arrow acero rejects list-typed
+        # non-key columns), and np.frombuffer unpacks zero-copy
+        sets = [
+            np.unique(sh[starts[d]:starts[d + 1]]).tobytes()
+            for d in range(len(batch))
+        ]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sh": pa.array(sets, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_sets, batch_format="pyarrow")
+
+
 def verify_jaccard(
     candidates: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -270,60 +306,59 @@ def verify_jaccard(
     n_shingle: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Exact n-gram Jaccard verification of candidate pairs.
+    """Exact n-gram Jaccard verification of candidate pairs —
+    fully distributed.
 
-    The doc texts for verification come from a broadcast id->text map:
-    candidate sets are tiny relative to the corpus (LSH prunes), and
-    only candidate docs are shipped. For huge candidate sets switch to
-    a bucketed join on doc id.
+    No driver-side materialization anywhere: per-doc shingle SETS are
+    computed once (vectorized), then the pair list is joined to the
+    sets twice via the bounded-partition hash join (pairs -> sh_a on
+    doc_a, -> sh_b on doc_b), and the Jaccard is computed per
+    partition. On a boilerplate-heavy corpus the post-LSH candidate
+    set is NOT small, so it must flow through the shuffle like any
+    other dataset, never through the driver.
     """
-    import ray
+    from .joins import hash_join
 
-    # candidates are consumed twice (id set + verify pass): pin the
-    # small LSH-pruned pair set once instead of re-running its lineage
-    candidates = candidates.materialize()
-    cand_df = candidates.to_pandas()
-    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    sigs = shingle_sets(docs, n_shingle=n_shingle, id_col=id_col,
+                        text_col=text_col)
 
-    def filt(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[id_col], value_set=pa.array(sorted(needed)))
-        return batch.filter(mask)
+    def ren(frm: str, to: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={frm: to})
 
-    texts_df = (
-        docs.map_batches(filt, batch_format="pyarrow")
-        .select_columns([id_col, text_col])
-        .to_pandas()
-    )
-    text_map_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+        return f
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_map_ref)
-            self.n = n_shingle
+    sig_a = sigs.map_batches(ren(id_col, "doc_a"), batch_format="pandas") \
+        .map_batches(ren("sh", "sh_a"), batch_format="pandas")
+    sig_b = sigs.map_batches(ren(id_col, "doc_b"), batch_format="pandas") \
+        .map_batches(ren("sh", "sh_b"), batch_format="pandas")
 
-        def _shingles(self, t: str) -> set:
-            toks = t.split()
-            if len(toks) < self.n:
-                return {" ".join(toks)} if toks else set()
-            return {
-                " ".join(toks[i:i + self.n])
-                for i in range(len(toks) - self.n + 1)
+    j1 = hash_join(candidates, sig_a, on="doc_a",
+                   num_partitions=num_partitions)
+    j2 = hash_join(j1, sig_b, on="doc_b", num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sh_a = batch["sh_a"].to_pylist()
+        sh_b = batch["sh_b"].to_pylist()
+        sims = np.empty(len(batch), dtype=np.float64)
+        for i in range(len(batch)):
+            a = np.frombuffer(sh_a[i], dtype=np.uint64)
+            b = np.frombuffer(sh_b[i], dtype=np.uint64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            sims[i] = inter / union if union else 0.0
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(sims),
             }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch["doc_a"].to_pylist()
-            b_ids = batch["doc_b"].to_pylist()
-            sims = []
-            for a, b in zip(a_ids, b_ids):
-                sa, sb = self._shingles(self.texts[a]), self._shingles(self.texts[b])
-                inter = len(sa & sb)
-                union = len(sa | sb)
-                sims.append(inter / union if union else 0.0)
-            out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
-
-    return candidates.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def near_dup_groups(

@@ -25,6 +25,27 @@ import ray.data
 from .skew import partitioned_group_map
 
 
+def _pd_dtypes(ds: ray.data.Dataset) -> dict:
+    """Column -> pandas dtype for a Dataset, resolved up front so the
+    union-and-bucket join bodies can RESTORE dtypes after pandas'
+    concat NaN-fill upcasts them (an int64 key silently becoming
+    float64 changes its hash partition and silently drops rows in a
+    downstream join — the exact bug this guards against)."""
+    import pyarrow as _pa
+
+    sch = ds.schema()
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        if isinstance(t, _pa.DataType):
+            try:
+                out[name] = t.to_pandas_dtype()
+            except NotImplementedError:
+                out[name] = object
+        else:
+            out[name] = t
+    return out
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -33,8 +54,30 @@ def hash_join(
     num_partitions: int = 32,
     use_native: bool = True,
 ) -> ray.data.Dataset:
-    """Join two large datasets on one key column."""
-    if use_native and hasattr(left, "join"):
+    """Join two large datasets on one key column.
+
+    The native ``Dataset.join`` path is used only when BOTH schemas
+    are flat: Arrow's acero join rejects list/struct non-key columns
+    (``Data type list<...> is not supported in join non-key field``),
+    and the hash-shuffle aggregator pool it spawns (one actor per
+    partition) can starve co-scheduled actor pools on small clusters —
+    the portable union-and-bucket fallback is actor-free.
+    """
+    import pyarrow as _pa
+
+    def _nested(ds: ray.data.Dataset) -> bool:
+        for t in ds.schema().types:
+            if isinstance(t, _pa.DataType):
+                if _pa.types.is_nested(t):
+                    return True
+            else:  # pandas extension dtype (TensorDtype etc.)
+                if not hasattr(t, "kind") or t.kind == "O":
+                    return True
+        return False
+
+    if use_native and hasattr(left, "join") and not (
+        _nested(left) or _nested(right)
+    ):
         return left.join(
             right, join_type=how, num_partitions=num_partitions, on=(on,)
         )
@@ -57,12 +100,82 @@ def hash_join(
         right.map_batches(tag("R"), batch_format="pandas")
     )
 
+    ltypes = _pd_dtypes(left)
+    rtypes = _pd_dtypes(right)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "L"][[on] + lcols]
-        r = g[g["__side"] == "R"][[on] + rcols]
+        # a partition can hold rows of only one side: reindex keeps the
+        # full column set (missing side contributes an empty frame),
+        # and astype undoes the concat NaN-fill dtype drift (safe after
+        # the __side filter: each side's own columns are NaN-free)
+        l = g[g["__side"] == "L"].reindex(columns=[on] + lcols).astype(ltypes)
+        r = g[g["__side"] == "R"].reindex(columns=[on] + rcols).astype(rtypes)
         return l.merge(r, on=on, how=how)
 
     return partitioned_group_map(both, [on], merge, num_partitions)
+
+
+def _membership_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    keep_members: bool,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Shared body for distributed semi/anti join: both sides are
+    hash-partitioned on the key into a bounded partition count, one
+    vectorized ``isin`` per partition. Use when the KEY side is
+    fact-sized — a driver-side ``to_pandas`` of fact keys is the
+    anti-pattern this replaces. For dimension-sized key sets prefer
+    ``relational.semi_join_filter`` / ``anti_join_filter`` (broadcast,
+    no shuffle of the left side)."""
+    lcols = left.schema().names
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+
+        return fn
+
+    both = left.map_batches(tag("L"), batch_format="pandas").union(
+        right_keys.select_columns([on]).map_batches(
+            tag("R"), batch_format="pandas"
+        )
+    )
+
+    ltypes = _pd_dtypes(left)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "L"].reindex(columns=lcols).astype(ltypes)
+        rk = g.loc[g["__side"] == "R", on]
+        member = l[on].isin(set(rk.dropna()))
+        return l[member if keep_members else ~member]
+
+    return partitioned_group_map(both, [on], body, num_partitions)
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed semi join: keep left rows whose key appears in
+    ``right_keys`` (a Dataset with an ``on`` column)."""
+    return _membership_join(left, right_keys, on, True, num_partitions)
+
+
+def anti_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed anti join: keep left rows whose key does NOT appear
+    in ``right_keys``."""
+    return _membership_join(left, right_keys, on, False, num_partitions)
 
 
 def asof_join(
@@ -91,11 +204,17 @@ def asof_join(
         right.map_batches(tag("R"), batch_format="pandas")
     )
 
+    ltypes = _pd_dtypes(left)
+    rtypes = _pd_dtypes(right)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "L"][lcols].sort_values(on, kind="mergesort")
-        r = g[g["__side"] == "R"][rcols].sort_values(on, kind="mergesort")
-        if l.empty:
-            return pd.DataFrame(columns=lcols)
+        l = (g[g["__side"] == "L"].reindex(columns=lcols).astype(ltypes)
+             .sort_values(on, kind="mergesort"))
+        r = (g[g["__side"] == "R"].reindex(columns=rcols).astype(rtypes)
+             .sort_values(on, kind="mergesort"))
+        # empty-left partitions still emit the FULL joined schema with
+        # correct dtypes (merge_asof over the empty frames) so every
+        # block unifies to one Arrow schema downstream
         return pd.merge_asof(
             l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
         )

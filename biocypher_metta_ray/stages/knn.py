@@ -78,6 +78,7 @@ def embedding_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     num_planes: int = 8,
+    num_tables: int = 1,
     seed: int = 11,
     id_col: str = "vec_id",
     col: str = "embedding",
@@ -85,54 +86,139 @@ def embedding_dup_pairs(
 ) -> ray.data.Dataset:
     """Pairs (id_a < id_b) with cosine >= threshold.
 
-    Scale path: bucket by the sign pattern of ``num_planes`` random
-    hyperplanes (similar vectors very likely share the bucket), verify
-    exactly inside each bucket. For a guaranteed-exact variant at
-    small scale pass ``num_planes=0`` (single bucket = all-pairs).
-    """
+    Scale path — banded multi-table hyperplane LSH:
 
-    class Bucket:
+    1. each of ``num_tables`` tables hashes a vector to the sign
+       pattern of its own ``num_planes`` hyperplanes (seeded,
+       deterministic); only (id, table, key) rows are emitted — the
+       payload never rides the candidate shuffle;
+    2. candidate pairs come from same-(table, key) collisions inside
+       BOUNDED hash partitions (one vectorized self-merge per
+       partition, never one Python call per bucket), then a global
+       pair-distinct pass;
+    3. exact verification joins the id-only pair list back to the
+       unit vectors with the bounded-partition hash join and computes
+       row-wise dots per partition.
+
+    Recall: a pair at angle θ collides in one table with
+    p = (1-θ/π)^num_planes; P(miss) = (1-p)^num_tables — size
+    num_tables for the target threshold. Bucket sizes track TRUE
+    near-dup cluster sizes (keys are similarity-driven, not a fixed
+    global modulus), so within-bucket work is proportional to output
+    size.
+
+    ``num_planes=0`` is the guaranteed-exact small-scale variant
+    (single bucket = all-pairs verify in one partition).
+    """
+    from .joins import hash_join
+    from .skew import partitioned_group_map
+
+    class Bander:
         def __init__(self):
-            self.planes = None
+            self.planes = None  # (dim, num_tables*num_planes), lazy on dim
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             M = _embedding_matrix(batch, col)
+            D = len(M)
             if num_planes == 0:
-                keys = np.zeros(len(M), dtype=np.int64)
-            else:
-                if self.planes is None:
-                    rng = np.random.default_rng(seed)
-                    self.planes = rng.standard_normal((M.shape[1], num_planes))
-                signs = (M @ self.planes) >= 0
-                keys = signs @ (1 << np.arange(num_planes))
-            norms = np.linalg.norm(M, axis=1)
-            norms[norms == 0] = 1.0
-            unit = M / norms[:, None]
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "table": pa.array(np.zeros(D, dtype=np.int32)),
+                        "band_key": pa.array(np.zeros(D, dtype=np.int64)),
+                    }
+                )
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal(
+                    (M.shape[1], num_tables * num_planes)
+                )
+            signs = (M @ self.planes) >= 0
+            signs = signs.reshape(D, num_tables, num_planes)
+            keys = signs @ (1 << np.arange(num_planes, dtype=np.int64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    id_col: batch[id_col],
-                    "bucket": pa.array(keys.astype(np.int64)),
-                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                    id_col: pa.array(np.repeat(ids, num_tables)),
+                    "table": pa.array(
+                        np.tile(np.arange(num_tables, dtype=np.int32), D)
+                    ),
+                    "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
                 }
             )
 
-    bucketed = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=concurrency)
+    banded = ds.map_batches(Bander, batch_format="pyarrow",
+                            concurrency=concurrency)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        U = np.stack(g["unit"].to_numpy())
-        S = U @ U.T
-        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
-        return pd.DataFrame(
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["table", "band_key"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=["table", "band_key"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return (
+            m[[f"{id_col}_x", f"{id_col}_y"]]
+            .drop_duplicates()
+            .rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+        )
+
+    cand = partitioned_group_map(
+        banded, ["table", "band_key"], pairs_in_partition, 32
+    )
+    cand = partitioned_group_map(
+        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(), 8
+    )
+
+    def unit_vecs(batch: pa.Table) -> pa.Table:
+        # packed float64 bytes: a FLAT binary column joins natively
+        # (acero rejects list-typed non-key fields); unpacked zero-copy
+        # with np.frombuffer in the verify kernel
+        M = _embedding_matrix(batch, col)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        unit = M / norms[:, None]
+        return pa.table(
             {
-                "id_a": ids[ii],
-                "id_b": ids[jj],
-                "cos": np.round(S[ii, jj], 6),
+                id_col: batch[id_col],
+                "unit": pa.array([row.tobytes() for row in unit],
+                                 pa.binary()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    units = ds.map_batches(unit_vecs, batch_format="pyarrow")
+
+    def ren(cols: dict):
+        return lambda df: df.rename(columns=cols)
+
+    unit_a = units.map_batches(ren({id_col: "id_a", "unit": "unit_a"}),
+                               batch_format="pandas")
+    unit_b = units.map_batches(ren({id_col: "id_b", "unit": "unit_b"}),
+                               batch_format="pandas")
+    j1 = hash_join(cand, unit_a, on="id_a", num_partitions=16)
+    j2 = hash_join(j1, unit_b, on="id_b", num_partitions=16)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        A = np.vstack([
+            np.frombuffer(b, dtype=np.float64)
+            for b in batch["unit_a"].to_pylist()
+        ])
+        B = np.vstack([
+            np.frombuffer(b, dtype=np.float64)
+            for b in batch["unit_b"].to_pylist()
+        ])
+        cos = np.einsum("ij,ij->i", A, B)
+        keep = pa.array(cos >= threshold)  # filter on the UNROUNDED value
+        filtered = batch.select(["id_a", "id_b"]).filter(keep)
+        return filtered.append_column(
+            "cos", pa.array(np.round(cos[cos >= threshold], 6))
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def ivf_knn(

@@ -75,6 +75,8 @@ class EntityLinker:
             (len(toks) for lst in self.trie.values() for toks, _ in lst),
             default=1,
         )
+        # Arrow value set for the vectorized first-token pre-screen
+        self._first_tokens = pa.array(sorted(self.trie), pa.string())
 
     def _link_doc(self, toks: list[str]):
         """-> list of (pos, surface, entity_id, n_candidates, score)."""
@@ -112,18 +114,42 @@ class EntityLinker:
             i += len(alias_toks)
         return out
 
+    def _prescreen(self, batch: pa.Table) -> np.ndarray:
+        """Vectorized Arrow pre-filter: doc indices whose token stream
+        contains at least one trie FIRST token — the greedy Python
+        matcher only ever runs on those docs. On real web text most
+        docs carry no gazetteer hit, so this removes the per-doc
+        Python loop from the common case entirely."""
+        if not self.trie:
+            return np.empty(0, dtype=np.int64)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        hits = pc.is_in(
+            toks.flatten(), value_set=self._first_tokens
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        n_hits = np.bincount(doc_idx[hits], minlength=len(batch))
+        return np.nonzero(n_hits > 0)[0]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         prov_cols = [c for c in ("doc_id", "url") if c in batch.column_names]
-        rows = {c: [] for c in prov_cols}
-        rows.update(
-            {"pos": [], "surface": [], "entity_id": [], "n_candidates": [],
-             "score": []}
+        cand_docs = self._prescreen(batch)
+        texts = (
+            batch["text"].take(pa.array(cand_docs)).to_pylist()
+            if len(cand_docs) else []
         )
-        for ridx, text in enumerate(texts):
+        rows = {"pos": [], "surface": [], "entity_id": [],
+                "n_candidates": [], "score": []}
+        src_idx: list[int] = []  # batch row index per emitted mention
+        for ridx, text in zip(cand_docs, texts):
             for pos, surface, eid, ncand, score in self._link_doc(text.split()):
-                for c in prov_cols:
-                    rows[c].append(batch[c][ridx].as_py())
+                src_idx.append(int(ridx))
                 rows["pos"].append(pos)
                 rows["surface"].append(surface)
                 rows["entity_id"].append(eid)
@@ -134,9 +160,13 @@ class EntityLinker:
             "entity_id": pa.string(), "n_candidates": pa.int32(),
             "score": pa.float64(),
         }
+        # provenance: ONE vectorized gather per column, not per row
+        prov = batch.select(prov_cols).take(
+            pa.array(src_idx, pa.int64())
+        ) if prov_cols else None
         data = {}
         for c in prov_cols:
-            data[c] = pa.array(rows[c], batch.schema.field(c).type)
+            data[c] = prov[c]
         for c, t in schema_types.items():
             data[c] = pa.array(rows[c], t)
         return pa.table(data)

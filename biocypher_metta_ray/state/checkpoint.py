@@ -121,6 +121,30 @@ def run_stage(
     return ray.data.read_parquet(stage_dir), manifest
 
 
+def overwrite_parquet(ds: ray.data.Dataset, path: str, **write_kwargs) -> None:
+    """Write a dataset's parquet output with overwrite semantics.
+
+    ``Dataset.write_parquet`` names files with a per-execution UUID, so
+    writing into an existing directory APPENDS a second copy of every
+    row — the same rerun-duplication bug the reference writer has
+    (metta_writer.py append mode). Protocol: write to a temp sibling
+    dir, then atomically swap it into place.
+    """
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(
+        parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        ds.write_parquet(tmp, **write_kwargs)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def run_stage_sharded(
     root: str,
     stage: str,
