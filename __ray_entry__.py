@@ -903,6 +903,116 @@ def _q_ontology_edges(sf_dir: str):
     return ontology_edges(triples, label="go_relationship")
 
 
+
+# ---------------------------------------------------------------------------
+# Bespoke-adapter family queries (rsid-index probe + three-file build
+# side join). Fixtures are FORMULA-generated (deterministic functions of
+# a row index), so the oracle reproduces the whole computation -- parse,
+# index probe with drop-on-miss, map joins -- in pure SQL over range().
+# ---------------------------------------------------------------------------
+
+def _cadd_fixture() -> tuple[str, dict]:
+    """200-row CADD csv + rsid index defined only for i % 3 != 0
+    (exercising drop-on-miss); every field a function of i."""
+    path = "/tmp/graft_cadd_fixture.csv"
+    bases = "ACGT"
+    lines = ["rsid,chromosome,position,reference_allele,alternate_allele,"
+             "raw_cadd_score,phred_score"]
+    index = {}
+    for i in range(200):
+        lines.append(
+            f"rs{i},chr{1 + i % 5},0,{bases[i % 4]},{bases[(i + 1) % 4]},"
+            f"{i / 1000!r},{i / 100!r}"
+        )
+        if i % 3 != 0:
+            index[f"rs{i}"] = (f"chr{1 + i % 5}", 10000 + i * 13)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path, index
+
+
+def _q_cadd_nodes(sf_dir: str):
+    """CADD variant nodes via the rsid-index actor stage
+    (cadd_adapter.py:37-66: position from the dbSNP index, not the
+    file; misses drop with accounting). Fixture-driven; the oracle
+    regenerates the same rows and the same index-membership filter in
+    SQL."""
+    from biocypher_metta_ray.kg.regulatory import cadd_extractor
+
+    path, index = _cadd_fixture()
+    nodes = cadd_extractor(path, index)["nodes"]
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        props = df["props_json"].map(json.loads)
+        return pd.DataFrame(
+            {
+                "rsid": df["id"].astype(str),
+                "chr": [p["chr"] for p in props],
+                "pos": pd.Series([p["start"] for p in props],
+                                 dtype="int64", index=df.index),
+                "ref": [p["ref"] for p in props],
+                "alt": [p["alt"] for p in props],
+                "raw_cadd_score": pd.Series(
+                    [p["raw_cadd_score"] for p in props],
+                    dtype="float64", index=df.index),
+                "phred_score": pd.Series(
+                    [p["phred_score"] for p in props],
+                    dtype="float64", index=df.index),
+            }
+        )
+
+    return nodes.map_batches(flat, batch_format="pandas")
+
+
+def _peregrine_fixture() -> tuple[str, str, str, dict, dict]:
+    """50 enhancers / 200 links / sources, all functions of the row
+    index; hgnc map covers genes 0-4, tissue map covers T0-T3,
+    enhancers EH50-EH59 in links have no build-side row."""
+    enh = "/tmp/graft_peregrine_enh.tsv"
+    links = "/tmp/graft_peregrine_links.tsv"
+    srcs = "/tmp/graft_peregrine_sources.tsv"
+    with open(enh, "w") as f:
+        for i in range(50):
+            f.write(f"chr{1 + i % 3}\t{100 + 10 * i}\t{150 + 10 * i}\tEH{i}\n")
+    with open(srcs, "w") as f:
+        for i in range(50):
+            f.write(f"EH{i}\t{'ENCODE' if i % 2 else 'Ensembl'}\n")
+    with open(links, "w") as f:
+        f.write("enhancer\tgene\tc2\tc3\ttissue\tc5\tc6\tscore\n")
+        for j in range(200):
+            f.write(
+                f"EH{j % 60}\tx|hgnc={j % 7}\tz\tz\tT{j % 5}\tz\tz\t{j}\n"
+            )
+    hgnc = {f"hgnc:{k}": f"ENSG{k:02d}" for k in range(5)}
+    tmap = {f"T{m}": f"UBERON:000{m}" for m in range(4)}
+    return enh, links, srcs, hgnc, tmap
+
+
+def _q_peregrine_edges(sf_dir: str):
+    """PEREGRINE enhancer->gene edges: three-file build-side flow with
+    hgnc / tissue / enhancer-id drop-on-miss
+    (peregrine_adapter.py:104-150). The oracle recomputes the joins in
+    SQL over the same formula-generated relations."""
+    from biocypher_metta_ray.kg.regulatory import peregrine_extractor
+
+    enh, links, srcs, hgnc, tmap = _peregrine_fixture()
+    edges = peregrine_extractor(enh, links, srcs, hgnc, tmap)["edges"]
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        props = df["props_json"].map(json.loads)
+        return pd.DataFrame(
+            {
+                "subj": df["subj"].astype(str),
+                "obj": df["obj"].astype(str),
+                "biological_context": [p["biological_context"]
+                                       for p in props],
+                "score": [p["score"] for p in props],
+            }
+        )
+
+    return edges.map_batches(flat, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -956,6 +1066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OWL ontology family
         "ontology_terms": _q_ontology_terms,
         "ontology_edges": _q_ontology_edges,
+        # bespoke-adapter families (rsid index, build-side join)
+        "cadd_nodes": _q_cadd_nodes,
+        "peregrine_edges": _q_peregrine_edges,
     }
 
 
@@ -1392,6 +1505,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, label, props_json
             FROM (VALUES ('GO:0000001', 'go', '{"description": "The distribution of mitochondria.", "subontology": "biological_process", "synonyms": ["mito passing", "mitochondrial inheritance"], "term_name": "mitochondrion inheritance"}'), ('GO:0048308', 'go', '{"description": "", "subontology": "biological_process", "synonyms": [], "term_name": "organelle inheritance"}'), ('GO:0048311', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": "mitochondrion distribution"}'), ('owl.Class', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('owl.Restriction', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000050', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000051', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('RO:0002211', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('GO:0099999', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'))
                  AS t(id, label, props_json)
+        """,
+        "cadd_nodes": """
+            WITH idx AS (SELECT unnest(range(200)) AS i)
+            SELECT 'rs' || i AS rsid,
+                   'chr' || CAST(1 + i % 5 AS VARCHAR) AS chr,
+                   CAST(10000 + i * 13 AS BIGINT) AS pos,
+                   substr('ACGT', CAST(i % 4 AS INT) + 1, 1) AS ref,
+                   substr('ACGT', CAST((i + 1) % 4 AS INT) + 1, 1) AS alt,
+                   i / 1000.0 AS raw_cadd_score,
+                   i / 100.0 AS phred_score
+            FROM idx WHERE i % 3 <> 0
+        """,
+        "peregrine_edges": """
+            WITH e AS (
+                SELECT i, 'EH' || CAST(i AS VARCHAR) AS eid,
+                       'chr' || CAST(1 + i % 3 AS VARCHAR) || '_'
+                           || CAST(100 + 10 * i AS VARCHAR) || '_'
+                           || CAST(150 + 10 * i AS VARCHAR)
+                           || '_GRCh38' AS region_id
+                FROM (SELECT unnest(range(50)) AS i)),
+            l AS (
+                SELECT j, 'EH' || CAST(j % 60 AS VARCHAR) AS eid,
+                       j % 7 AS g, j % 5 AS t,
+                       CAST(j AS VARCHAR) AS score
+                FROM (SELECT unnest(range(200)) AS j))
+            SELECT e.region_id AS subj,
+                   'ENSG0' || CAST(l.g AS VARCHAR) AS obj,
+                   'UBERON:000' || CAST(l.t AS VARCHAR)
+                       AS biological_context,
+                   l.score
+            FROM l JOIN e ON l.eid = e.eid
+            WHERE l.g < 5 AND l.t < 4
         """,
         "ontology_edges": """
             SELECT subj, pred, obj, props_json
