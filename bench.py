@@ -222,39 +222,61 @@ def run_subprocess(ncpu: int, occupy_to: int | None = None) -> dict:
 
 
 def scaling():
-    """Identical job at 8 and 32 CPUs in fresh processes. Wall time on
-    a shared box is noisy at the high level's short runtimes, so each
-    level reports its best-of-N (min wall; standard practice for
-    throughput measurement). N via GRAFT_BENCH_RUNS (default 2)."""
+    """Identical job at 8 and 32 CPUs in fresh processes; ONE protocol,
+    BOTH readings reported side by side, never a capped value alone:
+
+    - ``raw``: idle-cores-free runs. Overstates per-core speed at the
+      low level on turbo-boosting CPUs (an 8-of-32 run clocks higher),
+      so raw efficiency UNDERSTATES software scaling.
+    - ``normalized``: the low level runs with nice-19 burners
+      occupying the idle cores, modeling N vs 4N *fully loaded nodes*
+      at equal clocks. Burner contention can overshoot slightly, so
+      normalized efficiency can read super-linear; the headline
+      ``value`` is the normalized reading capped at 1.0, with both
+      uncapped figures alongside.
+
+    Wall time is best-of-N per level (min wall; standard throughput
+    practice). N via GRAFT_BENCH_RUNS (default 2).
+    """
     runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     lo_cpus, hi_cpus = 8, 32
 
-    def best(ncpu):
+    def best(ncpu, occupy_to=None):
         results = [
-            run_subprocess(ncpu, occupy_to=hi_cpus) for _ in range(runs)
+            run_subprocess(ncpu, occupy_to=occupy_to) for _ in range(runs)
         ]
         return min(results, key=lambda r: r["value"])
 
-    lo = best(lo_cpus)
-    hi = best(hi_cpus)
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
-    # the burner normalization can overshoot (burners contend for a
-    # little more than the idle cores), producing super-linear
-    # readings; cap at 1.0 so the reported value never overstates
-    # software scaling. The uncapped reading is reported alongside.
+    hi = best(hi_cpus)  # all cores busy either way: raw == normalized
+    lo_raw = best(lo_cpus)
+    lo_norm = best(lo_cpus, occupy_to=hi_cpus)
+    speedup = hi_cpus / lo_cpus
+
+    def eff(lo):
+        return (lo["value"] / hi["value"]) / speedup
+
+    eff_raw = eff(lo_raw)
+    eff_norm = eff(lo_norm)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(min(eff, 1.0), 3),
-                "uncapped": round(eff, 3),
+                "value": round(min(eff_norm, 1.0), 3),
                 "unit": "ratio",
                 "cpus_lo": lo_cpus,
                 "cpus_hi": hi_cpus,
-                "sec_lo": lo["value"],
                 "sec_hi": hi["value"],
-                "docs_per_sec_lo": lo["docs_per_sec"],
                 "docs_per_sec_hi": hi["docs_per_sec"],
+                "raw": {
+                    "efficiency": round(eff_raw, 3),
+                    "sec_lo": lo_raw["value"],
+                    "docs_per_sec_lo": lo_raw["docs_per_sec"],
+                },
+                "normalized": {
+                    "efficiency_uncapped": round(eff_norm, 3),
+                    "sec_lo": lo_norm["value"],
+                    "docs_per_sec_lo": lo_norm["docs_per_sec"],
+                },
                 "sf": SF_DIR,
             }
         )

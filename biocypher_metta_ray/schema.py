@@ -29,6 +29,17 @@ import yaml
 
 DEFAULT_SCHEMA_PATH = Path(__file__).parent / "config" / "schema.yaml"
 
+# The public Biolink-model core chain above typical schema roots
+# (https://biolink.github.io/biolink-model/ — entity is the root;
+# named thing and association hang directly off it). The reference
+# gets these "extra" ancestors implicitly from BioCypher's biolink
+# ontology graph; pass this map to ``hierarchy_lines`` for parity.
+BIOLINK_CORE_PARENTS: dict[str, str | None] = {
+    "entity": None,
+    "named thing": "entity",
+    "association": "entity",
+}
+
 
 def convert_input_labels(label: str, replace_char: str = "_") -> str:
     """Spaces -> underscores (reference metta_writer.py:176-183)."""
@@ -121,16 +132,42 @@ class SchemaRegistry:
 
     # -- type_defs rendering -------------------------------------------------
 
-    def hierarchy_lines(self) -> list[str]:
+    def hierarchy_lines(
+        self, ontology_parents: dict[str, str | None] | None = None
+    ) -> list[str]:
         """``(: T Type)`` / ``(<: T PARENT)`` lines, schema order
-        (reference metta_writer.py:28-45; "mixin" types skipped)."""
+        (reference metta_writer.py:28-45; "mixin" types skipped).
+
+        ``ontology_parents`` extends the hierarchy ABOVE the schema
+        roots the way the reference's BioCypher/biolink NX ontology
+        does (metta_writer.py:31-42 walks every ontology node, so
+        ancestors like ``entity`` appear even though no adapter emits
+        them): ontology-only types render first (insertion order,
+        roots first), and a schema type without an ``is_a`` picks up
+        its ontology parent. Pass :data:`BIOLINK_CORE_PARENTS` for the
+        public Biolink chain, or a map derived from an OWL file's
+        subclass edges.
+        """
         lines = []
+        onto = ontology_parents or {}
+        for key, parent in onto.items():
+            if "mixin" in key or key in self.parents:
+                continue
+            node = convert_input_labels(key)
+            if parent is None:
+                lines.append(f"(: {node.upper()} Type)")
+            else:
+                lines.append(
+                    f"(<: {node.upper()} {convert_input_labels(parent).upper()})"
+                )
         for key in self._raw:
             if "mixin" in key:
                 continue
             if key not in self.parents:
                 continue
             parent = self.parents[key]
+            if parent is None:
+                parent = onto.get(key)
             node = convert_input_labels(key)
             if parent is None:
                 lines.append(f"(: {node.upper()} Type)")
@@ -166,6 +203,32 @@ class SchemaRegistry:
                     lines.append(f"(: {lab.lower()} (-> $x {node_type.upper()}))")
         return lines
 
-    def type_defs_text(self) -> str:
+    def type_defs_text(
+        self, ontology_parents: dict[str, str | None] | None = None
+    ) -> str:
         """Full ``type_defs.metta`` content (hierarchy + constructors)."""
-        return "\n".join(self.hierarchy_lines() + self.data_constructor_lines()) + "\n"
+        return "\n".join(
+            self.hierarchy_lines(ontology_parents)
+            + self.data_constructor_lines()
+        ) + "\n"
+
+
+def ontology_parents_from_edges(
+    subclass_edges, key_to_name=None
+) -> dict[str, str | None]:
+    """(subj, pred, obj) subclass edges (e.g. sources/owl.py's
+    ``ontology_edges`` output, or any parsed ontology) -> a
+    child -> parent map usable as ``hierarchy_lines(ontology_parents)``.
+    Multi-parent terms keep the min parent (deterministic); roots
+    (terms never appearing as a subject) map to None."""
+    if hasattr(subclass_edges, "to_pandas"):
+        subclass_edges = subclass_edges.to_pandas()
+    df = subclass_edges
+    df = df[df["pred"] == "subclass"]
+    rename = key_to_name or (lambda k: k)
+    parents: dict[str, str | None] = {}
+    for s, o in sorted(zip(df["subj"], df["obj"])):
+        parents.setdefault(rename(s), rename(o))
+    for o in df["obj"]:
+        parents.setdefault(rename(o), None)
+    return parents

@@ -119,21 +119,61 @@ def _directed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.map_batches(both, batch_format="pyarrow")
 
 
+def _local_union_find(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find with path compression; component id =
+    min node string of the component (same contract as the distributed
+    path, exact for any graph shape/diameter)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(df["src"], df["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+    return pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    )
+
+
 def connected_components(
-    edges: ray.data.Dataset, max_iter: int = 25, strict: bool = True
+    edges: ray.data.Dataset,
+    max_iter: int = 25,
+    strict: bool = True,
+    local_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Generic undirected connected components over (src, dst) string
     edges -> (node, component), component = min node-id of the
     component.
 
-    Deterministic for any partition count: every reduction is a min.
+    Size-adaptive: the edge list is materialized once (it is the
+    already-reduced pair/alias graph, never the corpus) and counted.
+    Below ``local_threshold`` edges a driver-side union-find answers
+    exactly in one pass — paying O(diameter) distributed min-label
+    rounds (2 shuffles/round) for a dimension-scale graph is pure
+    overhead. Above the threshold the distributed min-label loop runs;
+    it is deterministic for any partition count (every reduction is a
+    min). Pass ``local_threshold=0`` to force the distributed path.
 
-    Convergence: min-label propagation needs O(component diameter)
-    rounds. If labels are still changing after ``max_iter`` rounds the
-    result would be WRONG for long chains, so ``strict`` (default)
-    raises; ``strict=False`` downgrades to a metrics counter +
-    RuntimeWarning for callers that accept an approximate clustering.
+    Convergence (distributed path): min-label needs O(component
+    diameter) rounds. If labels are still changing after ``max_iter``
+    rounds the result would be WRONG for long chains, so ``strict``
+    (default) raises; ``strict=False`` downgrades to a metrics counter
+    + RuntimeWarning.
     """
+    edges = edges.materialize()
+    if local_threshold and edges.count() <= local_threshold:
+        df = edges.to_pandas()
+        return ray.data.from_pandas(_local_union_find(df))
+
     labels = _initial_labels(edges)
     directed = _directed_edges(edges)  # static across rounds
 

@@ -10,10 +10,12 @@ brief, alongside the reference-derived inventory):
   :func:`minhash_dedup` — shingle -> minhash -> banded LSH buckets ->
   candidate pairs -> exact-verify -> connected components (min-label
   propagation, same kernel as canonicalization).
-- :class:`SimHasher` + :func:`simhash_dedup` — 64-bit simhash; docs
-  whose simhash matches on enough bit-bands become candidates.
-- :func:`ngram_jaccard` — exact n-gram Jaccard verification for a
-  candidate-pair dataset.
+- :class:`SimHasher` + :func:`simhash_candidates` — 64-bit simhash;
+  with bands = max_hamming + 1 the band-collision candidates are
+  COMPLETE by pigeonhole, so the output is exactly the Hamming ball.
+- :func:`shingle_sets` + :func:`verify_jaccard` — exact shingle-set
+  Jaccard verification of a candidate-pair dataset, fully distributed
+  (packed binary sets + the two-pass pair join in stages/joins.py).
 
 All per-batch kernels vectorize the hashing with numpy (multiply-shift
 hash families over token ids); stateful vocab/permutation tables are
@@ -224,8 +226,13 @@ def minhash_lsh_candidates(
     num_bands: int = 16,
     n_shingle: int = 3,
     concurrency: int | tuple = (1, 4),
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """documents -> candidate near-dup pairs (doc_a < doc_b), distinct."""
+    """documents -> candidate near-dup pairs (doc_a < doc_b).
+
+    ``distinct=False`` skips the global pair-distinct shuffle for
+    callers that dedup downstream anyway (verify_jaccard's pair join
+    collapses duplicates in its first partition pass)."""
     bands = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -254,8 +261,10 @@ def minhash_lsh_candidates(
         )
 
     cand = partitioned_group_map(
-        bands, ["band", "band_hash"], pairs_in_partition, 32
+        bands, ["band", "band_hash"], pairs_in_partition, 32, coalesce=64
     )
+    if not distinct:
+        return cand
     # global distinct (pairs can fire in multiple bands); candidate set
     # is LSH-pruned and small, so a second bounded partition pass
     return partitioned_group_map(
@@ -312,36 +321,31 @@ def verify_jaccard(
     fully distributed.
 
     No driver-side materialization anywhere: per-doc shingle SETS are
-    computed once (vectorized), then the pair list is joined to the
-    sets twice via the bounded-partition hash join (pairs -> sh_a on
-    doc_a, -> sh_b on doc_b), and the Jaccard is computed per
-    partition. On a boilerplate-heavy corpus the post-LSH candidate
-    set is NOT small, so it must flow through the shuffle like any
-    other dataset, never through the driver.
+    computed once (vectorized, packed as binary), then the pair list
+    picks up both payloads through the two-pass bounded-partition pair
+    join (stages/joins.py::pair_payload_join — duplicate pairs collapse
+    in pass 1), and the Jaccard is computed per batch. On a
+    boilerplate-heavy corpus the post-LSH candidate set is NOT small,
+    so it must flow through the shuffle like any other dataset, never
+    through the driver.
     """
-    from .joins import hash_join
+    from .joins import pair_payload_join
 
+    # the shingle sets feed both passes of the pair join: materialize
+    # once so the hashing lineage doesn't execute twice. The packed
+    # sets are far smaller than the texts; blocks spill to the object
+    # store as needed.
     sigs = shingle_sets(docs, n_shingle=n_shingle, id_col=id_col,
-                        text_col=text_col)
+                        text_col=text_col).materialize()
 
-    def ren(frm: str, to: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            return df.rename(columns={frm: to})
-
-        return f
-
-    sig_a = sigs.map_batches(ren(id_col, "doc_a"), batch_format="pandas") \
-        .map_batches(ren("sh", "sh_a"), batch_format="pandas")
-    sig_b = sigs.map_batches(ren(id_col, "doc_b"), batch_format="pandas") \
-        .map_batches(ren("sh", "sh_b"), batch_format="pandas")
-
-    j1 = hash_join(candidates, sig_a, on="doc_a",
-                   num_partitions=num_partitions)
-    j2 = hash_join(j1, sig_b, on="doc_b", num_partitions=num_partitions)
+    j2 = pair_payload_join(
+        candidates, sigs, key_a="doc_a", key_b="doc_b",
+        id_col=id_col, payload_col="sh", num_partitions=num_partitions,
+    )
 
     def score(batch: pa.Table) -> pa.Table:
-        sh_a = batch["sh_a"].to_pylist()
-        sh_b = batch["sh_b"].to_pylist()
+        sh_a = batch["pay_a"].to_pylist()
+        sh_b = batch["pay_b"].to_pylist()
         sims = np.empty(len(batch), dtype=np.float64)
         for i in range(len(batch)):
             a = np.frombuffer(sh_a[i], dtype=np.uint64)
@@ -417,7 +421,8 @@ def minhash_dedup(
         cols = [c for c in docs.schema().names if c in ("doc_id", "text")]
         docs = docs.select_columns(cols)
     cand = minhash_lsh_candidates(
-        docs, num_perms=num_perms, num_bands=num_bands, n_shingle=n_shingle
+        docs, num_perms=num_perms, num_bands=num_bands,
+        n_shingle=n_shingle, distinct=False,
     )
     return verify_jaccard(cand, docs, threshold=threshold, n_shingle=n_shingle)
 
@@ -543,7 +548,7 @@ def simhash_candidates(
         return out[out["hamming"] <= max_hamming]
 
     cand = partitioned_group_map(
-        bands, ["band", "band_key"], pairs_in_partition, 32
+        bands, ["band", "band_key"], pairs_in_partition, 32, coalesce=64
     )
     return partitioned_group_map(
         cand,

@@ -115,6 +115,83 @@ def hash_join(
     return partitioned_group_map(both, [on], merge, num_partitions)
 
 
+def pair_payload_join(
+    pairs: ray.data.Dataset,
+    payloads: ray.data.Dataset,
+    key_a: str,
+    key_b: str,
+    id_col: str,
+    payload_col: str,
+    num_partitions: int = 16,
+    dedup: bool = True,
+) -> ray.data.Dataset:
+    """(key_a, key_b) pair list x (id, payload) -> (key_a, key_b,
+    pay_a, pay_b) in exactly TWO bounded-partition shuffles.
+
+    The generic two-``hash_join`` composition pays a full shuffle per
+    join plus join-operator overhead; this specialization exploits the
+    pair shape: pass 1 co-locates every copy of a pair with its
+    ``key_a`` payload (collapsing duplicate pairs for free — LSH pairs
+    fire in many bands), pass 2 attaches the ``key_b`` payload. Used by
+    the dedup/ANN verify stages, where ``payload`` is a packed binary
+    shingle-set / unit-vector column.
+    """
+    ptypes = _pd_dtypes(pairs)
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_a, key_b]].copy()
+        df["__side"] = "P"
+        return df
+
+    def tag_payload(name_key, name_pay):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.rename(columns={id_col: name_key,
+                                     payload_col: name_pay})
+            out = out[[name_key, name_pay]].copy()
+            out["__side"] = "S"
+            return out
+
+        return f
+
+    u1 = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        payloads.map_batches(tag_payload(key_a, "pay_a"),
+                             batch_format="pandas")
+    )
+
+    def body1(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "P"].reindex(columns=[key_a, key_b]).astype(
+            {key_a: ptypes[key_a], key_b: ptypes[key_b]}
+        )
+        if dedup:
+            p = p.drop_duplicates()
+        s = g[g["__side"] == "S"].reindex(columns=[key_a, "pay_a"]).astype(
+            {key_a: ptypes[key_a]}
+        )
+        return p.merge(s, on=key_a, how="inner")
+
+    j1 = partitioned_group_map(u1, [key_a], body1, num_partitions,
+                               coalesce=2 * num_partitions)
+
+    u2 = j1.map_batches(
+        lambda df: df.assign(__side="P"), batch_format="pandas"
+    ).union(
+        payloads.map_batches(tag_payload(key_b, "pay_b"),
+                             batch_format="pandas")
+    )
+
+    def body2(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "P"].reindex(
+            columns=[key_a, key_b, "pay_a"]
+        ).astype({key_a: ptypes[key_a], key_b: ptypes[key_b]})
+        s = g[g["__side"] == "S"].reindex(columns=[key_b, "pay_b"]).astype(
+            {key_b: ptypes[key_b]}
+        )
+        return p.merge(s, on=key_b, how="inner")
+
+    return partitioned_group_map(u2, [key_b], body2, num_partitions,
+                                 coalesce=2 * num_partitions)
+
+
 def _membership_join(
     left: ray.data.Dataset,
     right_keys: ray.data.Dataset,

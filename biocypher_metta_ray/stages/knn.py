@@ -5,9 +5,12 @@
   queries once via ``ray.put``), then a global top-k merge of the
   per-batch partial top-ks — only k rows per batch ever shuffle.
 - :func:`embedding_dup_pairs` — near-duplicate detection: cosine >=
-  threshold pairs via LSH bucketing (random-hyperplane signs) with an
-  exact within-bucket verify; the all-pairs work is confined to
-  buckets.
+  threshold pairs via banded multi-table hyperplane LSH (id-only
+  candidate rows, bounded-partition collision pass) with an exact
+  verify through the two-pass pair join (stages/joins.py) against
+  packed unit vectors — no payload ever rides the candidate shuffle.
+- :func:`ivf_knn` — IVF-style probe: seeded sample centroids + one
+  Lloyd step, per-batch cell assignment, probe-filtered brute force.
 
 Embeddings are float32 in Arrow; all math is float64 so results match
 the DuckDB (double) oracle to ~1e-12 relative.
@@ -110,7 +113,7 @@ def embedding_dup_pairs(
     ``num_planes=0`` is the guaranteed-exact small-scale variant
     (single bucket = all-pairs verify in one partition).
     """
-    from .joins import hash_join
+    from .joins import pair_payload_join
     from .skew import partitioned_group_map
 
     class Bander:
@@ -164,11 +167,10 @@ def embedding_dup_pairs(
         )
 
     cand = partitioned_group_map(
-        banded, ["table", "band_key"], pairs_in_partition, 32
+        banded, ["table", "band_key"], pairs_in_partition, 32, coalesce=64
     )
-    cand = partitioned_group_map(
-        cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(), 8
-    )
+    # no global distinct pass: the pair join below collapses duplicate
+    # pairs in its first partition pass
 
     def unit_vecs(batch: pa.Table) -> pa.Table:
         # packed float64 bytes: a FLAT binary column joins natively
@@ -186,17 +188,14 @@ def embedding_dup_pairs(
             }
         )
 
-    units = ds.map_batches(unit_vecs, batch_format="pyarrow")
+    # consumed by both passes of the pair join: materialize once
+    # (packed units are 8*dim bytes/row)
+    units = ds.map_batches(unit_vecs, batch_format="pyarrow").materialize()
 
-    def ren(cols: dict):
-        return lambda df: df.rename(columns=cols)
-
-    unit_a = units.map_batches(ren({id_col: "id_a", "unit": "unit_a"}),
-                               batch_format="pandas")
-    unit_b = units.map_batches(ren({id_col: "id_b", "unit": "unit_b"}),
-                               batch_format="pandas")
-    j1 = hash_join(cand, unit_a, on="id_a", num_partitions=16)
-    j2 = hash_join(j1, unit_b, on="id_b", num_partitions=16)
+    j2 = pair_payload_join(
+        cand, units, key_a="id_a", key_b="id_b",
+        id_col=id_col, payload_col="unit", num_partitions=16,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -205,11 +204,11 @@ def embedding_dup_pairs(
                              "cos": pa.array([], pa.float64())})
         A = np.vstack([
             np.frombuffer(b, dtype=np.float64)
-            for b in batch["unit_a"].to_pylist()
+            for b in batch["pay_a"].to_pylist()
         ])
         B = np.vstack([
             np.frombuffer(b, dtype=np.float64)
-            for b in batch["unit_b"].to_pylist()
+            for b in batch["pay_b"].to_pylist()
         ])
         cos = np.einsum("ij,ij->i", A, B)
         keep = pa.array(cos >= threshold)  # filter on the UNROUNDED value

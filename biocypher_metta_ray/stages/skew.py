@@ -60,12 +60,22 @@ def partitioned_group_map(
     key_cols: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 32,
+    coalesce: int | None = None,
 ) -> ray.data.Dataset:
     """Run ``fn`` once per hash partition (NOT per group). ``fn``
     receives every row of each key it sees and is expected to do its
     own vectorized ``df.groupby(key_cols)`` internally.
+
+    ``coalesce``: block count to repartition to BEFORE the sort-based
+    groupby. The sort pays a fixed per-block cost, so a stage whose
+    input is a SMALL intermediate spread over many tiny blocks (union
+    outputs, per-band rows) should coalesce to ~2x its partition
+    count; leave None for corpus-scale inputs where the extra pass
+    isn't worth it.
     """
     parted = add_hash_partition(ds, key_cols, num_partitions)
+    if coalesce:
+        parted = parted.repartition(coalesce)
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=[PART_COL]))

@@ -167,3 +167,37 @@ def test_dry_run_truncation(ray_session, tmp_path):
         {f"T:{i:07d}" for i in range(100)} | {"owl.Class"}
     )
     assert list(terms["id"])[:2] == ["T:0000000", "owl.Class"]
+
+
+def test_hierarchy_with_ontology_parents():
+    """Ancestor chains ABOVE the schema roots (the reference gets them
+    from BioCypher's biolink ontology graph, metta_writer.py:31-42)."""
+    from biocypher_metta_ray.schema import (
+        BIOLINK_CORE_PARENTS,
+        SchemaRegistry,
+        ontology_parents_from_edges,
+    )
+
+    reg = SchemaRegistry()
+    base = reg.hierarchy_lines()
+    assert "(: NAMED_THING Type)" in base
+    ext = reg.hierarchy_lines(BIOLINK_CORE_PARENTS)
+    assert "(: ENTITY Type)" in ext
+    assert "(<: NAMED_THING ENTITY)" in ext
+    assert "(<: ASSOCIATION ENTITY)" in ext
+    assert "(: NAMED_THING Type)" not in ext
+    # ontology-only types render before schema types
+    assert ext.index("(: ENTITY Type)") < ext.index("(<: NAMED_THING ENTITY)")
+
+    import pandas as pd
+
+    edges = pd.DataFrame(
+        {
+            "subj": ["gene product", "gene product"],
+            "pred": ["subclass", "part_of"],
+            "obj": ["biological entity", "cell"],
+        }
+    )
+    onto = ontology_parents_from_edges(edges)
+    assert onto == {"gene product": "biological entity",
+                    "biological entity": None}

@@ -98,10 +98,11 @@ def test_cc_nonconvergence_raises(ray_session):
         )
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, local_threshold=0)
     # non-strict: warns but returns
     with pytest.warns(RuntimeWarning):
-        out = connected_components(edges, max_iter=2, strict=False)
+        out = connected_components(edges, max_iter=2, strict=False,
+                                   local_threshold=0)
         out.count()
 
 
@@ -204,3 +205,23 @@ def test_ivf_pruning(ray_session):
     approx = ivf_knn(ds, q, k=5, num_centroids=4, n_probe=1)
     # n_probe=1 of 4 cells: exact result, 1/4 of the data scanned
     assert list(approx["vec_id"]) == list(exact["vec_id"])
+
+
+def test_cc_local_matches_distributed(ray_session):
+    import pandas as pd
+    from biocypher_metta_ray.stages.canonicalize import connected_components
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "x", "y", "m"],
+                "dst": ["b", "c", "y", "z", "m"],
+            }
+        )
+    )
+    local = connected_components(edges).to_pandas()
+    dist = connected_components(edges, local_threshold=0).to_pandas()
+    l = dict(zip(local["node"], local["component"]))
+    d = dict(zip(dist["node"], dist["component"]))
+    assert l == d == {"a": "a", "b": "a", "c": "a",
+                      "x": "x", "y": "x", "z": "x", "m": "m"}
