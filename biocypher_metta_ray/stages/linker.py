@@ -77,6 +77,11 @@ class EntityLinker:
         )
         # Arrow value set for the vectorized first-token pre-screen
         self._first_tokens = pa.array(sorted(self.trie), pa.string())
+        # single-token surface -> sorted owner list (vectorized path)
+        self._single_owners = {
+            first: sorted({e for t, e in lst if len(t) == 1})
+            for first, lst in self.trie.items()
+        }
 
     def _link_doc(self, toks: list[str]):
         """-> list of (pos, surface, entity_id, n_candidates, score)."""
@@ -137,8 +142,80 @@ class EntityLinker:
         n_hits = np.bincount(doc_idx[hits], minlength=len(batch))
         return np.nonzero(n_hits > 0)[0]
 
+    def _link_batch_single_token(self, batch: pa.Table, prov_cols):
+        """Fully vectorized matcher for the (common) case where EVERY
+        alias is one token: greedy non-overlapping matching degenerates
+        to per-token dictionary hits, so the whole batch resolves with
+        Arrow split + is_in + numpy position arithmetic; only
+        AMBIGUOUS surfaces (several owning entities) fall back to the
+        context-profile scoring, one call per such mention."""
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # token position among NON-EMPTY tokens of its doc == the
+        # position under Python str.split() for any whitespace shape
+        cum = np.cumsum(ne)
+        doc_starts = np.concatenate(([0], np.cumsum(lengths)))
+        base = np.concatenate(([0], cum[doc_starts[1:] - 1]))[:-1] if len(
+            lengths
+        ) else np.array([], dtype=np.int64)
+        pos_all = cum - 1 - base[doc_idx] if len(doc_idx) else cum
+        hits = pc.is_in(flat, value_set=self._first_tokens).to_numpy(
+            zero_copy_only=False
+        ) & ne
+        hit_idx = np.nonzero(hits)[0]
+        surfaces = flat.take(pa.array(hit_idx)).to_pylist()
+        docs_of = doc_idx[hit_idx]
+        pos_of = pos_all[hit_idx]
+        ents, ncands, scores = [], [], []
+        doc_toksets: dict[int, set] = {}
+        for d, surf in zip(docs_of, surfaces):
+            owners = self._single_owners[surf]
+            if len(owners) == 1:
+                ents.append(owners[0])
+                ncands.append(1)
+                scores.append(0.0)
+                continue
+            tokset = doc_toksets.get(d)
+            if tokset is None:
+                lo, hi = doc_starts[d], doc_starts[d + 1]
+                tokset = set(flat.slice(lo, hi - lo).to_pylist()) - {""}
+                doc_toksets[d] = tokset
+            best, score = None, -1.0
+            for eid in owners:  # sorted -> deterministic tie-break
+                profile = self.profiles[eid] - {surf}
+                s = sum(self.idf.get(t, 0.0) for t in profile & tokset)
+                if s > score:
+                    best, score = eid, s
+            ents.append(best)
+            ncands.append(len(owners))
+            scores.append(round(score, 6))
+        data = {}
+        if prov_cols:
+            prov = batch.select(prov_cols).take(
+                pa.array(docs_of, pa.int64())
+            )
+            for c in prov_cols:
+                data[c] = prov[c]
+        data["pos"] = pa.array(pos_of, pa.int64())
+        data["surface"] = pa.array(surfaces, pa.string())
+        data["entity_id"] = pa.array(ents, pa.string())
+        data["n_candidates"] = pa.array(ncands, pa.int32())
+        data["score"] = pa.array(scores, pa.float64())
+        return pa.table(data)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         prov_cols = [c for c in ("doc_id", "url") if c in batch.column_names]
+        if self.max_alias_len == 1 and self.trie:
+            return self._link_batch_single_token(batch, prov_cols)
         cand_docs = self._prescreen(batch)
         texts = (
             batch["text"].take(pa.array(cand_docs)).to_pylist()
