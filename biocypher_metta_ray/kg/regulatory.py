@@ -133,6 +133,115 @@ def cadd_extractor(
 
 
 # ---------------------------------------------------------------------------
+# ABC (rsid-index family, nodes + edges)
+# ---------------------------------------------------------------------------
+
+def abc_extractor(
+    path: str,
+    rsid_index: dict,
+    hgnc_ensembl_map: dict,
+    tissue_ontology_map: dict,
+    chrom: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> dict:
+    """Activity-By-Contact csv -> regulatory_region nodes (rsid keyed,
+    position from the dbSNP index) + regulatory_region_gene edges
+    (target gene via the hgnc map, score kept as the raw string,
+    abc_adapter.py:44-100). Rows whose rsid, tissue or gene miss their
+    map drop with accounting. Deviation (documented): the reference's
+    ``get_edges`` probes ``dbsnp_rsid_map[rsid]`` without ``["pos"]``
+    (abc_adapter.py:76), so its window filter compares a dict — we
+    filter on the indexed position as intended."""
+    from ..stages.rsid_index import resolve_rsids
+
+    he_ref = ray.put(hgnc_ensembl_map)
+    tmap_ref = ray.put(tissue_ontology_map)
+    headers = frozenset(first_lines_of(path))
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"]
+        lines = lines[~lines.isin(headers)]
+        parts = lines.str.split(",", expand=True)
+        if parts.shape[1] < 28:
+            return pd.DataFrame(columns=["rsid", "file_chr", "gene",
+                                         "abc_score", "cell_type"])
+        return pd.DataFrame(
+            {
+                "rsid": parts[0],
+                "file_chr": parts[1],
+                "gene": parts[10].str.strip(),
+                "abc_score": parts[24],
+                "cell_type": parts[27],
+            }
+        )
+
+    rows = read_lines(path).map_batches(parse, batch_format="pandas")
+    resolved = resolve_rsids(rows, rsid_index, rsid_col="rsid")
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _window_mask(
+            df.assign(start=df["pos"], end=df["pos"]), chrom, start, end,
+            chr_col="file_chr",
+        )
+        return df[keep]
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        tmap = _get(tmap_ref)
+        df = windowed(df)
+        ctx = df["cell_type"].map(tmap)
+        ok = ctx.notna()
+        if (~ok).any():
+            from ..state.metrics import incr
+
+            incr("abc", "tissue_misses", int((~ok).sum()))
+        df = df[ok]
+        props = [
+            json.dumps(
+                {
+                    "chr": c, "start": int(p), "end": int(p),
+                    "biochemical_activity": "DNase I hypersensitive",
+                    "biological_context": b,
+                },
+                sort_keys=True,
+            )
+            for c, p, b in zip(df["file_chr"], df["pos"], ctx[df.index])
+        ]
+        return pd.DataFrame(
+            {"id": df["rsid"], "label": "regulatory_region",
+             "props_json": props}
+        )
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        he = _get(he_ref)
+        tmap = _get(tmap_ref)
+        df = windowed(df)
+        gene = df["gene"].map(he)
+        ctx = df["cell_type"].map(tmap)
+        ok = gene.notna() & ctx.notna()
+        if (~ok).any():
+            from ..state.metrics import incr
+
+            incr("abc", "edge_misses", int((~ok).sum()))
+        df = df[ok]
+        props = [
+            json.dumps(
+                {"score": s, "biological_context": b}, sort_keys=True
+            )
+            for s, b in zip(df["abc_score"], ctx[df.index])
+        ]
+        return pd.DataFrame(
+            {"subj": df["rsid"], "pred": "regulatory_region_gene",
+             "obj": gene[df.index], "props_json": props}
+        )
+
+    return {
+        "nodes": resolved.map_batches(to_nodes, batch_format="pandas"),
+        "edges": resolved.map_batches(to_edges, batch_format="pandas"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Roadmap (rsid-index + tissue-map family, keyed dir)
 # ---------------------------------------------------------------------------
 

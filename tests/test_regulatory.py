@@ -232,3 +232,38 @@ def test_dbsuper_liftover_flow(ray_session, tmp_path):
     assert edges.iloc[0]["obj"] == "ENSG09"
     props = json.loads(edges.iloc[0]["props_json"])
     assert props["biological_context"] == "UBERON:0002107"
+
+
+def test_abc_nodes_and_edges(ray_session, tmp_path):
+    from biocypher_metta_ray.kg.regulatory import abc_extractor
+
+    header = ",".join(f"c{i}" for i in range(29))
+    row = ["x"] * 29
+    row[0], row[1], row[10], row[24], row[27] = (
+        "rs10", "chr4", "SULT1E1", "0.043128", "HepG2",
+    )
+    bad_gene = list(row)
+    bad_gene[0], bad_gene[10] = "rs11", "NOPE"
+    bad_rsid = list(row)
+    bad_rsid[0] = "rs404"
+    p = tmp_path / "abc.csv"
+    p.write_text(
+        header + "\n" + ",".join(row) + "\n" + ",".join(bad_gene) + "\n"
+        + ",".join(bad_rsid) + "\n"
+    )
+    index = {"rs10": ("chr4", 71048952), "rs11": ("chr4", 5)}
+    hgnc = {"SULT1E1": "ENSG00000109193"}
+    tmap = {"HepG2": "CLO:0003704"}
+    res = abc_extractor(str(p), index, hgnc, tmap)
+    nodes = res["nodes"].to_pandas()
+    # rs404 missing from the index drops; rs10 + rs11 become nodes
+    assert sorted(nodes["id"]) == ["rs10", "rs11"]
+    props = json.loads(nodes[nodes["id"] == "rs10"].iloc[0]["props_json"])
+    assert props["start"] == 71048952  # position from the INDEX
+    assert props["biological_context"] == "CLO:0003704"
+    assert props["biochemical_activity"] == "DNase I hypersensitive"
+    edges = res["edges"].to_pandas()
+    assert len(edges) == 1  # rs11's gene misses the hgnc map
+    assert edges.iloc[0]["obj"] == "ENSG00000109193"
+    eprops = json.loads(edges.iloc[0]["props_json"])
+    assert eprops["score"] == "0.043128"  # raw string, reference shape
