@@ -137,8 +137,15 @@ def canonical_triples(
         entity_surfaces=tuple(sorted(mapping)),
     )
     if canon_concurrency is None:
-        canon = CanonicalizeTriples(mapping)
-        triples = surface.map_batches(canon.__call__, batch_format="pyarrow")
+        # stateless-task path: ship only the object ref in the task
+        # closure and rebuild the probe arrays ONCE PER WORKER PROCESS
+        # (module cache) — a large gazetteer must never ride the
+        # closure itself, and per-batch rebuilds would be worse
+        def canonize(batch):
+            canon = _canonicalizer_cache(mapping_ref)
+            return canon(batch)
+
+        triples = surface.map_batches(canonize, batch_format="pyarrow")
     else:
         triples = surface.map_batches(
             CanonicalizeTriples,
@@ -147,6 +154,23 @@ def canonical_triples(
             concurrency=canon_concurrency,
         )
     return triples, mapping
+
+
+_CANON_CACHE: dict = {}
+
+
+def _canonicalizer_cache(mapping_ref) -> CanonicalizeTriples:
+    """Per-worker-process CanonicalizeTriples instance keyed by the
+    broadcast ref: the dict is fetched from the object store once per
+    process (plasma-cached per node), and the sorted Arrow probe
+    arrays are built once, not once per batch."""
+    key = getattr(mapping_ref, "hex", lambda: id(mapping_ref))()
+    inst = _CANON_CACHE.get(key)
+    if inst is None:
+        inst = CanonicalizeTriples(mapping_ref)
+        _CANON_CACHE.clear()  # one live mapping per worker is typical
+        _CANON_CACHE[key] = inst
+    return inst
 
 
 def dedup_edges(

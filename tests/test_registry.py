@@ -124,3 +124,74 @@ def test_example_config_resolves():
     for name, spec in cfg["extractors"].items():
         fn, args = resolve_extractor(spec)
         assert callable(fn), name
+
+
+def test_run_build_new_extractor_families(ray_session, tmp_path):
+    """End-to-end run_build over the round-2 families: an OWL ontology
+    extractor and the EnhancerAtlas compound-key extractor, through
+    schema conformance (part_of edges are undeclared in schema.yaml ->
+    dropped and counted) to the parquet + MeTTa outputs."""
+    import json
+    import os
+
+    import ray.data
+
+    from biocypher_metta_ray.pipelines.registry import run_build
+    from tests.test_owl import FIXTURE
+
+    owl = tmp_path / "go.owl"
+    owl.write_text(FIXTURE)
+    enh = tmp_path / "enh.bed"
+    enh.write_text("chr1\t999\t1999\n")
+    ep = tmp_path / "ep"
+    ep.mkdir()
+    (ep / "Astrocyte_EP.txt").write_text(
+        "chr1:999-1999_ENSG07$F$chr1$1500$+\t2.5\n"
+    )
+    config = {
+        "extractors": {
+            "go": {
+                "module": "biocypher_metta_ray.kg.extractors",
+                "func": "owl_ontology_extractor",
+                "args": {"path": str(owl), "label": "go",
+                         "edge_label": "go_subclass",
+                         "subontologies": True},
+            },
+            "enhancers": {
+                "module": "biocypher_metta_ray.kg.regulatory",
+                "func": "enhancer_atlas_extractor",
+                "args": {
+                    "enhancer_path": str(enh),
+                    "enhancer_gene_dir": str(ep),
+                    "tissue_ontology_map": {"Astrocyte": "CL:0000127"},
+                },
+            },
+        }
+    }
+    out_dir = str(tmp_path / "build")
+    report = run_build(config, out_dir)
+    nodes = ray.data.read_parquet(
+        os.path.join(out_dir, "graph", "nodes.parquet")
+    ).to_pandas()
+    # OWL terms conformed to the declared 'go' label + enhancer node
+    assert "GO:0000001" in set(nodes["id"])
+    assert "chr1_1000_2000_GRCh38" in set(nodes["id"])
+    edges = ray.data.read_parquet(
+        os.path.join(out_dir, "graph", "edges.parquet")
+    ).to_pandas()
+    preds = set(edges["pred"])
+    assert "subclass" in preds and "enhancer_gene" in preds
+    # part_of / has_part are NOT declared in schema.yaml -> conformance
+    # dropped them and counted the drops
+    assert "part_of" not in preds and "has_part" not in preds
+    assert report["metrics"].get("conform", {}).get("edges_dropped", 0) >= 2
+    # MeTTa output exists and renders the conformed graph
+    metta = "".join(
+        open(f).read()
+        for f in sorted(
+            __import__("glob").glob(
+                os.path.join(out_dir, "metta", "edges", "part-*.metta")
+            )
+        )
+    )
+    assert "GO:0000001" in metta
