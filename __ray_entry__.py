@@ -607,6 +607,18 @@ def _q_token_count(sf_dir: str):
     )
 
 
+
+def _q_subword_token_count(sf_dir: str):
+    """BPE-ish subword token count (GPT-2-style pre-tokenization
+    classes: letter runs / single digits / single punctuation). Oracle:
+    the identical regex via DuckDB regexp_extract_all."""
+    from biocypher_metta_ray.stages.text_stats import subword_token_count_batch
+
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        subword_token_count_batch, batch_format="pyarrow"
+    )
+
+
 def _q_quality(sf_dir: str):
     """Integer-count quality metrics (ratio floats stay library-side to
     avoid round-half engine differences)."""
@@ -817,6 +829,25 @@ def _q_hash_split(sf_dir: str):
     )
     train, _hold = hash_split(orders, "o_orderkey", fraction=0.25)
     return train
+
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """Resize -> decode feature chain over the deterministic fake-media
+    table (stages/multimodal.py: actor pools, small batches for large
+    binary payloads). Oracle: the expected post-resize metadata as a
+    VALUES relation computed from the same seeded codec (no Ray)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_media,
+        media_table,
+        resize_media,
+    )
+
+    n = _rp(sf_dir, "documents", columns=["doc_id"]).count()
+    ds = ray.data.from_arrow(media_table(n, seed=42))
+    return decode_media(resize_media(ds, 8, 8))
 
 
 def _q_knn(sf_dir: str):
@@ -1070,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "word_count": _q_word_count,
         "token_count": _q_token_count,
+        "subword_token_count": _q_subword_token_count,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1082,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "ivf_knn": _q_ivf_knn,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
         # OWL ontology family
         "ontology_terms": _q_ontology_terms,
         "ontology_edges": _q_ontology_edges,
@@ -1206,6 +1239,38 @@ def _multimodal_values_sql() -> str:
         kind, w, h, n, frames = decode_fake_media(payload)
         mi = float(np.round(frames.mean(), 4))
         rows.append(f"({mid}, '{kind}', {w}, {h}, {n}, {mi!r})")
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(n_frames AS INT) AS n_frames,
+               CAST(mean_intensity AS DOUBLE) AS mean_intensity
+        FROM (VALUES {', '.join(rows)})
+             AS v(media_id, media_type, width, height, n_frames,
+                  mean_intensity)
+        WHERE media_id < (SELECT count(*) FROM documents)
+    """
+
+
+
+def _multimodal_resize_values_sql() -> str:
+    """Expected (media_id, media_type, 8, 8, n_frames, mean) rows after
+    nearest-neighbor resize, computed from the seeded fixture codec."""
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_fake_media,
+        media_table,
+    )
+
+    tbl = media_table(500, seed=42)
+    rows = []
+    for mid, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        kind, w, h, n, frames = decode_fake_media(payload)
+        yi = (np.arange(8) * h // 8)
+        xi = (np.arange(8) * w // 8)
+        resized = frames[:, yi[:, None], xi[None, :]]
+        mi = float(np.round(resized.mean(), 4))
+        rows.append(f"({mid}, '{kind}', 8, 8, {n}, {mi!r})")
     return f"""
         SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
                CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -1437,6 +1502,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
         """,
+        "subword_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subword_tokens
+            FROM documents
+        """,
         "quality": f"""
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -1528,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, vec_id ASC LIMIT 10)
         """,
         "multimodal_features": _multimodal_values_sql(),
+        "multimodal_resize": _multimodal_resize_values_sql(),
         "ontology_terms": """
             SELECT id, label, props_json
             FROM (VALUES ('GO:0000001', 'go', '{"description": "The distribution of mitochondria.", "subontology": "biological_process", "synonyms": ["mito passing", "mitochondrial inheritance"], "term_name": "mitochondrion inheritance"}'), ('GO:0048308', 'go', '{"description": "", "subontology": "biological_process", "synonyms": [], "term_name": "organelle inheritance"}'), ('GO:0048311', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": "mitochondrion distribution"}'), ('owl.Class', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('owl.Restriction', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000050', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000051', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('RO:0002211', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('GO:0099999', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'))

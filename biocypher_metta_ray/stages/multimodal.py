@@ -152,6 +152,68 @@ class FrameSampler:
         )
 
 
+class MediaResizer:
+    """Actor-pool stage: payload -> payload with every frame resized
+    to (width, height) by nearest-neighbor sampling (the deterministic
+    stand-in for a PIL/ffmpeg scaler — swap ``decode_fn``/the resample
+    kernel for a real codec; the Ray-side surface is identical).
+    Malformed payloads drop with accounting."""
+
+    def __init__(self, width: int, height: int, decode_fn=None):
+        self.w = width
+        self.h = height
+        self.decode = decode_fn or decode_fake_media
+        self.dropped = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, payloads = [], [], []
+        for mid, mtype, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            dec = self.decode(payload)
+            if dec is None:
+                self.dropped += 1
+                continue
+            kind, w, h, n, frames = dec
+            yi = (np.arange(self.h) * h // self.h)
+            xi = (np.arange(self.w) * w // self.w)
+            resized = frames[:, yi[:, None], xi[None, :]]
+            header = MAGIC + struct.pack(
+                ">BHHH", {v: k for k, v in KINDS.items()}[kind],
+                self.w, self.h, n,
+            )
+            ids.append(mid)
+            kinds.append(mtype)
+            payloads.append(header + resized.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    width: int,
+    height: int,
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Resize stage (small batch_size: payload bytes x batch x pool
+    must fit worker heaps)."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_media(
     ds: ray.data.Dataset,
     concurrency: int | tuple = (1, 4),

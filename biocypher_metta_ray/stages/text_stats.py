@@ -35,6 +35,24 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
 
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_token_count_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """BPE-ish subword token count: alphabetic runs, single digits and
+    single punctuation marks each count as one token (the standard
+    pre-tokenization shape GPT-2-family BPEs apply before merges —
+    digits split, punctuation split from words). Vectorized via
+    Arrow's regex count; used for training-data length budgeting where
+    whitespace counts undercount code/punctuation-heavy text."""
+    n = pc.count_substring_regex(batch[text_col], SUBWORD_PATTERN).cast(
+        pa.int64()
+    )
+    return pa.table({"doc_id": batch["doc_id"], "n_subword_tokens": n})
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics per document:
 

@@ -86,3 +86,31 @@ def test_frame_sampler(ray_session):
     }
     want = sum(-(-n // 2) for n in videos.values())
     assert len(frames) == want
+
+
+def test_resize_media(ray_session):
+    import numpy as np
+    import ray.data
+
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_fake_media,
+        media_table,
+        resize_media,
+    )
+
+    ds = ray.data.from_arrow(media_table(20, seed=7))
+    out = resize_media(ds, 8, 8).to_pandas()
+    assert len(out) == 20
+    for _, row in out.head(5).iterrows():
+        dec = decode_fake_media(row["payload"])
+        assert dec is not None
+        kind, w, h, n, frames = dec
+        assert (w, h) == (8, 8)
+        assert frames.shape == (n, 8, 8)
+    # deterministic: same input -> same payload bytes
+    out2 = resize_media(
+        ray.data.from_arrow(media_table(20, seed=7)), 8, 8
+    ).to_pandas()
+    a = out.sort_values("media_id")["payload"].tolist()
+    b = out2.sort_values("media_id")["payload"].tolist()
+    assert a == b
