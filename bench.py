@@ -130,7 +130,8 @@ def timed_queries() -> dict:
     q = m.queries()
     names = [
         "agg_group", "word_count", "dedup_exact", "minhash_pairs", "knn",
-        "grouped_events", "kg_extract_text",
+        "grouped_events", "kg_extract_text", "kg_linked_mentions",
+        "near_dup_groups", "embedding_dups_lsh", "subword_token_count",
     ]
     out = {}
     for name in names:
@@ -157,7 +158,12 @@ def main():
     ctx.enable_progress_bars = False
 
     head = run_headline()
-    queries = timed_queries()
+    # scaling subprocesses time only the headline job; skip the
+    # per-operator sweep there (GRAFT_BENCH_SKIP_QUERIES=1)
+    queries = (
+        {} if os.environ.get("GRAFT_BENCH_SKIP_QUERIES")
+        else timed_queries()
+    )
     result = {
         "metric": "kg_pipeline_sec",
         "value": round(head["sec"], 3),
@@ -210,7 +216,8 @@ def run_subprocess(ncpu: int, occupy_to: int | None = None) -> dict:
                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                     )
                 )
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

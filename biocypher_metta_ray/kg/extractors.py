@@ -188,7 +188,12 @@ def tsv_edge_extractor(
         om = _ray.get(omap_ref) if omap_ref is not None else None
         lines = df["text"]
         if headers:
+            n0 = len(lines)
             lines = lines[~lines.isin(headers)]
+            if n0 - len(lines):
+                from ..state.metrics import incr
+
+                incr("tsv_edge", "header_lines_dropped", n0 - len(lines))
         parts = lines.str.split(sep, expand=True)
         need = max(subj_col, obj_col, score_col or 0, evidence_col or 0)
         if parts.shape[1] <= need:

@@ -177,7 +177,9 @@ def abc_extractor(
         )
 
     rows = read_lines(path).map_batches(parse, batch_format="pandas")
-    resolved = resolve_rsids(rows, rsid_index, rsid_col="rsid")
+    # nodes AND edges consume this lineage: materialize once so the
+    # read + parse + index probe don't execute twice
+    resolved = resolve_rsids(rows, rsid_index, rsid_col="rsid").materialize()
 
     def windowed(df: pd.DataFrame) -> pd.DataFrame:
         keep = _window_mask(
@@ -411,10 +413,19 @@ def hocomoco_extractor(
             if not name.endswith(".pwm"):
                 continue
             model = name[: -len(".pwm")]
-            lines = bytes(data).decode("utf-8").strip().splitlines()[1:]
-            mat = np.array(
-                [[float(x) for x in ln.split("\t")] for ln in lines]
-            )
+            try:
+                lines = bytes(data).decode("utf-8").strip().splitlines()[1:]
+                mat = np.array(
+                    [[float(x) for x in ln.split("\t")] for ln in lines],
+                    dtype=np.float64,
+                )
+                if mat.ndim != 2 or mat.shape[1] < 4 or not len(mat):
+                    raise ValueError("not a 4-column PWM matrix")
+            except (ValueError, UnicodeDecodeError):
+                from ..state.metrics import incr
+
+                incr("hocomoco", "malformed_pwm", 1)
+                continue
             tf = mt.get(model)
             eid = he.get(tf) if tf is not None else None
             if eid is None:
@@ -471,6 +482,11 @@ def gtex_eqtl_extractor(
                 continue
             tissue = name.split(".")[0]
             if tissue_names is not None and tissue not in tissue_names:
+                continue
+            if tissue not in tmap:
+                from ..state.metrics import incr
+
+                incr("gtex_eqtl", "tissue_misses", 1)
                 continue
             raw = bytes(data)
             if raw[:2] == b"\x1f\x8b":
@@ -914,9 +930,10 @@ def dbsuper_extractor(
             df = self.lift_e(df)
             return df.drop(columns=["start_hg19", "end_hg19"])
 
+    # nodes AND edges consume the lifted rows: materialize once
     lifted = rows.map_batches(
         LiftBoth, batch_format="pandas", concurrency=(1, 2)
-    )
+    ).materialize()
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         df = df[_window_mask(df, chrom, start, end)]

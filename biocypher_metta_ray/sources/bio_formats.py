@@ -35,7 +35,15 @@ def first_lines_of(path: str) -> list[str]:
     """First line of every file ``path`` resolves to (file, dir, or
     glob) — tiny driver-side reads used to identify header lines so a
     distributed text read can filter them by VALUE. Positional
-    header-skipping is unsound once Ray splits files into blocks."""
+    header-skipping is unsound once Ray splits files into blocks.
+
+    Constraint (documented trade): filtering is by value, so (a) a
+    data line byte-equal to a header line is dropped too, and (b) in a
+    multi-file directory every file is assumed to carry the header
+    convention — a HEADERLESS file would blacklist its own first data
+    value across the directory. Callers count dropped lines via
+    state.metrics for visibility; the reference's positional skip is
+    lossier (it silently eats one DATA line per headerless file)."""
     import glob as _glob
     import gzip
     import os

@@ -111,13 +111,17 @@ def _expand(tag: str) -> str:
     return tag
 
 
-def parse_owl_xml(data: bytes | str) -> list[tuple]:
+def parse_owl_xml(data: bytes | str, bnode_prefix: str = "",
+                  seq_base: int = 0) -> list[tuple]:
     """RDF/XML bytes -> [(seq, subj, pred, obj, is_literal)].
 
-    Blank nodes get deterministic document-order ids ``_:b<N>``.
-    Typed node elements (tag != rdf:Description) emit an rdf:type
-    triple, so ``owl:Restriction`` blocks are detectable exactly as
-    with rdflib.
+    Blank nodes get deterministic document-order ids
+    ``_:<prefix>b<N>``; ``bnode_prefix``/``seq_base`` namespace them
+    per FILE when several ontology files parse into one triples
+    Dataset — without it, file A's non-rewritable restriction bnode
+    would collide with file B's ``_:b1`` and fabricate edges. Typed
+    node elements (tag != rdf:Description) emit an rdf:type triple, so
+    ``owl:Restriction`` blocks are detectable exactly as with rdflib.
     """
     import gzip
     import io
@@ -130,7 +134,7 @@ def parse_owl_xml(data: bytes | str) -> list[tuple]:
     root = ET.parse(io.BytesIO(data)).getroot()
 
     triples: list[tuple] = []
-    counter = {"b": 0, "seq": 0}
+    counter = {"b": 0, "seq": seq_base}
 
     def emit(s, p, o, lit):
         triples.append((counter["seq"], s, p, o, lit))
@@ -140,7 +144,7 @@ def parse_owl_xml(data: bytes | str) -> list[tuple]:
         about = elem.get("{" + RDF_NS + "}about")
         if about is None:
             counter["b"] += 1
-            subject = f"_:b{counter['b']}"
+            subject = f"_:{bnode_prefix}b{counter['b']}"
         else:
             subject = about
         tag = _expand(elem.tag)
@@ -183,20 +187,52 @@ def _triples_table(triples: list[tuple]) -> pa.Table:
 
 def read_owl_triples(path: str) -> ray.data.Dataset:
     """OWL file(s) -> triples Dataset; one parse task per file
-    (read_binary_files distributes files across the cluster)."""
+    (read_binary_files distributes files across the cluster).
+
+    Each file gets a disjoint bnode namespace and seq range (indexed
+    by its rank in the sorted path list, resolved once driver-side),
+    so restriction maps never collide across files and document order
+    stays total: file rank first, in-file order second."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        file_list = sorted(
+            _os.path.join(path, f) for f in _os.listdir(path)
+            if _os.path.isfile(_os.path.join(path, f))
+        )
+    elif any(ch in path for ch in "*?["):
+        file_list = sorted(_glob.glob(path))
+    else:
+        file_list = [path]
+    rank = {
+        _os.path.abspath(p): i for i, p in enumerate(file_list)
+    }
     files = ray.data.read_binary_files(path, include_paths=True)
 
     def parse(batch: pd.DataFrame) -> list[pa.Table]:
         out = []
-        for data in batch["bytes"]:
-            out.append(_triples_table(parse_owl_xml(bytes(data))))
+        for p, data in zip(batch["path"], batch["bytes"]):
+            i = rank.get(_os.path.abspath(str(p)), len(rank))
+            out.append(
+                _triples_table(
+                    parse_owl_xml(
+                        bytes(data), bnode_prefix=f"f{i}.",
+                        seq_base=i * 10**12,
+                    )
+                )
+            )
         return out
 
     def parse_batch(batch: pd.DataFrame) -> pa.Table:
         tables = parse(batch)
         return pa.concat_tables(tables) if tables else _triples_table([])
 
-    return files.map_batches(parse_batch, batch_format="pandas")
+    # terms/edges each scan the triples several ways (nodes, props,
+    # bnodes, edges): materialize so the XML parses exactly once.
+    # Ontologies are dimension-scale, so pinning the triples in the
+    # object store is the right trade.
+    return files.map_batches(parse_batch, batch_format="pandas").materialize()
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,25 @@ def _pd_dtypes(ds: ray.data.Dataset) -> dict:
     return out
 
 
+
+def _safe_astype(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+    """Per-column astype that tolerates null-bearing int columns: a
+    nullable int64 arrives as float64-with-NaN after the union concat
+    and cannot cast back — keep the upcast column rather than failing
+    the partition task. Join keys are NaN-free on their own side, so
+    key hashing still sees restored dtypes."""
+    ok = {}
+    for col, dt in dtypes.items():
+        if col not in df.columns:
+            continue
+        try:
+            df[col].astype(dt)
+            ok[col] = dt
+        except (ValueError, TypeError):
+            continue
+    return df.astype(ok)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -108,8 +127,8 @@ def hash_join(
         # full column set (missing side contributes an empty frame),
         # and astype undoes the concat NaN-fill dtype drift (safe after
         # the __side filter: each side's own columns are NaN-free)
-        l = g[g["__side"] == "L"].reindex(columns=[on] + lcols).astype(ltypes)
-        r = g[g["__side"] == "R"].reindex(columns=[on] + rcols).astype(rtypes)
+        l = _safe_astype(g[g["__side"] == "L"].reindex(columns=[on] + lcols), ltypes)
+        r = _safe_astype(g[g["__side"] == "R"].reindex(columns=[on] + rcols), rtypes)
         return l.merge(r, on=on, how=how)
 
     return partitioned_group_map(both, [on], merge, num_partitions)
@@ -159,13 +178,15 @@ def pair_payload_join(
     )
 
     def body1(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["__side"] == "P"].reindex(columns=[key_a, key_b]).astype(
-            {key_a: ptypes[key_a], key_b: ptypes[key_b]}
+        p = _safe_astype(
+            g[g["__side"] == "P"].reindex(columns=[key_a, key_b]),
+            {key_a: ptypes[key_a], key_b: ptypes[key_b]},
         )
         if dedup:
             p = p.drop_duplicates()
-        s = g[g["__side"] == "S"].reindex(columns=[key_a, "pay_a"]).astype(
-            {key_a: ptypes[key_a]}
+        s = _safe_astype(
+            g[g["__side"] == "S"].reindex(columns=[key_a, "pay_a"]),
+            {key_a: ptypes[key_a]},
         )
         return p.merge(s, on=key_a, how="inner")
 
@@ -180,11 +201,13 @@ def pair_payload_join(
     )
 
     def body2(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["__side"] == "P"].reindex(
-            columns=[key_a, key_b, "pay_a"]
-        ).astype({key_a: ptypes[key_a], key_b: ptypes[key_b]})
-        s = g[g["__side"] == "S"].reindex(columns=[key_b, "pay_b"]).astype(
-            {key_b: ptypes[key_b]}
+        p = _safe_astype(
+            g[g["__side"] == "P"].reindex(columns=[key_a, key_b, "pay_a"]),
+            {key_a: ptypes[key_a], key_b: ptypes[key_b]},
+        )
+        s = _safe_astype(
+            g[g["__side"] == "S"].reindex(columns=[key_b, "pay_b"]),
+            {key_b: ptypes[key_b]},
         )
         return p.merge(s, on=key_b, how="inner")
 
@@ -225,7 +248,7 @@ def _membership_join(
     ltypes = _pd_dtypes(left)
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "L"].reindex(columns=lcols).astype(ltypes)
+        l = _safe_astype(g[g["__side"] == "L"].reindex(columns=lcols), ltypes)
         rk = g.loc[g["__side"] == "R", on]
         member = l[on].isin(set(rk.dropna()))
         return l[member if keep_members else ~member]
@@ -285,9 +308,9 @@ def asof_join(
     rtypes = _pd_dtypes(right)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = (g[g["__side"] == "L"].reindex(columns=lcols).astype(ltypes)
+        l = (_safe_astype(g[g["__side"] == "L"].reindex(columns=lcols), ltypes)
              .sort_values(on, kind="mergesort"))
-        r = (g[g["__side"] == "R"].reindex(columns=rcols).astype(rtypes)
+        r = (_safe_astype(g[g["__side"] == "R"].reindex(columns=rcols), rtypes)
              .sort_values(on, kind="mergesort"))
         # empty-left partitions still emit the FULL joined schema with
         # correct dtypes (merge_asof over the empty frames) so every

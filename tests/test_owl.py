@@ -201,3 +201,29 @@ def test_hierarchy_with_ontology_parents():
     onto = ontology_parents_from_edges(edges)
     assert onto == {"gene product": "biological entity",
                     "biological entity": None}
+
+
+def test_multi_file_bnode_isolation(ray_session, tmp_path):
+    """Per-file bnode namespaces: file A's non-rewritable restriction
+    must NOT resolve against file B's restriction map entry."""
+    a = (
+        '<?xml version="1.0"?><rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#">'
+        f'<owl:Class rdf:about="{OBO}GO_A"><rdfs:subClassOf>'
+        '<owl:Restriction>'
+        f'<owl:onProperty rdf:resource="{OBO}RO_0009999"/>'
+        f'<owl:someValuesFrom rdf:resource="{OBO}GO_X"/>'
+        "</owl:Restriction></rdfs:subClassOf></owl:Class></rdf:RDF>"
+    )
+    b = a.replace("GO_A", "GO_B").replace(
+        "RO_0009999", "BFO_0000050"
+    ).replace("GO_X", "GO_Y")
+    (tmp_path / "a.owl").write_text(a)
+    (tmp_path / "b.owl").write_text(b)
+    triples = read_owl_triples(str(tmp_path))
+    edges = ontology_edges(triples).to_pandas()
+    got = set(zip(edges["subj"], edges["pred"], edges["obj"]))
+    # file B's part_of restriction rewrites; file A's RO_ one drops
+    assert got == {("GO:B", "part_of", "GO:Y")}
