@@ -225,3 +225,70 @@ def test_cc_local_matches_distributed(ray_session):
     d = dict(zip(dist["node"], dist["component"]))
     assert l == d == {"a": "a", "b": "a", "c": "a",
                       "x": "x", "y": "x", "z": "x", "m": "m"}
+
+
+def test_embedding_lsh_skewed_hot_bucket(ray_session):
+    """A pathological duplicate cluster (one vector repeated 300x =
+    one white-hot LSH bucket) must flow through the banded candidate
+    pass and the bounded-partition pair join without collapsing into a
+    single whole-bucket task: the output is the full O(k^2) pair set
+    of the cluster (that IS the answer) plus the unrelated pairs,
+    produced across multiple partitions."""
+    from biocypher_metta_ray.stages.knn import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    hot = rng.standard_normal(16)
+    rows = []
+    for i in range(300):  # exact-duplicate cluster
+        rows.append((i, hot + rng.standard_normal(16) * 1e-6))
+    for i in range(300, 600):  # unrelated background
+        rows.append((i, rng.standard_normal(16) * 3))
+    df = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1].astype(np.float32).tolist() for r in rows],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    pairs = embedding_dup_pairs(
+        ds, threshold=0.999, num_planes=4, num_tables=8
+    ).to_pandas()
+    in_cluster = pairs[(pairs["id_a"] < 300) & (pairs["id_b"] < 300)]
+    assert len(in_cluster) == 300 * 299 // 2  # every cluster pair found
+    # near-identical vectors collide in EVERY table, so candidate rows
+    # for the hot bucket appeared in 8 tables x several partitions and
+    # still deduped to exactly one output row per pair
+    assert pairs.duplicated(subset=["id_a", "id_b"]).sum() == 0
+
+
+def test_stage_data_resumable(tmp_path):
+    """Staging analogue of scripts/download_data.py: atomic copies,
+    sha256 manifest, digest-matched skip on rerun, corruption detect."""
+    import yaml
+
+    from tools.stage_data import stage, verify
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.gtf").write_text("gene1\n")
+    (raw / "b.txt").write_text("pathway\n")
+    manifest = tmp_path / "sources.yaml"
+    manifest.write_text(yaml.safe_dump(
+        {"sources": {"gencode": {"files": [str(raw / "a.gtf")]},
+                     "reactome": {"files": [str(raw / "b.txt")]}}}
+    ))
+    out = tmp_path / "staged"
+    r1 = stage(str(manifest), str(out))
+    assert sorted(r1["staged"]) == ["gencode/a.gtf", "reactome/b.txt"]
+    r2 = stage(str(manifest), str(out))  # rerun: everything skips
+    assert r2["staged"] == [] and len(r2["skipped"]) == 2
+    v = verify(str(out))
+    assert len(v["ok"]) == 2 and not v["corrupt"] and not v["missing"]
+    # corrupt a staged file -> verify flags it
+    (out / "gencode" / "a.gtf").write_text("tampered\n")
+    v2 = verify(str(out))
+    assert v2["corrupt"] == ["gencode/a.gtf"]
+    # changed source -> restaged
+    (raw / "a.gtf").write_text("gene1\ngene2\n")
+    r3 = stage(str(manifest), str(out))
+    assert r3["staged"] == ["gencode/a.gtf"]
