@@ -220,6 +220,99 @@ def embedding_dup_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    num_centroids: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> dict:
+    """Materialize the IVF layout: embeddings written ONCE as
+    cell-partitioned Parquet (``cell=<c>/``) plus the centroid matrix
+    in ``_centroids.json`` (underscore prefix: parquet dataset readers skip it). Queries then read ONLY the probed cells'
+    files — the 'prune at the read' scale path ``ivf_knn`` simulates
+    in-memory. Centroids: seeded sample + one Lloyd step, identical to
+    ``ivf_knn`` (deterministic). Assignment is an embarrassingly
+    parallel ``map_batches``; the write is the resumable partitioned
+    layout (one directory per cell)."""
+    import json as _json
+    import os
+
+    from ..state.checkpoint import overwrite_parquet
+
+    sample = ds.limit(max(num_centroids * 20, 256)).to_pandas()
+    X = np.stack(sample[col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(num_centroids, len(X)),
+                         replace=False)]
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = d.argmin(1)
+    for c in range(len(cents)):
+        pts = X[assign == c]
+        if len(pts):
+            cents[c] = pts.mean(0)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cents_ref) if not isinstance(
+                cents_ref, np.ndarray) else cents_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _embedding_matrix(batch, col)
+            dist = ((M[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
+            return batch.append_column(
+                "cell", pa.array(dist.argmin(1).astype(np.int64))
+            )
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, 2))
+    overwrite_parquet(assigned, out_dir, partition_cols=["cell"])
+    meta = {
+        "centroids": cents.tolist(),
+        "num_centroids": int(len(cents)),
+        "id_col": id_col,
+        "col": col,
+    }
+    with open(os.path.join(out_dir, "_centroids.json.tmp"), "w") as f:
+        _json.dump(meta, f)
+    os.replace(os.path.join(out_dir, "_centroids.json.tmp"),
+               os.path.join(out_dir, "_centroids.json"))
+    return meta
+
+
+def ivf_index_search(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Query the materialized IVF layout: pick the ``n_probe`` nearest
+    cells from ``_centroids.json`` (underscore prefix: parquet dataset readers skip it) and read ONLY those partitions'
+    Parquet files (every other cell's bytes never leave storage), then
+    exact brute-force top-k inside the probed subset."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        meta = _json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((cents - q[None, :]) ** 2).sum(-1)
+    probe = np.argsort(qd)[:n_probe]
+    paths = [
+        os.path.join(index_dir, f"cell={int(c)}")
+        for c in probe
+        if os.path.isdir(os.path.join(index_dir, f"cell={int(c)}"))
+    ]
+    if not paths:
+        return pd.DataFrame({meta["id_col"]: [], "cos": []})
+    ds = ray.data.read_parquet(paths)
+    return knn_bruteforce(ds, q, k=k, id_col=meta["id_col"],
+                          col=meta["col"])
+
+
 def ivf_knn(
     ds: ray.data.Dataset,
     query_vec: np.ndarray,

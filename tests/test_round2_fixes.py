@@ -292,3 +292,44 @@ def test_stage_data_resumable(tmp_path):
     (raw / "a.gtf").write_text("gene1\ngene2\n")
     r3 = stage(str(manifest), str(out))
     assert r3["staged"] == ["gencode/a.gtf"]
+
+
+def test_ivf_partitioned_index(ray_session, tmp_path):
+    """The materialized IVF layout: cell-partitioned parquet + probed
+    reads — a 1-of-4-cells query touches ONE cell directory and still
+    returns the exact top-k on clustered data."""
+    import os
+
+    from biocypher_metta_ray.stages.knn import (
+        build_ivf_index,
+        ivf_index_search,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = []
+    for i in range(400):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.standard_normal(16) * 0.1)))
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].astype(np.float32).tolist() for r in rows]}
+    )
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, num_centroids=4)
+    assert meta["num_centroids"] == 4
+    cells = sorted(
+        d for d in os.listdir(idx) if d.startswith("cell=")
+    )
+    assert len(cells) == 4  # one directory per cell
+    q = np.asarray(df.loc[0, "embedding"], dtype=np.float64)
+    got = ivf_index_search(idx, q, k=5, n_probe=1)
+    exact = knn_bruteforce(ds, q, k=5)
+    assert list(got["vec_id"]) == list(exact["vec_id"])
+    # rebuild is idempotent (overwrite, not append)
+    build_ivf_index(ds, idx, num_centroids=4)
+    import ray.data as rd
+
+    assert rd.read_parquet(idx).count() == 400
