@@ -696,6 +696,25 @@ def _q_dedup_exact(sf_dir: str):
     )
 
 
+
+def _q_dedup_corpus(sf_dir: str):
+    """Near-dup corpus cleaning: the surviving (doc_id, n_chars) rows
+    after dropping every near-duplicate except its cluster's min doc
+    id (drop list applied with the distributed anti join — the corpus
+    never routes through the driver). Oracle: recursive-CTE components
+    over the exact-Jaccard pair graph, survivors = docs that are not a
+    non-representative member."""
+    from biocypher_metta_ray.stages.dedup import dedup_corpus
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    kept = dedup_corpus(docs, threshold=0.8)
+    return kept.map_batches(
+        lambda df: df[["doc_id", "n_chars"]].astype(
+            {"doc_id": "int64", "n_chars": "int64"}),
+        batch_format="pandas",
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified. Oracle =
     the exact shingle-set Jaccard self-join in SQL. 64 perms / 16
@@ -1107,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_corpus": _q_dedup_corpus,
         "simhash_pairs": _q_simhash_pairs,
         "near_dup_groups": _q_near_dup_groups,
         "embedding_dups": _q_embedding_dups,
@@ -1561,6 +1581,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": f"""
             WITH {_JACCARD_CTES}
             SELECT doc_a, doc_b FROM jpairs
+        """,
+        "dedup_corpus": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+            losers AS (
+                SELECT node AS doc_id FROM walk
+                GROUP BY node HAVING node <> min(comp))
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "near_dup_groups": f"""
             WITH RECURSIVE {_JACCARD_CTES},

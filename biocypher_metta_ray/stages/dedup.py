@@ -408,6 +408,35 @@ def near_dup_groups(
     return cc.map_batches(fmt, batch_format="pandas")
 
 
+def dedup_corpus(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    num_bands: int = 16,
+    n_shingle: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """End-to-end corpus cleaning: drop near-duplicates, keep one
+    representative per cluster (the min doc id — deterministic at any
+    parallelism). The operation a training-data pipeline actually
+    runs: near_dup_groups elects survivors, then a distributed ANTI
+    join removes the losers from the corpus stream (the corpus never
+    routes through the driver)."""
+    from .joins import anti_join
+
+    groups = near_dup_groups(
+        docs, threshold=threshold, num_perms=num_perms,
+        num_bands=num_bands, n_shingle=n_shingle,
+    )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["doc_id"] != df["group_id"]][["doc_id"]]
+        return out.rename(columns={"doc_id": id_col})
+
+    loser_ids = groups.map_batches(losers, batch_format="pandas")
+    return anti_join(docs, loser_ids, on=id_col)
+
+
 def minhash_dedup(
     docs: ray.data.Dataset,
     threshold: float = 0.8,

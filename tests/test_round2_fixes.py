@@ -333,3 +333,22 @@ def test_ivf_partitioned_index(ray_session, tmp_path):
     import ray.data as rd
 
     assert rd.read_parquet(idx).count() == 400
+
+
+def test_cc_local_vs_distributed_random_graphs(ray_session):
+    """Seeded random graphs: the driver union-find and the distributed
+    min-label loop must elect identical components."""
+    from biocypher_metta_ray.stages.canonicalize import connected_components
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = 40
+        m = 50
+        src = [f"n{int(x):03d}" for x in rng.integers(0, n, m)]
+        dst = [f"n{int(x):03d}" for x in rng.integers(0, n, m)]
+        edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+        local = connected_components(edges).to_pandas()
+        dist = connected_components(edges, local_threshold=0).to_pandas()
+        l = dict(zip(local["node"], local["component"]))
+        d = dict(zip(dist["node"], dist["component"]))
+        assert l == d, f"trial {trial} mismatch"
