@@ -177,6 +177,17 @@ def _q_kg_prolog_facts(sf_dir: str):
     return render_prolog_lines(nodes, None)["nodes"]
 
 
+
+def _q_kg_prolog_edge_facts(sf_dir: str):
+    """Prolog edge facts (prolog_writer.py:94-130 semantics: output
+    label + typed endpoint terms, lowercased, plus one property fact
+    per prop — here n_mentions)."""
+    from biocypher_metta_ray.pipelines.kg import render_prolog_lines
+
+    edges = _q_kg_canonical_triples(sf_dir)
+    return render_prolog_lines(None, edges)["edges"]
+
+
 def _q_kg_canonical_map(sf_dir: str):
     import ray.data
 
@@ -1109,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_sexpr": _q_kg_edge_sexpr,
         "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_prolog_facts": _q_kg_prolog_facts,
+        "kg_prolog_edge_facts": _q_kg_prolog_edge_facts,
         "kg_canonical_map": _q_kg_canonical_map,
         # relational operators
         "filter_project": _q_filter_project,
@@ -1396,6 +1408,27 @@ def oracle_sql() -> dict[str, str]:
             nodes AS (SELECT DISTINCT gaz.entity_id AS id, gaz.label
                       FROM surfs s JOIN {p['gaz']} ON s.surface = gaz.surface)
             SELECT lower(label) || '(' || lower(id) || ').' AS line FROM nodes
+        """,
+
+        "kg_prolog_edge_facts": f"""
+            WITH t AS ({p['triples']}),
+            edges AS (SELECT gaz.entity_id AS subj, t.pred,
+                             g2.entity_id AS obj, count(*) AS n
+                      FROM t
+                      JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                      JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                      GROUP BY 1, 2, 3),
+            d AS (SELECT et.render_label || '(' || et.src || '('
+                      || lower(subj) || '), ' || et.tgt || '('
+                      || lower(obj) || '))' AS def_out, n
+                  FROM edges
+                  JOIN (VALUES {edge_rows}) AS et(pred, src, tgt,
+                                                  render_label)
+                    ON edges.pred = et.pred)
+            SELECT def_out || '.' AS line FROM d
+            UNION ALL
+            SELECT 'n_mentions(' || def_out || ', '
+                   || CAST(n AS VARCHAR) || ').' AS line FROM d
         """,
         "kg_canonical_map": f"""
             SELECT surface, canonical_id
