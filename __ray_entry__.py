@@ -36,12 +36,17 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None,
     Ray's split heuristic, which shreds the SMALL test tables into
     ~25 KB blocks and multiplies per-block shuffle overhead in the
     shuffle-heavy dedup queries (measured: 8 blocks beats 64 by ~1.5x
-    at sf0.1); production-sized files get sane blocks from the
-    size-based default, so leave it None there."""
+    at sf0.1). The override is GUARDED by file size: past 64 MB the
+    size-based default wins, so a production-sized table never gets
+    pinned to 8 giant blocks."""
+    import os as _os
+
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns,
+    path = f"{sf_dir}/{table}.parquet"
+    if blocks is not None and _os.path.getsize(path) > 64 * 2**20:
+        blocks = None
+    return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
 
 

@@ -414,14 +414,14 @@ def dedup_corpus(
     num_perms: int = 64,
     num_bands: int = 16,
     n_shingle: int = 3,
-    id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """End-to-end corpus cleaning: drop near-duplicates, keep one
     representative per cluster (the min doc id — deterministic at any
     parallelism). The operation a training-data pipeline actually
     runs: near_dup_groups elects survivors, then a distributed ANTI
     join removes the losers from the corpus stream (the corpus never
-    routes through the driver)."""
+    routes through the driver). The id/text columns are the
+    ``doc_id``/``text`` contract of the minhash pipeline."""
     from .joins import anti_join
 
     groups = near_dup_groups(
@@ -430,11 +430,10 @@ def dedup_corpus(
     )
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[df["doc_id"] != df["group_id"]][["doc_id"]]
-        return out.rename(columns={"doc_id": id_col})
+        return df[df["doc_id"] != df["group_id"]][["doc_id"]]
 
     loser_ids = groups.map_batches(losers, batch_format="pandas")
-    return anti_join(docs, loser_ids, on=id_col)
+    return anti_join(docs, loser_ids, on="doc_id")
 
 
 def minhash_dedup(

@@ -230,27 +230,17 @@ def embedding_dup_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def build_ivf_index(
+
+def _seeded_centroids(
     ds: ray.data.Dataset,
-    out_dir: str,
-    num_centroids: int = 16,
-    seed: int = 13,
-    id_col: str = "vec_id",
-    col: str = "embedding",
-) -> dict:
-    """Materialize the IVF layout: embeddings written ONCE as
-    cell-partitioned Parquet (``cell=<c>/``) plus the centroid matrix
-    in ``_centroids.json`` (underscore prefix: parquet dataset readers skip it). Queries then read ONLY the probed cells'
-    files — the 'prune at the read' scale path ``ivf_knn`` simulates
-    in-memory. Centroids: seeded sample + one Lloyd step, identical to
-    ``ivf_knn`` (deterministic). Assignment is an embarrassingly
-    parallel ``map_batches``; the write is the resumable partitioned
-    layout (one directory per cell)."""
-    import json as _json
-    import os
-
-    from ..state.checkpoint import overwrite_parquet
-
+    num_centroids: int,
+    seed: int,
+    col: str,
+) -> np.ndarray:
+    """Deterministic IVF centroids: driver-side sample (first rows —
+    stable for a fixed input), seeded choice, ONE Lloyd refinement.
+    Shared by the in-memory probe (``ivf_knn``) and the materialized
+    index (``build_ivf_index``) so the two can never desynchronize."""
     sample = ds.limit(max(num_centroids * 20, 256)).to_pandas()
     X = np.stack(sample[col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
@@ -262,7 +252,12 @@ def build_ivf_index(
         pts = X[assign == c]
         if len(pts):
             cents[c] = pts.mean(0)
-    cents_ref = ray.put(cents)
+    return cents
+
+
+def _cell_assigner(cents_ref, col: str):
+    """map_batches class assigning each vector to its nearest centroid
+    (appends an int64 ``cell`` column)."""
 
     class Assign:
         def __init__(self):
@@ -276,19 +271,57 @@ def build_ivf_index(
                 "cell", pa.array(dist.argmin(1).astype(np.int64))
             )
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow",
-                              concurrency=(1, 2))
-    overwrite_parquet(assigned, out_dir, partition_cols=["cell"])
+    return Assign
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    num_centroids: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> dict:
+    """Materialize the IVF layout: embeddings written ONCE as
+    cell-partitioned Parquet (``cell=<c>/``) plus the centroid matrix
+    in ``_centroids.json`` (underscore prefix: parquet dataset readers
+    skip it). Queries then read ONLY the probed cells' files — the
+    'prune at the read' scale path ``ivf_knn`` simulates in-memory.
+    Centroids come from the SAME helper as ``ivf_knn``
+    (:func:`_seeded_centroids`), so index and in-memory probe stay in
+    lockstep. The whole index (parquet + metadata) stages in one tmp
+    dir and swaps atomically — a killed rebuild leaves the previous
+    index untouched."""
+    import json as _json
+    import os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    cents = _seeded_centroids(ds, num_centroids, seed, col)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(_cell_assigner(cents_ref, col),
+                              batch_format="pyarrow", concurrency=(1, 2))
     meta = {
         "centroids": cents.tolist(),
         "num_centroids": int(len(cents)),
         "id_col": id_col,
         "col": col,
     }
-    with open(os.path.join(out_dir, "_centroids.json.tmp"), "w") as f:
-        _json.dump(meta, f)
-    os.replace(os.path.join(out_dir, "_centroids.json.tmp"),
-               os.path.join(out_dir, "_centroids.json"))
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(
+        parent, f".{os.path.basename(out_dir)}.tmp-{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        assigned.write_parquet(tmp, partition_cols=["cell"])
+        with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+            _json.dump(meta, f)
+        if os.path.isdir(out_dir):
+            _shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return meta
 
 
@@ -343,17 +376,7 @@ def ivf_knn(
     scale the assignment would be written once as a partitioned Parquet
     layout and reused across queries.
     """
-    sample = ds.limit(max(num_centroids * 20, 256)).to_pandas()
-    X = np.stack(sample[col].to_numpy()).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    cents = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
-    # one Lloyd refinement
-    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-    assign = d.argmin(1)
-    for c in range(len(cents)):
-        pts = X[assign == c]
-        if len(pts):
-            cents[c] = pts.mean(0)
+    cents = _seeded_centroids(ds, num_centroids, seed, col)
     cents_ref = ray.put(cents)
 
     q = np.asarray(query_vec, dtype=np.float64)

@@ -72,7 +72,24 @@ def _save_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
-def stage(manifest_path: str, out_dir: str) -> dict:
+def stage(manifest_path: str, out_dir: str,
+          verify_dest: bool = False) -> dict:
+    """Stage every manifest file. Resume discipline:
+
+    - fast path: if the source's (size, mtime_ns) matches the manifest
+      AND the staged file exists with the recorded byte count, skip
+      without reading a byte (O(metadata) no-op reruns);
+    - otherwise the source is re-hashed; a digest match with an intact
+      dest skips, anything else re-copies atomically;
+    - the manifest is saved after EVERY file, so a mid-run crash keeps
+      all completed work;
+    - ``verify_dest=True`` additionally re-hashes each staged file
+      (repairs same-size corruption that the size check cannot see —
+      the cheap path for that is ``verify`` + re-stage with this flag).
+
+    Duplicate basenames within one source are an ERROR (the second
+    file would silently clobber the first in the staged layout).
+    """
     with open(manifest_path) as f:
         spec = yaml.safe_load(f)
     os.makedirs(out_dir, exist_ok=True)
@@ -81,17 +98,37 @@ def stage(manifest_path: str, out_dir: str) -> dict:
     for source, cfg in (spec.get("sources") or {}).items():
         dest_dir = os.path.join(out_dir, source)
         os.makedirs(dest_dir, exist_ok=True)
+        seen: dict[str, str] = {}
         for src in cfg.get("files") or []:
             name = os.path.basename(src)
             rel = f"{source}/{name}"
+            if rel in seen:
+                raise ValueError(
+                    f"duplicate staged name {rel!r}: {seen[rel]} and "
+                    f"{src} would overwrite each other"
+                )
+            seen[rel] = src
             dest = os.path.join(dest_dir, name)
-            digest = _sha256(src)
+            st = os.stat(src)
+            src_stat = [st.st_size, st.st_mtime_ns]
             entry = manifest["files"].get(rel)
+            dest_intact = (
+                entry is not None
+                and os.path.isfile(dest)
+                and os.path.getsize(dest) == entry.get("bytes")
+                and (not verify_dest or _sha256(dest) == entry.get("sha256"))
+            )
+            if entry and entry.get("src_stat") == src_stat and dest_intact:
+                skipped.append(rel)
+                continue
+            digest = _sha256(src)
             if (
                 entry
                 and entry.get("sha256") == digest
-                and os.path.isfile(dest)
+                and dest_intact
             ):
+                entry["src_stat"] = src_stat  # refresh the fast path
+                _save_manifest(out_dir, manifest)
                 skipped.append(rel)
                 continue
             tmp = dest + ".tmp"
@@ -100,8 +137,10 @@ def stage(manifest_path: str, out_dir: str) -> dict:
             manifest["files"][rel] = {
                 "sha256": digest,
                 "bytes": os.path.getsize(dest),
+                "src_stat": src_stat,
                 "source_path": os.path.abspath(src),
             }
+            _save_manifest(out_dir, manifest)  # per-file commit point
             staged.append(rel)
     _save_manifest(out_dir, manifest)
     return {"staged": staged, "skipped": skipped}
@@ -127,11 +166,13 @@ def main(argv=None):
     st = sub.add_parser("stage")
     st.add_argument("--manifest", required=True)
     st.add_argument("--out", required=True)
+    st.add_argument("--verify-dest", action="store_true")
     vf = sub.add_parser("verify")
     vf.add_argument("--out", required=True)
     args = ap.parse_args(argv)
     if args.cmd == "stage":
-        report = stage(args.manifest, args.out)
+        report = stage(args.manifest, args.out,
+                       verify_dest=args.verify_dest)
     else:
         report = verify(args.out)
         if report["corrupt"] or report["missing"]:
