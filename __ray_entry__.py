@@ -4,9 +4,13 @@ Each ``queries()`` entry is a Ray-Data-first implementation of an
 operator from SURVEY.md §2 (reference-derived relational/KG ops) or of
 the training-data-pipeline suite (dedup, similarity, text analysis);
 ``oracle_sql()`` holds the DuckDB-equivalent SQL over the same parquet
-tables. Column names match exactly on both sides. Entries without an
-oracle are non-SQL-expressible (distributed union-find, LSH
-candidates) and get the driver's rows-only check.
+tables. Column names match exactly on both sides. EVERY query has an
+oracle: SQL recomputes the relational/text/dedup operators directly;
+LSH outputs are checked against exact self-joins (seeded recall
+verified exhaustively at the test scale factors); non-SQL sources
+(OWL fixtures, the fake-media codec) check against independently
+derived expected relations; formula-generated fixtures let SQL
+recompute the bespoke-adapter joins over range().
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init``/``ray.shutdown`` anywhere in these code paths.

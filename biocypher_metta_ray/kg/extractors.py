@@ -50,13 +50,21 @@ def gtf_gene_extractor(
     chrom: str | None = None,
     start: int | None = None,
     end: int | None = None,
+    alias_map: dict | None = None,
 ) -> dict:
     """GTF -> gene nodes (gencode_gene_adapter.py:84-119 semantics:
-    type filter, version strip, window filter, props projection)."""
+    type filter, version strip, window filter, props projection).
+    ``alias_map`` is the gene_info-derived {gene_name: [synonyms]}
+    dict (gencode_gene_adapter.py:45-82); when given it broadcasts
+    once and each node gains a ``synonyms`` prop (empty on miss, the
+    reference's .get default)."""
+    import ray as _ray
+
     from ..sources.bio_formats import read_gtf
 
     ds = read_gtf(path, type_filter="gene",
                   attr_keys=("gene_id", "gene_name", "gene_type"))
+    amap_ref = _ray.put(alias_map) if alias_map is not None else None
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         if chrom is not None:
@@ -64,13 +72,27 @@ def gtf_gene_extractor(
             if start is not None or end is not None:
                 df = df[in_window(df["start"].to_numpy(),
                                   df["end"].to_numpy(), start, end)]
+        props = _props_json(
+            df, ["chr", "start", "end", "gene_name", "gene_type"]
+        )
+        if amap_ref is not None:
+            amap = _ray.get(amap_ref)
+            props = pd.Series(
+                [
+                    json.dumps(
+                        {**json.loads(p),
+                         "synonyms": list(amap.get(n) or [])},
+                        sort_keys=True,
+                    )
+                    for p, n in zip(props, df["gene_name"])
+                ],
+                index=df.index,
+            )
         out = pd.DataFrame(
             {
                 "id": df["gene_id"],
                 "label": label,
-                "props_json": _props_json(
-                    df, ["chr", "start", "end", "gene_name", "gene_type"]
-                ),
+                "props_json": props,
             }
         )
         return out[out["id"].notna()]
@@ -79,9 +101,14 @@ def gtf_gene_extractor(
             "edges": None}
 
 
-def gtf_transcript_extractor(path: str) -> dict:
-    """GTF transcripts -> transcript nodes + transcribed_to edges
-    (gencode_adapter.py:55-131)."""
+def gtf_transcript_extractor(
+    path: str, direction: str = "transcribed_to"
+) -> dict:
+    """GTF transcripts -> transcript nodes + gene<->transcript edges;
+    ``direction`` switches between ``transcribed_to`` (gene->transcript)
+    and ``transcribed_from`` (transcript->gene), the reference's
+    type-driven direction swap (gencode_adapter.py:122-131)."""
+    assert direction in ("transcribed_to", "transcribed_from")
     from ..sources.bio_formats import read_gtf
 
     ds = read_gtf(
@@ -104,11 +131,14 @@ def gtf_transcript_extractor(path: str) -> dict:
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         tid = df["transcript_id"].str.split(".", n=1).str[0]
+        gene, trans = df["gene_id"], tid
+        subj, obj = ((gene, trans) if direction == "transcribed_to"
+                     else (trans, gene))
         out = pd.DataFrame(
             {
-                "subj": df["gene_id"],
-                "pred": "transcribed_to",
-                "obj": tid,
+                "subj": subj,
+                "pred": direction,
+                "obj": obj,
                 "props_json": None,
             }
         )
@@ -359,10 +389,15 @@ def bed_region_extractor(
             "edges": None}
 
 
-def swissprot_extractor(path: str) -> dict:
-    """SwissProt records -> protein nodes + transcript->protein
-    ``translates_to`` edges from Ensembl dbxrefs
-    (uniprot_protein_adapter.py:46-62, uniprot_adapter.py:37-74)."""
+def swissprot_extractor(
+    path: str, direction: str = "translates_to"
+) -> dict:
+    """SwissProt records -> protein nodes + transcript<->protein edges
+    from Ensembl dbxrefs; ``direction`` switches ``translates_to``
+    (transcript->protein) vs ``translation_of`` (protein->transcript),
+    the reference's per-type swap (uniprot_adapter.py:37-74;
+    uniprot_protein_adapter.py:46-62 for the nodes)."""
+    assert direction in ("translates_to", "translation_of")
     from ..sources.records import read_swissprot
 
     ds = read_swissprot(path)
@@ -391,9 +426,11 @@ def swissprot_extractor(path: str) -> dict:
             for x in xs:
                 if x.startswith("Ensembl:ENST"):
                     enst = x.split(":", 1)[1].split(".")[0]  # version strip
-                    rows["subj"].append(enst)
-                    rows["pred"].append("translates_to")
-                    rows["obj"].append(acc)
+                    s, o = ((enst, acc) if direction == "translates_to"
+                            else (acc, enst))
+                    rows["subj"].append(s)
+                    rows["pred"].append(direction)
+                    rows["obj"].append(o)
                     rows["props_json"].append(None)
         return pd.DataFrame(rows)
 
@@ -403,19 +440,39 @@ def swissprot_extractor(path: str) -> dict:
     }
 
 
-def gaf_extractor(path: str) -> dict:
-    """GAF -> GO->protein ``go_gene_product`` edges with
-    qualifier/evidence props (gaf_adapter.py:92-103)."""
+def gaf_extractor(path: str, gaf_type: str = "human",
+                  rnacentral_map: dict | None = None) -> dict:
+    """GAF -> GO->product ``go_gene_product`` edges with
+    qualifier/evidence props (gaf_adapter.py:76-104). The ``rna``
+    flavor remaps DB_Object_ID through the RNAcentral id map
+    (gaf_adapter.py:68-74,86-91; broadcast once) and DROPS rows whose
+    id misses the map, with accounting."""
+    import ray as _ray
+
     from ..sources.records import read_gaf
 
     ds = read_gaf(path)
+    rmap_ref = (
+        _ray.put(rnacentral_map) if rnacentral_map is not None else None
+    )
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        target = df["db_object_id"]
+        if gaf_type == "rna":
+            rmap = _ray.get(rmap_ref) if rmap_ref is not None else {}
+            mapped = target.map(rmap)
+            ok = mapped.notna()
+            if (~ok).any():
+                from ..state.metrics import incr
+
+                incr("gaf", "rnacentral_misses", int((~ok).sum()))
+            df = df[ok]
+            target = mapped[ok]
         return pd.DataFrame(
             {
                 "subj": df["go_id"],
                 "pred": "go_gene_product",
-                "obj": df["db_object_id"],
+                "obj": target,
                 "props_json": [
                     json.dumps({"qualifier": q, "evidence": e}, sort_keys=True)
                     for q, e in zip(df["qualifier"], df["evidence_code"])
@@ -423,7 +480,8 @@ def gaf_extractor(path: str) -> dict:
             }
         )
 
-    return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
+    return {"nodes": None,
+            "edges": ds.map_batches(to_edges, batch_format="pandas")}
 
 
 def obo_extractor(path: str) -> dict:
@@ -496,23 +554,46 @@ def owl_ontology_extractor(
     }
 
 
-def reactome_extractor(path: str) -> dict:
-    """2-col TSV gene->pathway -> ``genes_pathways`` edges; R-HSA
-    prefix filter + ensembl version strip (reactome_adapter.py:48-76)."""
+def reactome_extractor(path: str, label: str = "genes_pathways") -> dict:
+    """Reactome 2-col TSVs -> edges, the reference's three-label family
+    (reactome_adapter.py:32-76): ``genes_pathways`` (ENSG
+    version-stripped -> R-HSA pathway), ``parent_pathway_of``
+    (parent -> child) and ``child_pathway_of`` (child -> parent), all
+    filtered to rows whose pathway/parent starts with R-HSA."""
     from ..sources.records import read_two_col_tsv
 
-    ds = read_two_col_tsv(path, names=("gene", "pathway"),
-                          prefix_filter=(None, "R-HSA"))
+    allowed = ("genes_pathways", "parent_pathway_of", "child_pathway_of")
+    if label not in allowed:
+        raise ValueError(f"label must be one of {allowed}")
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "subj": df["gene"].str.split(".", n=1).str[0],
-                "pred": "genes_pathways",
-                "obj": df["pathway"],
-                "props_json": None,
-            }
-        )
+    if label == "genes_pathways":
+        ds = read_two_col_tsv(path, names=("gene", "pathway"),
+                              prefix_filter=(None, "R-HSA"))
+
+        def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "subj": df["gene"].str.split(".", n=1).str[0],
+                    "pred": "genes_pathways",
+                    "obj": df["pathway"],
+                    "props_json": None,
+                }
+            )
+    else:
+        ds = read_two_col_tsv(path, names=("parent", "child"),
+                              prefix_filter=("R-HSA", None))
+
+        def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+            s, o = (("parent", "child") if label == "parent_pathway_of"
+                    else ("child", "parent"))
+            return pd.DataFrame(
+                {
+                    "subj": df[s],
+                    "pred": label,
+                    "obj": df[o],
+                    "props_json": None,
+                }
+            )
 
     return {"nodes": None, "edges": ds.map_batches(to_edges, batch_format="pandas")}
 

@@ -101,3 +101,46 @@ def test_liftover_stage(ray_session):
     out = liftover(ds).to_pandas()
     assert "pos_lifted" in out.columns
     assert len(out) == 1  # the 3-4 Mb segment is a gap
+
+
+def test_direction_and_alias_variants(ray_session, tmp_path):
+    """Round-2 sub-semantics: transcribed_from / translation_of
+    direction switches, reactome parent/child labels, gene alias map
+    (gencode_adapter.py:122-131, uniprot_adapter.py:37-74,
+    reactome_adapter.py:64-76, gencode_gene_adapter.py:96-100)."""
+    import json
+
+    from biocypher_metta_ray.kg.extractors import (
+        gtf_gene_extractor,
+        gtf_transcript_extractor,
+        reactome_extractor,
+    )
+
+    gtf = tmp_path / "g.gtf"
+    attrs = ('gene_id "ENSG1.2"; transcript_id "ENST9.1"; '
+             'gene_name "ABC"; transcript_name "ABC-201"; gene_type "pc";')
+    gtf.write_text(
+        f"chr1\tsrc\tgene\t10\t90\t.\t+\t.\t{attrs}\n"
+        f"chr1\tsrc\ttranscript\t10\t90\t.\t+\t.\t{attrs}\n"
+    )
+    fwd = gtf_transcript_extractor(str(gtf))["edges"].to_pandas()
+    rev = gtf_transcript_extractor(
+        str(gtf), direction="transcribed_from")["edges"].to_pandas()
+    assert (fwd.iloc[0]["subj"], fwd.iloc[0]["obj"]) == ("ENSG1", "ENST9")
+    assert (rev.iloc[0]["subj"], rev.iloc[0]["obj"]) == ("ENST9", "ENSG1")
+    assert rev.iloc[0]["pred"] == "transcribed_from"
+
+    rel = tmp_path / "rel.tsv"
+    rel.write_text("R-HSA-1\tR-HSA-2\nNOPE-9\tR-HSA-3\n")
+    parent = reactome_extractor(
+        str(rel), label="parent_pathway_of")["edges"].to_pandas()
+    child = reactome_extractor(
+        str(rel), label="child_pathway_of")["edges"].to_pandas()
+    assert list(zip(parent["subj"], parent["obj"])) == [("R-HSA-1", "R-HSA-2")]
+    assert list(zip(child["subj"], child["obj"])) == [("R-HSA-2", "R-HSA-1")]
+
+    genes = gtf_gene_extractor(
+        str(gtf), alias_map={"ABC": ["alpha", "beta"]}
+    )["nodes"].to_pandas()
+    props = json.loads(genes.iloc[0]["props_json"])
+    assert props["synonyms"] == ["alpha", "beta"]

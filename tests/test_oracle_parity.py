@@ -69,12 +69,9 @@ def test_entry_smoke(ray_session):
     assert set(["subj", "pred", "obj", "n_mentions"]) <= set(res.columns)
 
 
-def test_rows_only_queries(ray_session):
-    """Queries without an oracle still run and return sane rows."""
+def test_every_query_has_an_oracle():
+    """Round-2 invariant: the driver's rows-only fallback is never
+    needed — queries() and oracle_sql() cover the same keys."""
     import __ray_entry__ as m
 
-    q = m.queries()
-    mh = _to_pandas(q["minhash_pairs"](SF_DIR))
-    assert set(mh.columns) == {"doc_a", "doc_b"}
-    sh = _to_pandas(q["simhash_pairs"](SF_DIR))
-    assert set(sh.columns) == {"doc_a", "doc_b", "hamming"}
+    assert sorted(m.queries()) == sorted(m.oracle_sql())
