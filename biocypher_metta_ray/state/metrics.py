@@ -49,15 +49,35 @@ def enable_metrics():
     return _HANDLE
 
 
+_WORKER_HANDLE = None
+
+
 def incr(stage: str, key: str, n: int = 1) -> None:
     """Fire-and-forget increment; silently a no-op when metrics are
-    not enabled. Call at batch granularity only."""
+    not enabled. Call at batch granularity only.
+
+    Resolution is retried briefly and the handle cached per process:
+    freshly-started fused actor-pool workers have been observed to
+    miss the first named-actor lookup (transiently stale name cache),
+    which would silently drop counts. Metrics stay best-effort
+    observability — correctness never depends on them.
+    """
+    global _WORKER_HANDLE
     if n == 0:
         return
-    try:
-        h = ray.get_actor(ACTOR_NAME)
-    except ValueError:
-        return
+    h = _WORKER_HANDLE
+    if h is None:
+        import time as _time
+
+        for attempt in range(3):
+            try:
+                h = ray.get_actor(ACTOR_NAME)
+                break
+            except ValueError:
+                if attempt == 2:
+                    return
+                _time.sleep(0.2)
+        _WORKER_HANDLE = h
     h.incr.remote(stage, key, n)
 
 
@@ -68,5 +88,8 @@ def snapshot(reset: bool = False) -> dict:
         return {}
     out = ray.get(h.snapshot.remote())
     if reset:
-        h.reset.remote()
+        # synchronous: a fire-and-forget reset can be delivered AFTER
+        # counters the next run has already incremented, silently
+        # wiping them (observed on back-to-back run_build calls)
+        ray.get(h.reset.remote())
     return out
