@@ -58,6 +58,12 @@ def test_parity(ray_session, name):
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    # dtype equality after normalization: the driver's value hash is
+    # dtype-sensitive, and an int64 column drifting to float64 (the
+    # round-1 asof_join failure) passes a check_dtype=False compare
+    assert [str(d) for d in got.dtypes] == [str(d) for d in want.dtypes], (
+        f"{name}: dtypes {list(got.dtypes)} vs {list(want.dtypes)}"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
 
 
