@@ -901,6 +901,32 @@ def _q_multimodal_resize(sf_dir: str):
     return decode_media(resize_media(ds, 8, 8))
 
 
+
+def _q_knn_batch(sf_dir: str):
+    """Multi-query brute-force top-3: 5 query vectors broadcast as ONE
+    matrix, each corpus batch does a single matmul against all of them
+    (the corpus is scanned once, not once per query). Oracle: per-query
+    exact ranking in SQL with the same (cos desc, vec_id) tie-break."""
+    import pyarrow.parquet as pq
+
+    from biocypher_metta_ray.stages.knn import knn_bruteforce_multi
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(tbl["vec_id"], 5)
+    qrows = tbl.filter(mask)
+    order = np.argsort(qrows["vec_id"].to_numpy(zero_copy_only=False))
+    Q = np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in qrows["embedding"].to_pylist()]
+    )[order]
+    qids = qrows["vec_id"].to_numpy(zero_copy_only=False)[order]
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_bruteforce_multi(ds, Q, k=3, query_ids=qids)
+    return df[["query_id", "vec_id"]].astype(
+        {"query_id": "int64", "vec_id": "int64"}
+    )
+
+
 def _q_knn(sf_dir: str):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     import pyarrow.parquet as pq
@@ -1165,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "knn": _q_knn,
+        "knn_batch": _q_knn_batch,
         "ivf_knn": _q_ivf_knn,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
@@ -1623,6 +1650,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "knn_batch": """
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.embedding)
+                           AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                               e.vec_id ASC) AS rn
+                FROM embeddings e
+                JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON true)
+            WHERE rn <= 3
         """,
         "knn": """
             SELECT vec_id FROM (

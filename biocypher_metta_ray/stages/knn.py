@@ -77,6 +77,71 @@ def knn_bruteforce(
     return df.reset_index(drop=True)
 
 
+def knn_bruteforce_multi(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact top-k cosine for a BATCH of queries: the whole query
+    matrix broadcasts once (``ray.put``), every data batch computes one
+    ``M @ Q.T`` matmul against all queries simultaneously, and only
+    k rows PER QUERY per batch travel to the driver merge — the
+    many-query shape a retrieval/labeling pipeline actually runs
+    (per-query calls re-scan the corpus Q times; this scans once).
+
+    Returns (query_id, vec_id, cos) with k rows per query, sorted by
+    (query_id, -cos, vec_id).
+    """
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+    qids = (np.arange(len(Q)) if query_ids is None
+            else np.asarray(query_ids))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _embedding_matrix(batch, col)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (M @ self.q.T) / norms[:, None]  # (rows, n_queries)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            kk = min(k, len(ids))
+            out_q, out_id, out_cos = [], [], []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                out_q.append(np.full(kk, j, dtype=np.int64))
+                out_id.append(ids[order])
+                out_cos.append(cos[order, j])
+            return pa.table(
+                {
+                    "__q": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "cos": pa.array(
+                        np.round(np.concatenate(out_cos), 6)
+                    ),
+                }
+            )
+
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
+                              concurrency=(1, 2))
+    df = partials.to_pandas()  # tiny: k rows per (block, query)
+    df = (
+        df.sort_values(["__q", "cos", id_col],
+                       ascending=[True, False, True])
+        .groupby("__q", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["query_id"] = qids[df["__q"].to_numpy()]
+    return df[["query_id", id_col, "cos"]]
+
+
 def embedding_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
