@@ -853,6 +853,34 @@ def _q_ivf_knn(sf_dir: str):
     return ivf_knn(ds, qvec, k=10, num_centroids=8, n_probe=8)[["vec_id"]]
 
 
+
+def _q_ivf_index_knn(sf_dir: str):
+    """Top-10 through the MATERIALIZED IVF layout: build the
+    cell-partitioned parquet index under /tmp (atomic swap), then
+    search reading only the probed cells' files
+    (stages/knn.py::build_ivf_index / ivf_index_search). Full probe at
+    this scale for the same reason as ivf_knn (uniform embeddings);
+    real pruning is asserted on clustered data in
+    tests/test_round2_fixes.py::test_ivf_partitioned_index."""
+    import pyarrow.parquet as pq
+
+    from biocypher_metta_ray.stages.knn import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    key = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/graft_ivf_index_{key}"
+    build_ivf_index(ds, idx, num_centroids=8)
+    return ivf_index_search(idx, qvec, k=10, n_probe=8)[["vec_id"]]
+
+
 def _q_multimodal_features(sf_dir: str):
     """Media decode/feature plumbing over a deterministic fake-media
     table sized to the documents table (stubbed codec; rows-only)."""
@@ -1193,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_batch": _q_knn_batch,
         "ivf_knn": _q_ivf_knn,
+        "ivf_index_knn": _q_ivf_index_knn,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
         # OWL ontology family
@@ -1720,6 +1749,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ivf_index_knn": """
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+                FROM embeddings
+                ORDER BY cos DESC, vec_id ASC LIMIT 10)
         """,
         "ivf_knn": """
             SELECT vec_id FROM (

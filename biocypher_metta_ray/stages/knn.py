@@ -409,11 +409,14 @@ def ivf_index_search(
     q = np.asarray(query_vec, dtype=np.float64)
     qd = ((cents - q[None, :]) ** 2).sum(-1)
     probe = np.argsort(qd)[:n_probe]
-    paths = [
-        os.path.join(index_dir, f"cell={int(c)}")
-        for c in probe
-        if os.path.isdir(os.path.join(index_dir, f"cell={int(c)}"))
-    ]
+    import glob as _glob
+
+    paths = []
+    for c in probe:
+        cell_dir = os.path.join(index_dir, f"cell={int(c)}")
+        # expand to files: read_parquet accepts one directory but not a
+        # LIST of directories
+        paths.extend(sorted(_glob.glob(os.path.join(cell_dir, "*.parquet"))))
     if not paths:
         return pd.DataFrame({meta["id_col"]: [], "cos": []})
     ds = ray.data.read_parquet(paths)
