@@ -765,3 +765,99 @@ def web_kg_extractor(
         "nodes": nodes.map_batches(node_props, batch_format="pandas"),
         "edges": edges.map_batches(edge_props, batch_format="pandas"),
     }
+
+
+def rna_central_extractor(
+    bed_path: str,
+    rfam_path: str,
+    label: str = "non_coding_rna",
+    chrom: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> dict:
+    """RNAcentral ncRNA nodes + Rfam GO-annotation edges — the last
+    reference adapter (rna_central_adapter.py:38-74).
+
+    Nodes: BED-ish parse with the +1 0-based -> 1-based shift on both
+    coordinates, node id = the column-3 accession split at ``_``
+    (taxid suffix dropped, NO taxid filter — the reference keeps every
+    node row), ``rna_type`` from column 13. The optional genomic
+    window replicates helpers.check_genomic_location: ``chrom`` must
+    match for any bound to apply; ``start``/``end`` bounds are each
+    applied only when given.
+
+    Edges: 3-column rfam TSV (accession, GO term, Rfam family); only
+    human rows (accession ending ``_9606``) survive, suffix stripped
+    (rna_central_adapter.py:60-74). Both inputs are gzip-transparent
+    via sources.read_lines.
+    """
+    from ..sources.bio_formats import read_lines
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": [], "label": [], "props_json": []})
+        lines = df["text"]
+        if lines.empty:
+            return empty
+        parts = lines.str.split("\t", expand=True)
+        if parts.shape[1] < 14:
+            return empty
+        out = pd.DataFrame(
+            {
+                "id": parts[3].str.split("_").str[0],
+                "chr": parts[0],
+                "start": pd.to_numeric(parts[1], errors="coerce") + 1,
+                "end": pd.to_numeric(parts[2], errors="coerce") + 1,
+                "rna_type": parts[13].str.strip(),
+            }
+        )
+        out = out[out["start"].notna() & out["end"].notna()]
+        if chrom is not None:
+            out = out[out["chr"] == chrom]
+            if start is not None:
+                out = out[out["start"] >= start]
+            if end is not None:
+                out = out[out["end"] <= end]
+        if out.empty:
+            return empty
+        out = out.astype({"start": "int64", "end": "int64"})
+        return pd.DataFrame(
+            {
+                "id": out["id"],
+                "label": label,
+                "props_json": _props_json(
+                    out, ["chr", "start", "end", "rna_type"]
+                ),
+            }
+        )
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"subj": [], "pred": [], "obj": [], "props_json": []}
+        )
+        lines = df["text"]
+        if lines.empty:
+            return empty
+        parts = lines.str.split("\t", expand=True)
+        if parts.shape[1] < 2:
+            return empty
+        keep = parts[0].str.endswith("_9606").fillna(False)
+        parts = parts[keep]
+        if parts.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "subj": parts[0].str.split("_").str[0],
+                "pred": label,
+                "obj": parts[1].str.strip(),
+                "props_json": None,
+            }
+        )
+
+    return {
+        "nodes": read_lines(bed_path).map_batches(
+            to_nodes, batch_format="pandas"
+        ),
+        "edges": read_lines(rfam_path).map_batches(
+            to_edges, batch_format="pandas"
+        ),
+    }

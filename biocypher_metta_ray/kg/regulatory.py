@@ -931,8 +931,10 @@ def dbsuper_extractor(
             return df.drop(columns=["start_hg19", "end_hg19"])
 
     # nodes AND edges consume the lifted rows: materialize once
+    from ..stages.pool import autoscale_pool
+
     lifted = rows.map_batches(
-        LiftBoth, batch_format="pandas", concurrency=(1, 2)
+        LiftBoth, batch_format="pandas", concurrency=autoscale_pool()
     ).materialize()
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:

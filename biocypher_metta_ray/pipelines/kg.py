@@ -18,7 +18,9 @@ Reference flow being reimplemented: create_knowledge_graph.py:49-72
 from __future__ import annotations
 
 import json
+from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -215,30 +217,32 @@ def nodes_from_triples(
     """Distinct (id, label) node set from edge endpoints.
 
     Per-batch distinct then a grouped global distinct — same partial/
-    final shape as dedup_edges.
+    final shape as dedup_edges. The label lookup is KB-scale broadcast
+    state, so the kernel is a STATELESS task function (zero-copy
+    ray.get per batch) — no actor pool to become the throughput
+    ceiling on a large cluster.
     """
-    label_ref = ray.put(label_map)
-
-    class EndpointNodes:
-        def __init__(self):
-            lm = ray.get(label_ref) if not isinstance(label_ref, dict) else label_ref
-            self.ids = pa.array(sorted(lm), type=pa.string())
-            self.labels = pa.array([lm[k] for k in sorted(lm)], type=pa.string())
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = pa.concat_arrays(
-                [
-                    batch["subj"].combine_chunks() if isinstance(batch["subj"], pa.ChunkedArray) else batch["subj"],
-                    batch["obj"].combine_chunks() if isinstance(batch["obj"], pa.ChunkedArray) else batch["obj"],
-                ]
-            )
-            uniq = pc.unique(ids)
-            li = pc.index_in(uniq, self.ids)
-            return pa.table({"id": uniq, "label": self.labels.take(li)})
-
-    uniq = triples_or_edges.map_batches(
-        EndpointNodes, batch_format="pyarrow", concurrency=(1, 2)
+    keys = sorted(label_map)
+    lookup_ref = ray.put(
+        (np.asarray(keys, dtype=object),
+         np.asarray([label_map[k] for k in keys], dtype=object))
     )
+
+    def endpoint_nodes(batch: pa.Table) -> pa.Table:
+        id_np, label_np = ray.get(lookup_ref)
+        ids = pa.concat_arrays(
+            [
+                batch["subj"].combine_chunks() if isinstance(batch["subj"], pa.ChunkedArray) else batch["subj"],
+                batch["obj"].combine_chunks() if isinstance(batch["obj"], pa.ChunkedArray) else batch["obj"],
+            ]
+        )
+        uniq = pc.unique(ids)
+        li = pc.index_in(uniq, pa.array(id_np, type=pa.string()))
+        return pa.table(
+            {"id": uniq, "label": pa.array(label_np, type=pa.string()).take(li)}
+        )
+
+    uniq = triples_or_edges.map_batches(endpoint_nodes, batch_format="pyarrow")
     from ..stages.skew import partitioned_group_map
 
     return partitioned_group_map(
@@ -322,6 +326,19 @@ def materialize_graph(
     return mans
 
 
+@lru_cache(maxsize=8)
+def _worker_renderer(kind: str, schema_path: str):
+    """Per-worker-process renderer cache. Render kernels run as
+    STATELESS tasks (no actor pool to cap a large cluster); the
+    renderer + schema registry build once per worker process here and
+    are reused by every batch that lands on it — same init-once
+    economics as an actor ``__init__`` without the pool-size ceiling."""
+    from ..render import MettaRenderer, PrologRenderer
+
+    cls = MettaRenderer if kind == "metta" else PrologRenderer
+    return cls(SchemaRegistry(schema_path))
+
+
 def render_metta_lines(
     nodes: ray.data.Dataset | None,
     edges: ray.data.Dataset | None,
@@ -330,54 +347,40 @@ def render_metta_lines(
     """nodes/edges datasets -> datasets of rendered MeTTa lines."""
     schema_path = (schema or SchemaRegistry()).schema_path
 
-    class NodeRender:
-        def __init__(self):
-            from ..render import MettaRenderer
+    def node_render(batch: pa.Table) -> pa.Table:
+        r = _worker_renderer("metta", schema_path)
+        ids = batch["id"].to_pylist()
+        labels = batch["label"].to_pylist()
+        props = (
+            batch["props_json"].to_pylist()
+            if "props_json" in batch.column_names
+            else [None] * len(ids)
+        )
+        lines = r.render_node_batch(ids, labels, props)
+        return pa.table({"line": pa.array(lines, pa.string())})
 
-            self.r = MettaRenderer(SchemaRegistry(schema_path))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["id"].to_pylist()
-            labels = batch["label"].to_pylist()
-            props = (
-                batch["props_json"].to_pylist()
-                if "props_json" in batch.column_names
-                else [None] * len(ids)
-            )
-            lines = self.r.render_node_batch(ids, labels, props)
-            return pa.table({"line": pa.array(lines, pa.string())})
-
-    class EdgeRender:
-        def __init__(self):
-            from ..render import MettaRenderer
-
-            self.r = MettaRenderer(SchemaRegistry(schema_path))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            srcs = batch["subj"].to_pylist()
-            dsts = batch["obj"].to_pylist()
-            labels = batch["pred"].to_pylist()
-            if "props_json" in batch.column_names:
-                props = batch["props_json"].to_pylist()
-            elif "n_mentions" in batch.column_names:
-                props = [
-                    json.dumps({"n_mentions": int(n)})
-                    for n in batch["n_mentions"].to_pylist()
-                ]
-            else:
-                props = [None] * len(srcs)
-            lines = self.r.render_edge_batch(srcs, dsts, labels, props)
-            return pa.table({"line": pa.array(lines, pa.string())})
+    def edge_render(batch: pa.Table) -> pa.Table:
+        r = _worker_renderer("metta", schema_path)
+        srcs = batch["subj"].to_pylist()
+        dsts = batch["obj"].to_pylist()
+        labels = batch["pred"].to_pylist()
+        if "props_json" in batch.column_names:
+            props = batch["props_json"].to_pylist()
+        elif "n_mentions" in batch.column_names:
+            props = [
+                json.dumps({"n_mentions": int(n)})
+                for n in batch["n_mentions"].to_pylist()
+            ]
+        else:
+            props = [None] * len(srcs)
+        lines = r.render_edge_batch(srcs, dsts, labels, props)
+        return pa.table({"line": pa.array(lines, pa.string())})
 
     out = {}
     if nodes is not None:
-        out["nodes"] = nodes.map_batches(
-            NodeRender, batch_format="pyarrow", concurrency=(1, 2)
-        )
+        out["nodes"] = nodes.map_batches(node_render, batch_format="pyarrow")
     if edges is not None:
-        out["edges"] = edges.map_batches(
-            EdgeRender, batch_format="pyarrow", concurrency=(1, 2)
-        )
+        out["edges"] = edges.map_batches(edge_render, batch_format="pyarrow")
     return out
 
 
@@ -390,58 +393,44 @@ def render_prolog_lines(
     (render.PrologRenderer; reference prolog_writer.py:85-130)."""
     schema_path = (schema or SchemaRegistry()).schema_path
 
-    class NodeRender:
-        def __init__(self):
-            from ..render import PrologRenderer
+    def node_render(batch: pa.Table) -> pa.Table:
+        r = _worker_renderer("prolog", schema_path)
+        lines: list[str] = []
+        props = (
+            batch["props_json"].to_pylist()
+            if "props_json" in batch.column_names
+            else [None] * len(batch)
+        )
+        for i, lab, pj in zip(
+            batch["id"].to_pylist(), batch["label"].to_pylist(), props
+        ):
+            lines.extend(r.render_node(i, lab, json.loads(pj) if pj else None))
+        return pa.table({"line": pa.array(lines, pa.string())})
 
-            self.r = PrologRenderer(SchemaRegistry(schema_path))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lines: list[str] = []
-            props = (
-                batch["props_json"].to_pylist()
-                if "props_json" in batch.column_names
-                else [None] * len(batch)
+    def edge_render(batch: pa.Table) -> pa.Table:
+        r = _worker_renderer("prolog", schema_path)
+        lines: list[str] = []
+        if "props_json" in batch.column_names:
+            props = batch["props_json"].to_pylist()
+        elif "n_mentions" in batch.column_names:
+            props = [
+                json.dumps({"n_mentions": int(n)})
+                for n in batch["n_mentions"].to_pylist()
+            ]
+        else:
+            props = [None] * len(batch)
+        for s, d, lab, pj in zip(
+            batch["subj"].to_pylist(), batch["obj"].to_pylist(),
+            batch["pred"].to_pylist(), props,
+        ):
+            lines.extend(
+                r.render_edge(s, d, lab, json.loads(pj) if pj else None)
             )
-            for i, lab, pj in zip(
-                batch["id"].to_pylist(), batch["label"].to_pylist(), props
-            ):
-                lines.extend(self.r.render_node(i, lab, json.loads(pj) if pj else None))
-            return pa.table({"line": pa.array(lines, pa.string())})
-
-    class EdgeRender:
-        def __init__(self):
-            from ..render import PrologRenderer
-
-            self.r = PrologRenderer(SchemaRegistry(schema_path))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lines: list[str] = []
-            if "props_json" in batch.column_names:
-                props = batch["props_json"].to_pylist()
-            elif "n_mentions" in batch.column_names:
-                props = [
-                    json.dumps({"n_mentions": int(n)})
-                    for n in batch["n_mentions"].to_pylist()
-                ]
-            else:
-                props = [None] * len(batch)
-            for s, d, lab, pj in zip(
-                batch["subj"].to_pylist(), batch["obj"].to_pylist(),
-                batch["pred"].to_pylist(), props,
-            ):
-                lines.extend(
-                    self.r.render_edge(s, d, lab, json.loads(pj) if pj else None)
-                )
-            return pa.table({"line": pa.array(lines, pa.string())})
+        return pa.table({"line": pa.array(lines, pa.string())})
 
     out = {}
     if nodes is not None:
-        out["nodes"] = nodes.map_batches(
-            NodeRender, batch_format="pyarrow", concurrency=(1, 2)
-        )
+        out["nodes"] = nodes.map_batches(node_render, batch_format="pyarrow")
     if edges is not None:
-        out["edges"] = edges.map_batches(
-            EdgeRender, batch_format="pyarrow", concurrency=(1, 2)
-        )
+        out["edges"] = edges.map_batches(edge_render, batch_format="pyarrow")
     return out

@@ -460,8 +460,10 @@ def ontology_edges(
                 preserve_index=False,
             )
 
+    from ..stages.pool import autoscale_pool
+
     edges = triples.map_batches(
-        EdgeKernel, batch_format="pyarrow", concurrency=(1, 4)
+        EdgeKernel, batch_format="pyarrow", concurrency=autoscale_pool()
     )
 
     from ..stages.skew import partitioned_group_map

@@ -176,14 +176,24 @@ class MinHasher:
                 acc = (acc + self._C[k] * tok_h[first + k]) % _M61
             out_idx = np.repeat(doc_starts[:-1][full], sh_counts[full]) + offs
             out[out_idx] = acc
-        # short docs (0 < len < n): single shingle = mix of all tokens
+        # short docs (0 < len < n): single shingle = mix of all tokens.
+        # Python-int arithmetic with an EXPLICIT 64-bit mask: the
+        # vectorized path above wraps the C*h product and the running
+        # sum mod 2^64 (numpy uint64 array semantics, silent) before
+        # each Mersenne reduction — this replicates those values
+        # bit-for-bit without numpy's scalar-overflow RuntimeWarning.
         short = (~full) & (lengths > 0)
-        for d in np.nonzero(short)[0]:
-            th = tok_h[tok_starts[d]:tok_starts[d + 1]]
-            acc = np.uint64(0)
-            for k, h in enumerate(th):
-                acc = (acc + self._C[k % len(self._C)] * h) % _M61
-            out[doc_starts[d]] = acc
+        if short.any():
+            mask64 = (1 << 64) - 1
+            m61 = (1 << 61) - 1
+            c_int = [int(c) for c in self._C]
+            for d in np.nonzero(short)[0]:
+                th = tok_h[tok_starts[d]:tok_starts[d + 1]]
+                acc = 0
+                for k, h in enumerate(th):
+                    acc = ((acc + (c_int[k % len(c_int)] * int(h) & mask64))
+                           & mask64) % m61
+                out[doc_starts[d]] = acc
         return out, doc_starts
 
     def signatures(self, batch: pa.Table) -> np.ndarray:
@@ -220,19 +230,115 @@ class MinHasher:
         )
 
 
+def _bucket_pairs(
+    g: pd.DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_clique_bucket: int | None,
+    extra_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Candidate pairs from LSH buckets inside ONE hash partition —
+    the shared kernel of the three LSH families (minhash / simhash /
+    embedding hyperplane).
+
+    Buckets of size <= ``max_clique_bucket`` emit the full clique via
+    one vectorized self-merge (exact candidate semantics). Buckets
+    ABOVE the cutoff emit STAR edges only — each member paired with
+    the bucket's min id — so a boilerplate cluster of k identical
+    pages costs O(k) candidate rows, not O(k^2) (a 10^5-row bucket
+    would otherwise emit 5x10^9 pairs from a single partition body).
+    ``max_clique_bucket=None`` always emits cliques (the pair-LIST
+    semantics, where all-pairs IS the requested output).
+
+    Recall note for the star regime: downstream exact verification
+    keeps a star edge only if the member matches the HUB, so two
+    bucket members that are near-dups of each other but not of the
+    hub are not directly linked through this bucket (they usually
+    still connect through other bands/tables or transitively). For
+    connected-component consumers on boilerplate-driven hot buckets
+    (near-identical members) the components are identical to the
+    clique's; that is exactly the regime hot buckets arise from.
+
+    ``extra_cols``: per-row columns to carry onto the pair (suffixed
+    _x/_y by the self-merge; the star path replicates that naming).
+    """
+    extra_cols = extra_cols or []
+    out_cols = (["doc_a", "doc_b"]
+                + [f"{c}_x" for c in extra_cols]
+                + [f"{c}_y" for c in extra_cols])
+
+    def empty() -> pd.DataFrame:
+        # dtype-FAITHFUL empty frame: an object-dtype doc id block
+        # hashes differently from an int64 one in the downstream
+        # hash-partitioned pair join (pd.util.hash_pandas_object), so
+        # an untyped empty here silently drops pairs whole partitions
+        # at a time. Mirror the input partition's dtypes instead.
+        data = {
+            "doc_a": pd.Series([], dtype=g[id_col].dtype),
+            "doc_b": pd.Series([], dtype=g[id_col].dtype),
+        }
+        for c in extra_cols:
+            data[f"{c}_x"] = pd.Series([], dtype=g[c].dtype)
+            data[f"{c}_y"] = pd.Series([], dtype=g[c].dtype)
+        return pd.DataFrame(data)
+
+    g = g[g.duplicated(subset=keys, keep=False)]
+    if g.empty:
+        return empty()
+    parts = []
+    if max_clique_bucket is not None:
+        sizes = g.groupby(keys, sort=False)[id_col].transform("size")
+        hot = (sizes > max_clique_bucket).to_numpy()
+        if hot.any():
+            gh = g[hot]
+            # hub row (min id) per hot bucket, vectorized
+            firsts = gh.sort_values(id_col, kind="mergesort").drop_duplicates(
+                subset=keys
+            )
+            hub_cols = {id_col: "doc_a", **{c: f"{c}_x" for c in extra_cols}}
+            star = gh.merge(
+                firsts[keys + [id_col] + extra_cols].rename(columns=hub_cols),
+                on=keys,
+            )
+            star = star.rename(
+                columns={id_col: "doc_b", **{c: f"{c}_y" for c in extra_cols}}
+            )
+            star = star[star["doc_a"] < star["doc_b"]][out_cols]
+            parts.append(star)
+            g = g[~hot]
+    if not g.empty:
+        m = g.merge(g, on=keys, suffixes=("_x", "_y"))
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        m = m.rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
+        parts.append(m[out_cols])
+    if not parts:
+        return empty()
+    return pd.concat(parts, ignore_index=True).drop_duplicates(
+        subset=["doc_a", "doc_b"]
+    )
+
+
 def minhash_lsh_candidates(
     ds: ray.data.Dataset,
     num_perms: int = 64,
     num_bands: int = 16,
     n_shingle: int = 3,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     distinct: bool = True,
+    max_clique_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """documents -> candidate near-dup pairs (doc_a < doc_b).
 
     ``distinct=False`` skips the global pair-distinct shuffle for
     callers that dedup downstream anyway (verify_jaccard's pair join
-    collapses duplicates in its first partition pass)."""
+    collapses duplicates in its first partition pass).
+
+    ``max_clique_bucket``: hot-bucket cutoff — see :func:`_bucket_pairs`.
+    None (default) = all-pairs cliques, the pair-LIST semantics;
+    connected-component consumers pass a bound so a boilerplate
+    cluster emits O(k) star edges instead of O(k^2) pairs."""
+    from .pool import autoscale_pool
+
     bands = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -241,24 +347,15 @@ def minhash_lsh_candidates(
             "n_shingle": n_shingle,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )
 
     from .skew import partitioned_group_map
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton buckets vectorized, then a self-merge per
-        # bucket yields candidate pairs (C-speed, no per-bucket Python)
-        g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
-        if g.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        m = g.merge(g, on=["band", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return (
-            m[["doc_id_x", "doc_id_y"]]
-            .drop_duplicates()
-            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-        )
+        out = _bucket_pairs(g, ["band", "band_hash"], "doc_id",
+                            max_clique_bucket)
+        return out[["doc_a", "doc_b"]]
 
     cand = partitioned_group_map(
         bands, ["band", "band_hash"], pairs_in_partition, 32, coalesce=64
@@ -371,17 +468,23 @@ def near_dup_groups(
     num_perms: int = 64,
     num_bands: int = 16,
     n_shingle: int = 3,
+    max_clique_bucket: int | None = 256,
 ) -> ray.data.Dataset:
     """Full near-dedup: MinHash-LSH pairs -> connected components ->
     (doc_id, group_id) with group_id = min doc_id of the duplicate
     cluster (deterministic representative election, same min-reduction
     as KG canonicalization). Docs without a near-dup are omitted — the
-    caller keeps them as-is."""
+    caller keeps them as-is.
+
+    CC only needs CONNECTIVITY, never the full clique, so buckets
+    hotter than ``max_clique_bucket`` emit O(k) star edges (see
+    :func:`_bucket_pairs` for the exactness/recall statement)."""
     from .canonicalize import connected_components
 
     pairs = minhash_dedup(
         docs, threshold=threshold, num_perms=num_perms,
         num_bands=num_bands, n_shingle=n_shingle,
+        max_clique_bucket=max_clique_bucket,
     )
 
     def as_edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -414,6 +517,7 @@ def dedup_corpus(
     num_perms: int = 64,
     num_bands: int = 16,
     n_shingle: int = 3,
+    max_clique_bucket: int | None = 256,
 ) -> ray.data.Dataset:
     """End-to-end corpus cleaning: drop near-duplicates, keep one
     representative per cluster (the min doc id — deterministic at any
@@ -427,6 +531,7 @@ def dedup_corpus(
     groups = near_dup_groups(
         docs, threshold=threshold, num_perms=num_perms,
         num_bands=num_bands, n_shingle=n_shingle,
+        max_clique_bucket=max_clique_bucket,
     )
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
@@ -442,15 +547,19 @@ def minhash_dedup(
     num_perms: int = 64,
     num_bands: int = 16,
     n_shingle: int = 3,
+    max_clique_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline -> verified duplicate pairs (doc_a < doc_b,
-    jaccard >= threshold)."""
+    jaccard >= threshold). Default emits the complete verified pair
+    LIST; CC-bound callers bound hot buckets via ``max_clique_bucket``
+    (star edges — see :func:`_bucket_pairs`)."""
     if "text" in docs.schema().names and len(docs.schema().names) > 2:
         cols = [c for c in docs.schema().names if c in ("doc_id", "text")]
         docs = docs.select_columns(cols)
     cand = minhash_lsh_candidates(
         docs, num_perms=num_perms, num_bands=num_bands,
         n_shingle=n_shingle, distinct=False,
+        max_clique_bucket=max_clique_bucket,
     )
     return verify_jaccard(cand, docs, threshold=threshold, n_shingle=n_shingle)
 
@@ -539,27 +648,30 @@ class SimHasher:
 
 def simhash_candidates(
     docs: ray.data.Dataset, num_bands: int = 4, max_hamming: int = 3,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
+    max_clique_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup candidate pairs whose simhash Hamming distance <=
-    max_hamming, found via band-key collisions."""
+    max_hamming, found via band-key collisions.
+
+    Default (``max_clique_bucket=None``) emits the COMPLETE Hamming
+    ball (pigeonhole over bands) — the pair-list semantics. With a
+    bound, hotter buckets emit star edges to the bucket-min doc
+    (O(k) rows; see :func:`_bucket_pairs`) for CC-bound consumers."""
+    from .pool import autoscale_pool
+
     bands = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs={"num_bands": num_bands},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )
 
     from .skew import partitioned_group_map
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated(subset=["band", "band_key"], keep=False)]
-        if g.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        m = g.merge(g, on=["band", "band_key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]].drop_duplicates(
-            subset=["doc_id_x", "doc_id_y"]
-        )
+        m = _bucket_pairs(g, ["band", "band_key"], "doc_id",
+                          max_clique_bucket, extra_cols=["simhash"])
         if m.empty:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         x = m["simhash_x"].to_numpy().astype(np.int64).view(np.uint64)
@@ -571,7 +683,7 @@ def simhash_candidates(
         for shift in range(0, 64, 8):
             ham += lut[((v >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
         out = pd.DataFrame(
-            {"doc_a": m["doc_id_x"], "doc_b": m["doc_id_y"], "hamming": ham}
+            {"doc_a": m["doc_a"], "doc_b": m["doc_b"], "hamming": ham}
         )
         return out[out["hamming"] <= max_hamming]
 

@@ -50,28 +50,29 @@ def knn_bruteforce(
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # stateless task kernel: the broadcast query lives in the object
+        # store once (ray.put above); ray.get per batch is a zero-copy
+        # plasma read of KB-scale state, so no actor pool — the stage
+        # fans out to however many tasks the cluster can run
+        qv = ray.get(q_ref)
+        M = _embedding_matrix(batch, col)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (M @ qv) / norms
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, cos = ids[keep], cos[keep]
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "cos": pa.array(np.round(cos[order], 6)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _embedding_matrix(batch, col)
-            norms = np.linalg.norm(M, axis=1)
-            norms[norms == 0] = 1.0
-            cos = (M @ self.q) / norms
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            if exclude_id is not None:
-                keep = ids != exclude_id
-                ids, cos = ids[keep], cos[keep]
-            order = np.lexsort((ids, -cos))[:k]
-            return pa.table(
-                {
-                    id_col: pa.array(ids[order]),
-                    "cos": pa.array(np.round(cos[order], 6)),
-                }
-            )
-
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 2))
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     df = partials.to_pandas()  # tiny: k rows per block
     df = df.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
@@ -101,35 +102,33 @@ def knn_bruteforce_multi(
     qids = (np.arange(len(Q)) if query_ids is None
             else np.asarray(query_ids))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # stateless task kernel (see knn_bruteforce): broadcast query
+        # matrix read zero-copy from plasma per batch, no actor cap
+        qm = ray.get(q_ref)
+        M = _embedding_matrix(batch, col)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (M @ qm.T) / norms[:, None]  # (rows, n_queries)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        out_q, out_id, out_cos = [], [], []
+        for j in range(cos.shape[1]):
+            order = np.lexsort((ids, -cos[:, j]))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(ids[order])
+            out_cos.append(cos[order, j])
+        return pa.table(
+            {
+                "__q": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cos": pa.array(
+                    np.round(np.concatenate(out_cos), 6)
+                ),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _embedding_matrix(batch, col)
-            norms = np.linalg.norm(M, axis=1)
-            norms[norms == 0] = 1.0
-            cos = (M @ self.q.T) / norms[:, None]  # (rows, n_queries)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            kk = min(k, len(ids))
-            out_q, out_id, out_cos = [], [], []
-            for j in range(cos.shape[1]):
-                order = np.lexsort((ids, -cos[:, j]))[:kk]
-                out_q.append(np.full(kk, j, dtype=np.int64))
-                out_id.append(ids[order])
-                out_cos.append(cos[order, j])
-            return pa.table(
-                {
-                    "__q": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_id)),
-                    "cos": pa.array(
-                        np.round(np.concatenate(out_cos), 6)
-                    ),
-                }
-            )
-
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              concurrency=(1, 2))
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     df = partials.to_pandas()  # tiny: k rows per (block, query)
     df = (
         df.sort_values(["__q", "cos", id_col],
@@ -150,9 +149,16 @@ def embedding_dup_pairs(
     seed: int = 11,
     id_col: str = "vec_id",
     col: str = "embedding",
-    concurrency: int | tuple = (1, 2),
+    concurrency: int | tuple | None = None,
+    max_clique_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Pairs (id_a < id_b) with cosine >= threshold.
+
+    ``max_clique_bucket``: hot-bucket cutoff for CC-bound consumers —
+    buckets above it emit star edges to the bucket-min id instead of
+    the full clique (O(k) candidate rows; exactness/recall statement
+    in stages/dedup.py::_bucket_pairs). Default None = complete pair
+    list.
 
     Scale path — banded multi-table hyperplane LSH:
 
@@ -225,21 +231,20 @@ def embedding_dup_pairs(
                 }
             )
 
+    from .pool import autoscale_pool
+
     banded = ds.map_batches(Bander, batch_format="pyarrow",
-                            concurrency=concurrency)
+                            concurrency=autoscale_pool(concurrency))
+
+    from .dedup import _bucket_pairs
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated(subset=["table", "band_key"], keep=False)]
-        if g.empty:
+        m = _bucket_pairs(g, ["table", "band_key"], id_col,
+                          max_clique_bucket)
+        if m.empty:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        m = g.merge(g, on=["table", "band_key"])
-        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        return (
-            m[[f"{id_col}_x", f"{id_col}_y"]]
-            .drop_duplicates()
-            .rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
-        )
+        return m.rename(columns={"doc_a": "id_a", "doc_b": "id_b"})
 
     cand = partitioned_group_map(
         banded, ["table", "band_key"], pairs_in_partition, 32, coalesce=64
@@ -321,22 +326,21 @@ def _seeded_centroids(
 
 
 def _cell_assigner(cents_ref, col: str):
-    """map_batches class assigning each vector to its nearest centroid
-    (appends an int64 ``cell`` column)."""
+    """Stateless map_batches kernel assigning each vector to its
+    nearest centroid (appends an int64 ``cell`` column). The centroid
+    matrix is KB-scale broadcast state — read zero-copy from plasma
+    per batch, so the stage runs as an uncapped task pool."""
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cents_ref) if not isinstance(
-                cents_ref, np.ndarray) else cents_ref
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref) if not isinstance(
+            cents_ref, np.ndarray) else cents_ref
+        M = _embedding_matrix(batch, col)
+        dist = ((M[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "cell", pa.array(dist.argmin(1).astype(np.int64))
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _embedding_matrix(batch, col)
-            dist = ((M[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
-            return batch.append_column(
-                "cell", pa.array(dist.argmin(1).astype(np.int64))
-            )
-
-    return Assign
+    return assign
 
 
 def build_ivf_index(
@@ -365,7 +369,7 @@ def build_ivf_index(
     cents = _seeded_centroids(ds, num_centroids, seed, col)
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(_cell_assigner(cents_ref, col),
-                              batch_format="pyarrow", concurrency=(1, 2))
+                              batch_format="pyarrow")
     meta = {
         "centroids": cents.tolist(),
         "num_centroids": int(len(cents)),
@@ -451,16 +455,16 @@ def ivf_knn(
     qd = ((cents - q[None, :]) ** 2).sum(-1)
     probe = set(np.argsort(qd)[:n_probe].tolist())
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+    probe_list = sorted(probe)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _embedding_matrix(batch, col)
-            d = ((M[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
-            a = d.argmin(1)
-            keep = np.isin(a, list(probe))
-            return batch.filter(pa.array(keep))
+    def assign_filter(batch: pa.Table) -> pa.Table:
+        # stateless: centroid matrix read zero-copy from plasma
+        c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        M = _embedding_matrix(batch, col)
+        d = ((M[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        keep = np.isin(a, probe_list)
+        return batch.filter(pa.array(keep))
 
-    probed = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 2))
+    probed = ds.map_batches(assign_filter, batch_format="pyarrow")
     return knn_bruteforce(probed, q, k=k, id_col=id_col, col=col)

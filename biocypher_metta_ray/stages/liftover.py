@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from .pool import autoscale_pool
+
 
 def synthetic_chain(seed: int = 42, n_chroms: int = 5, segments: int = 8):
     """Deterministic chain map: per chromosome, ``segments`` intervals
@@ -70,12 +72,12 @@ class Liftover:
 def liftover(
     ds: ray.data.Dataset,
     chain=None,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     **cols,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         Liftover,
         fn_constructor_kwargs={"chain": chain, **cols},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )

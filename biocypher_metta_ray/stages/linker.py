@@ -31,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .pool import autoscale_pool
+
 
 class EntityLinker:
     """Actor-pool stage: text -> linked mentions
@@ -252,7 +254,7 @@ class EntityLinker:
 def link_entities(
     ds,
     entities: pd.DataFrame,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 512,
 ):
     """corpus-with-text -> linked mentions (actor pool: trie + profiles
@@ -269,5 +271,5 @@ def link_entities(
         Pooled,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .pool import autoscale_pool
+
 MAGIC = b"FAKEMEDI"
 KINDS = {0: "image", 1: "audio", 2: "video"}
 
@@ -200,7 +202,7 @@ def resize_media(
     ds: ray.data.Dataset,
     width: int,
     height: int,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Resize stage (small batch_size: payload bytes x batch x pool
@@ -210,13 +212,13 @@ def resize_media(
         fn_constructor_kwargs={"width": width, "height": height},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )
 
 
 def decode_media(
     ds: ray.data.Dataset,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Decode/feature-extract stage. Small batch_size: payload bytes x
@@ -225,14 +227,14 @@ def decode_media(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )
 
 
 def sample_frames(
     ds: ray.data.Dataset,
     every_k: int = 2,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 32,
 ) -> ray.data.Dataset:
     return ds.map_batches(
@@ -240,5 +242,5 @@ def sample_frames(
         fn_constructor_kwargs={"every_k": every_k},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )

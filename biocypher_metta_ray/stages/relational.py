@@ -26,13 +26,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .pool import autoscale_pool
+
 
 def broadcast_join(
     ds: ray.data.Dataset,
     small_df: pd.DataFrame,
     on: str,
     how: str = "inner",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """Join ``ds`` against a small pandas side; the small table is put
     in the object store once and merged per batch inside an actor pool."""
@@ -45,7 +47,7 @@ def broadcast_join(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(Join, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(Join, batch_format="pandas", concurrency=autoscale_pool(concurrency))
 
 
 def semi_join_filter(

@@ -29,6 +29,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from .pool import autoscale_pool
+
 
 def rsid_map_from_vcf(vcf_ds: ray.data.Dataset) -> dict:
     """(chr, pos, id) VCF-parsed dataset -> {rsid: (chr, pos)} dict
@@ -125,7 +127,7 @@ def resolve_rsids(
     ds: ray.data.Dataset,
     index: dict,
     rsid_col: str = "rsid",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """rsid column -> + (chr, pos) columns; the index ships to the
@@ -138,7 +140,7 @@ def resolve_rsids(
 
     return ds.map_batches(
         Pooled, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )
 
 
@@ -148,7 +150,7 @@ def resolve_positions(
     chrom: str,
     pos_cols: tuple[str, ...],
     out_cols: tuple[str, ...],
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     ref = ray.put(index)
@@ -159,5 +161,5 @@ def resolve_positions(
 
     return ds.map_batches(
         Pooled, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool(concurrency),
     )

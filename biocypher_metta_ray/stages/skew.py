@@ -84,15 +84,29 @@ def partitioned_group_map(
 
 
 def top_frequencies(
-    ds: ray.data.Dataset, key_cols: list[str], k: int = 64
+    ds: ray.data.Dataset, key_cols: list[str], k: int = 64,
+    cap_factor: int = 8,
 ) -> pd.DataFrame:
     """Approximate heavy-hitter detection: per-batch partial counts,
-    driver-side merge, top-k. Used to pick salting candidates."""
+    driver-side merge, top-k. Used to pick salting candidates.
+
+    Each batch contributes only its LOCAL top ``cap_factor * k`` keys,
+    so the driver merge is bounded at batches x (cap_factor x k) rows
+    no matter how high the key cardinality — on a 100 TB input an
+    uncapped merge would collect (distinct-keys-per-batch x batches)
+    rows. A key hot enough to matter globally is a local heavy hitter
+    in the batches that hold its mass (pigeonhole over per-batch
+    counts), so true salting candidates survive the cap; counts for
+    keys dropped from some batches are lower bounds, which is the
+    right direction for a skew PROBE (never overestimates heat).
+    """
+    cap = cap_factor * k
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby(key_cols, sort=False).size().reset_index(name="n")
-        )
+        p = df.groupby(key_cols, sort=False).size().reset_index(name="n")
+        if len(p) > cap:
+            p = p.nlargest(cap, "n")
+        return p
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     merged = parts.groupby(key_cols, sort=False)["n"].sum().reset_index()
