@@ -5,6 +5,13 @@ Usage:
     python bench.py --scaling     same job at 8 and 32 CPUs in fresh
                                   subprocesses; prints the two
                                   throughputs + scaling efficiency
+    python bench.py --flagship    CHECKPOINTED materialize_graph end to
+                                  end (stages + graph parquet + MeTTa)
+                                  at sf0.1: cold build, full resume
+                                  (all stages skip), and resume after a
+                                  simulated mid-build kill (one stage
+                                  manifest destroyed) — the shape a
+                                  100 TB run actually executes
 
 Environment:
     GRAFT_SF_DIR          input dir (default /root/testdata/sf0.1)
@@ -189,6 +196,97 @@ def main():
     return result
 
 
+def flagship():
+    """materialize_graph end-to-end with checkpoint/resume rehearsal.
+
+    Three timed phases over the SAME staged corpus and fingerprint:
+
+    - cold:   fresh out_dir; every stage computes, graph parquet +
+              MeTTa scripts written
+    - resume: identical rerun; all three stage manifests match, so the
+              corpus-scale work is SKIPPED and only the final
+              render/write phase re-executes — this is the fixed
+              price a restarted 100 TB run pays
+    - killed: the `edges` stage checkpoint is destroyed mid-"build"
+              (manifest + parquet deleted, the downstream `nodes`
+              checkpoint left intact); the rerun recomputes edges from
+              the surviving triples checkpoint, skips nodes, rewrites
+              outputs
+
+    checkpoint_overhead_sec = cold minus the equivalent un-checkpointed
+    pipeline (headline path, no stage parquet writes) on the same
+    input, same session.
+    """
+    import shutil
+
+    import ray
+    import ray.data
+
+    from biocypher_metta_ray.kg.gazetteer import entities_table
+    from biocypher_metta_ray.pipelines.kg import (
+        canonical_triples, dedup_edges, materialize_graph)
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    factor = int(os.environ.get("GRAFT_BENCH_FLAGSHIP_REPLICATE", "100"))
+    path = staged_corpus_path(SF_DIR, factor)
+    corpus = ray.data.read_parquet(path, override_num_blocks=256)
+    n_docs = corpus.count()
+    entities = ray.data.from_arrow(entities_table())
+
+    out_dir = f"/tmp/graft_flagship_{SF_DIR.strip('/').replace('/', '_')}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    fp = f"flagship-{SF_DIR}-x{factor}"
+
+    def build():
+        t0 = time.perf_counter()
+        materialize_graph(corpus, entities, out_dir, fingerprint=fp)
+        return time.perf_counter() - t0
+
+    cold = build()
+    resume = build()
+
+    # simulated mid-build kill: edges checkpoint gone, triples + nodes
+    # manifests intact — resume must recompute exactly one stage
+    shutil.rmtree(os.path.join(out_dir, "stages", "edges"),
+                  ignore_errors=True)
+    for f in os.listdir(os.path.join(out_dir, "stages")):
+        if f.startswith("edges") and f.endswith(".manifest.json"):
+            os.remove(os.path.join(out_dir, "stages", f))
+    killed = build()
+
+    # un-checkpointed equivalent of the corpus-scale phase
+    t0 = time.perf_counter()
+    dedup_edges(canonical_triples(corpus, entities)[0]).materialize()
+    plain = time.perf_counter() - t0
+
+    result = {
+        "metric": "flagship_cold_sec",
+        "value": round(cold, 3),
+        "unit": "sec",
+        "resume_sec": round(resume, 3),
+        "resume_after_kill_sec": round(killed, 3),
+        "uncheckpointed_sec": round(plain, 3),
+        "checkpoint_overhead_sec": round(cold - plain, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / cold, 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": factor,
+        "out_dir": out_dir,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+    return result
+
+
 _BURN = (
     "import time,sys\n"
     "d=time.time()+float(sys.argv[1])\n"
@@ -299,5 +397,7 @@ def scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--flagship" in sys.argv:
+        flagship()
     else:
         main()

@@ -673,7 +673,15 @@ def simhash_candidates(
         m = _bucket_pairs(g, ["band", "band_key"], "doc_id",
                           max_clique_bucket, extra_cols=["simhash"])
         if m.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            # dtype-faithful empty (see _bucket_pairs.empty): the pair
+            # distinct pass hash-partitions on these columns
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                    "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
         x = m["simhash_x"].to_numpy().astype(np.int64).view(np.uint64)
         y = m["simhash_y"].to_numpy().astype(np.int64).view(np.uint64)
         v = np.bitwise_xor(x, y)

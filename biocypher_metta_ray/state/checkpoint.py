@@ -94,10 +94,21 @@ def run_stage(
     try:
         ds = ds_factory()
         ds.write_parquet(tmp_dir)
-        out = ray.data.read_parquet(tmp_dir)
-        rows = out.count()
-        schema_names = out.schema().names
+        # manifest stats from parquet FOOTERS only — a full read-back
+        # (ray read_parquet + count) re-scans the entire stage output,
+        # which at corpus scale doubles the checkpoint's cost; the
+        # footers carry exact row counts and the schema for free
+        import pyarrow.parquet as _pq
+
         files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        rows = sum(
+            _pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+            for f in files
+        )
+        schema_names = (
+            _pq.ParquetFile(os.path.join(tmp_dir, files[0])).schema_arrow.names
+            if files else []
+        )
         if os.path.isdir(stage_dir):
             shutil.rmtree(stage_dir)
         os.replace(tmp_dir, stage_dir)
