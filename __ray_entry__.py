@@ -697,6 +697,96 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII scrubbing over documents with deterministic PII injected
+    first (the synthetic corpus contains none, so without injection
+    the redaction kernel would be a no-op and the oracle would prove
+    nothing). Injection is part of the QUERY, not the library op;
+    both sides append the same suffix by doc_id % 5."""
+    from biocypher_metta_ray.stages.cleaning import scrub_pii_batch
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = np.select(
+            [ids % 5 == 0, ids % 5 == 1],
+            [" contact alice.b@example.com or 555-123-4567",
+             " from 10.0.0.1 mail x@y.org"],
+            default="",
+        )
+        text = pc.binary_join_element_wise(
+            t["text"], pa.array(suffix.tolist(), type=pa.string()), ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        scrub_pii_batch, batch_format="pyarrow"
+    )
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style per-doc quality statistics; the oracle compares
+    the exact integer counts (ratio floats stay library-side, same
+    policy as `quality`)."""
+    from biocypher_metta_ray.stages.cleaning import gopher_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_stats(ds).select_columns(
+        ["doc_id", "n_words", "n_chars", "n_stop", "top_word_count"]
+    )
+
+
+def _q_dup_ngrams(sf_dir: str):
+    """Per-doc duplicate-3-gram statistics (Gopher repetition signal).
+    Integer columns only; hash-distinct == string-distinct absent a
+    61-bit collision (verified deterministic at the test SFs)."""
+    from biocypher_metta_ray.stages.cleaning import dup_ngram_fraction
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_ngram_fraction(ds, n=3).select_columns(
+        ["doc_id", "n_ngrams", "n_distinct"]
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 8-gram with
+    the 'benchmark' slice (doc_id < 25 of the same corpus — a
+    deterministic stand-in for an eval suite). Broadcast-probe shape:
+    bench hashes collected once, corpus never shuffles."""
+    from biocypher_metta_ray.stages.cleaning import decontaminate
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 25)),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, bench, n=8)
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over a 2-variant-per-doc URL table (the
+    synthetic corpus URL plus a tracking-param#fragment variant and a
+    trailing-slash variant — both canonicalize to the same URL, so
+    the dedup provably collapses rows: 2N in, N out, min id kept)."""
+    from biocypher_metta_ray.stages.cleaning import url_dedup
+    from biocypher_metta_ray.sources.corpus import doc_url
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = [doc_url(s, d)
+                for s, d in zip(t["source"].to_pylist(), ids.tolist())]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids * 2, ids * 2 + 1]), type=pa.int64()),
+            "url": pa.array(
+                [b + "?utm_campaign=x#top" for b in base]
+                + [b + "/" for b in base], type=pa.string()),
+        })
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id + copy count per distinct text."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1295,6 +1385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        # corpus-cleaning family (stages/cleaning.py)
+        "pii_scrub": _q_pii_scrub,
+        "gopher_quality": _q_gopher_quality,
+        "dup_ngrams": _q_dup_ngrams,
+        "decontaminate": _q_decontaminate,
+        "url_dedup": _q_url_dedup,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_corpus": _q_dedup_corpus,
@@ -1409,6 +1505,127 @@ _SIMHASH_CTES = f"""
                     AS BIGINT) AS fp_hi
         FROM bits GROUP BY doc_id)
 """
+
+
+def _cleaning_sql() -> dict[str, str]:
+    """Oracle SQL for the corpus-cleaning family, built FROM the
+    library's own regex constants (stages/cleaning.py) so the SQL and
+    the Arrow kernels cannot drift: pyarrow.compute and DuckDB both
+    run RE2, so the same pattern string is provably the same
+    language. N-gram identity uses strings here vs 61-bit hashes in
+    the kernels — equal absent a collision (verified deterministic at
+    the test SFs; same argument as the Jaccard oracles)."""
+    from biocypher_metta_ray.stages.cleaning import (
+        PII_PATTERNS,
+        URL_CANON_STEPS,
+        _STOP_RE,
+    )
+
+    (em_p, em_r), (ph_p, ph_r), (ip_p, ip_r) = PII_PATTERNS
+    pii = f"""
+        WITH injected AS (
+            SELECT doc_id, text || CASE doc_id % 5
+                WHEN 0 THEN ' contact alice.b@example.com or 555-123-4567'
+                WHEN 1 THEN ' from 10.0.0.1 mail x@y.org'
+                ELSE '' END AS text
+            FROM documents),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{em_p}')) AS c1,
+                   regexp_replace(text, '{em_p}', '{em_r}', 'g') AS t1
+            FROM injected),
+        s2 AS (
+            SELECT doc_id, c1,
+                   len(regexp_extract_all(t1, '{ph_p}')) AS c2,
+                   regexp_replace(t1, '{ph_p}', '{ph_r}', 'g') AS t2
+            FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{ip_p}', '{ip_r}', 'g') AS text,
+               c1 + c2 + len(regexp_extract_all(t2, '{ip_p}')) AS n_pii
+        FROM s2
+    """
+
+    gopher = f"""
+        WITH tc AS (
+            SELECT doc_id, max(c) AS top_word_count FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w)
+            GROUP BY doc_id)
+        SELECT d.doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{_STOP_RE}')) AS n_stop,
+               tc.top_word_count
+        FROM documents d JOIN tc USING (doc_id)
+    """
+
+    def grams_cte(n: int) -> str:
+        # word n-grams with the dedup family's <n-token
+        # single-shingle rule (stages/dedup.py _doc_shingles)
+        return f"""
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ws, i, i + {n - 1}), ' ')
+                       AS gram
+            FROM w, unnest(generate_series(1, nw - {n - 1})) AS t(i)
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') FROM w
+            WHERE nw > 0 AND nw < {n})"""
+
+    dup_ngrams = f"""
+        WITH {grams_cte(3)},
+        d AS (SELECT doc_id, count(DISTINCT gram) AS nd
+              FROM g GROUP BY doc_id)
+        SELECT w.doc_id,
+               CASE WHEN nw >= 3 THEN nw - 2
+                    WHEN nw > 0 THEN 1 ELSE 0 END AS n_ngrams,
+               coalesce(d.nd, 0) AS n_distinct
+        FROM w LEFT JOIN d USING (doc_id)
+    """
+
+    decon = f"""
+        WITH {grams_cte(8)},
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+        h AS (SELECT g.doc_id, count(*) AS c
+              FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+        SELECT w.doc_id, coalesce(h.c, 0) AS n_overlap,
+               coalesce(h.c, 0) > 0 AS contaminated
+        FROM w LEFT JOIN h USING (doc_id)
+    """
+
+    canon = "url"
+    for pat, repl in URL_CANON_STEPS:
+        canon = f"regexp_replace({canon}, '{pat}', '{repl}', 'g')"
+    url_dedup = f"""
+        WITH rows AS (
+            SELECT d.doc_id * 2 + v AS doc_id,
+                   'https://' || source || '.example/doc/' ||
+                       CAST(d.doc_id AS VARCHAR) ||
+                       CASE WHEN v = 0 THEN '?utm_campaign=x#top'
+                            ELSE '/' END AS url
+            FROM documents d, (VALUES (0), (1)) t(v)),
+        c AS (SELECT doc_id, url, lower({canon}) AS canonical_url
+              FROM rows)
+        SELECT doc_id, url, canonical_url FROM (
+            SELECT c.*, row_number() OVER (
+                PARTITION BY canonical_url ORDER BY doc_id) AS rn
+            FROM c)
+        WHERE rn = 1
+    """
+
+    return {
+        "pii_scrub": pii,
+        "gopher_quality": gopher,
+        "dup_ngrams": dup_ngrams,
+        "decontaminate": decon,
+        "url_dedup": url_dedup,
+    }
 
 
 def _multimodal_values_sql() -> str:
@@ -1757,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
             FROM documents GROUP BY text
         """,
+        **_cleaning_sql(),
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

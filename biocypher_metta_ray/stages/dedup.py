@@ -119,10 +119,14 @@ class MinHasher:
     Python, no per-doc loop.
     """
 
-    # positional mixing constants for n-gram combination
+    # positional mixing constants for n-gram combination (extending
+    # this list is value-preserving for smaller n: position k always
+    # uses _C[k], so n<=5 hashes are unchanged by entries 5-7, which
+    # exist for the longer shingles decontamination uses)
     _C = np.array(
         [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xD6E8FEB86659FD93,
+         0xA5A5A5A5A5A5A5A5, 0x0123456789ABCDEF], dtype=np.uint64
     )
 
     def __init__(self, num_perms: int = 64, num_bands: int = 16,
