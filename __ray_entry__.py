@@ -787,6 +787,49 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
 
 
+def _q_span_dedup(sf_dir: str):
+    """Corpus-level exact span dedup (Lee et al. 2021 windowed form):
+    3-word windows, first occurrence (min doc_id, span_no) wins, docs
+    reassembled from survivors. width=3 so the synthetic corpus
+    actually collides (~18% of windows are repeats at sf0.01; real
+    corpora use 8+)."""
+    from biocypher_metta_ray.stages.cleaning import span_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup(ds, width=3)
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact per-group p50/p90 (quantile_cont semantics) of lineitem
+    quantity by returnflag — the non-decomposable aggregate: values
+    co-locate by key, one pruned-column shuffle."""
+    from biocypher_metta_ray.stages.relational import grouped_quantiles
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_quantiles(ds, ["l_returnflag"], "l_quantity", (0.5, 0.9))
+
+
+def _q_distinct_count(sf_dir: str):
+    """Exact distributed distinct count (per-batch dedup shrinks the
+    shuffle to distinct-per-block first)."""
+    from biocypher_metta_ray.stages.sketch import distinct_count
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    return distinct_count(ds, ["l_partkey"])
+
+
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over lineitem part keys — the
+    sketch itself is the oracle target: deterministic md5 hashing
+    means DuckDB recomputes every (register, max rho) row bit-for-bit
+    (the estimator over these registers is checked by error bound in
+    tests/test_sketch.py)."""
+    from biocypher_metta_ray.stages.sketch import hll_registers
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    return hll_registers(ds, "l_partkey")
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id + copy count per distinct text."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1366,10 +1409,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_events": _q_grouped_events,
         "latest_event": _q_latest_event,
         "top_k": _q_top_k,
+        "grouped_quantiles": _q_grouped_quantiles,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "union_nodes": _q_union_nodes,
         "distinct_docs": _q_distinct_docs,
+        "distinct_count": _q_distinct_count,
+        "hll_registers": _q_hll_registers,
         "parse_props": _q_parse_props,
         "bucket_join": _q_bucket_join,
         "asof_join": _q_asof_join,
@@ -1391,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "decontaminate": _q_decontaminate,
         "url_dedup": _q_url_dedup,
+        "span_dedup": _q_span_dedup,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_corpus": _q_dedup_corpus,
@@ -1619,12 +1666,30 @@ def _cleaning_sql() -> dict[str, str]:
         WHERE rn = 1
     """
 
+    # non-overlapping 3-word windows, 1-based list_slice; the window
+    # grammar, first-wins rule and reassembly order mirror
+    # cleaning.span_dedup literally
+    span_dedup = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                          len(string_split(text, ' ')) AS nw
+                   FROM documents),
+        s AS (SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS span_no,
+                     array_to_string(list_slice(ws, i, i + 2), ' ') AS span
+              FROM w, unnest(generate_series(1, nw, 3)) AS t(i)),
+        k AS (SELECT doc_id, span_no, span FROM s
+              QUALIFY row_number() OVER (
+                  PARTITION BY span ORDER BY doc_id, span_no) = 1)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_no) AS text
+        FROM k GROUP BY doc_id
+    """
+
     return {
         "pii_scrub": pii,
         "gopher_quality": gopher,
         "dup_ngrams": dup_ngrams,
         "decontaminate": decon,
         "url_dedup": url_dedup,
+        "span_dedup": span_dedup,
     }
 
 
@@ -1975,6 +2040,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         **_cleaning_sql(),
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "distinct_count": """
+            SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        # the HLL sketch recomputed bit-for-bit: register = top 12
+        # bits of the md5-derived hash64 ('hll:' salt, same nibble
+        # assembly as hash_split), rho = 1 + leading zeros of the
+        # remaining 52 bits via integer bin()-length (never float
+        # log2 — see sketch._bit_length_u64)
+        "hll_registers": """
+            WITH v AS (SELECT DISTINCT
+                           'hll:' || CAST(l_partkey AS VARCHAR) AS s
+                       FROM lineitem),
+            h AS (SELECT
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                  FROM v),
+            r AS (SELECT hi >> 20 AS register,
+                         53 - length(ltrim(bin(((hi & 1048575) << 32) | lo), '0')) AS rho
+                  FROM h)
+            SELECT register, max(rho) AS rho FROM r GROUP BY register
+        """,
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -250,6 +250,85 @@ def canonical_url_batch(
     return batch.append_column(out_col, u)
 
 
+def explode_spans(
+    ds: ray.data.Dataset,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """One row per NON-OVERLAPPING ``width``-word window of each doc:
+    (id, span_no, span). The final window keeps its natural length
+    (1..width words) so reassembly is lossless. Stateless per-batch
+    explode — pandas split/explode is the C path for this shape."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].str.split(" ")
+        n = words.str.len().to_numpy()
+        n_spans = -(-n // width)
+        didx = np.repeat(np.arange(len(df)), n_spans)
+        spans, span_nos = [], []
+        for ws in words:
+            spans.extend(
+                " ".join(ws[i : i + width])
+                for i in range(0, len(ws), width)
+            )
+        for k in n_spans:
+            span_nos.extend(range(k))
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[didx],
+                "span_no": pd.array(span_nos, dtype="int64"),
+                "span": spans,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Corpus-level EXACT span dedup (the windowed form of Lee et al.
+    2021, 'Deduplicating Training Data Makes Language Models Better' —
+    public paper): every ``width``-word window that appears more than
+    once ANYWHERE in the corpus survives only at its globally-first
+    occurrence (min (id, span_no) — deterministic at any parallelism);
+    later occurrences are cut and each doc is reassembled from its
+    surviving windows. Docs reduced to nothing disappear.
+
+    Scale shape: explode → ONE hash-partitioned pass over spans (all
+    occurrences of a span co-locate, so election and filtering happen
+    in the same partition body — no winners broadcast, which would be
+    corpus-scale) → one groupby(id) reassembly. Two shuffles, both
+    inherent: the survivor set is the same order as the corpus. The
+    MinHash/SimHash family (stages/dedup.py) removes whole near-dup
+    DOCS; this removes repeated PASSAGES from docs that otherwise
+    stay."""
+    from .skew import partitioned_group_map
+
+    spans = explode_spans(ds, width, id_col=id_col, text_col=text_col)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            [id_col, "span_no"], kind="mergesort"
+        ).drop_duplicates(subset=["span"])
+
+    kept = partitioned_group_map(spans, ["span"], keep_first, num_partitions)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "span_no"], kind="mergesort")
+        joined = g.groupby(id_col, sort=False)["span"].agg(" ".join)
+        return pd.DataFrame(
+            {id_col: joined.index.to_numpy(), text_col: joined.to_numpy()}
+        )
+
+    return partitioned_group_map(kept, [id_col], reassemble, num_partitions)
+
+
 def url_dedup(
     ds: ray.data.Dataset,
     url_col: str = "url",

@@ -163,6 +163,47 @@ def stratified_sample(
     return partitioned_group_map(ds, group_cols, body, num_partitions)
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles, linear interpolation (numpy/pandas
+    ``interpolation='linear'`` == ANSI ``quantile_cont`` — verified
+    value-identical against DuckDB in the oracle suite). Output
+    columns ``p50``-style, float64.
+
+    Exact quantiles are not decomposable, so every value of a group
+    must co-locate: one hash-partitioned shuffle of (keys, value) —
+    select the two columns before calling so nothing else moves —
+    then a vectorized ``groupby().quantile`` per partition. Right for
+    dimension-cardinality keys over fact-scale values (the worst
+    single group must fit a worker); a corpus-scale single group
+    needs a mergeable quantile sketch instead — the trade is the
+    caller's, same contract as sketch.hll_count_distinct vs exact
+    distinct."""
+    from .skew import partitioned_group_map
+
+    names = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(group_cols, sort=False)[value_col]
+        out = {
+            name: gb.quantile(q, interpolation="linear").astype("float64")
+            for name, q in zip(names, qs)
+        }
+        return pd.DataFrame(out).reset_index()
+
+    return partitioned_group_map(
+        ds.select_columns([*group_cols, value_col]),
+        group_cols,
+        body,
+        num_partitions,
+    )
+
+
 def hash_split(
     ds: ray.data.Dataset,
     key_col: str,

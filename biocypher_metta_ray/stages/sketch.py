@@ -1,0 +1,136 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+At 100 TB, "how many distinct X" is itself a hard query: exact
+distinct needs an all-to-all shuffle of every key, while a sketch
+needs one streaming pass and a constant-size merge. This module holds
+the sketch family; the exact counterparts live in
+``stages/relational.py`` (``distinct``) so callers can trade a
+shuffle for an error bound explicitly.
+
+HyperLogLog here is fully deterministic (md5-based ``hash64`` — the
+same hash the dedup/split stages use, helpers.py:92) so the register
+table is reproducible across runs, partitionings and cluster sizes,
+and — unusually for a sketch — verifiable bit-for-bit in ANSI SQL:
+DuckDB recomputes every register from ``md5()`` nibbles and
+``bin()``-based bit lengths (see ``oracle_sql()['hll_registers']``).
+
+Scale shape: per-batch register partials are emitted as AT MOST
+``m=4096`` (register, rho) rows regardless of batch size, then one
+tiny ``groupby(register).max(rho)`` merges them — the shuffle moves
+O(m × num_blocks) rows of two int64s, never the data. The estimator
+(raw HLL + linear-counting branch, Flajolet et al. 2007) runs on the
+driver over ≤4096 rows.
+
+No counterpart in the reference (single-process generators never
+needed cardinality estimates; its dedup is delegated upstream,
+config/biocypher_config.yaml:12) — this is the 100 TB-native
+extension.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# p=12 -> m=4096 registers -> ~1.04/sqrt(m) = 1.6% standard error.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_MASK52 = np.uint64((1 << 52) - 1)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 values (no float log2:
+    doubles round log2(2^k - 1) up to k near the 52-bit edge, which
+    would disagree with the oracle's integer ``length(bin(w))``)."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << s)
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    return bl + (v > 0)
+
+
+def hll_register_rows(values: pa.Array | list[str]) -> pd.DataFrame:
+    """(register, rho) partial for one batch of ALREADY-SALTED string
+    values: register = top 12 bits of hash64, rho = 1 + leading zeros
+    of the remaining 52 bits (53 when they are all zero). At most one
+    row per register per batch."""
+    from ..functions.helpers import hash64_column
+
+    h = hash64_column(values)
+    j = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h & _MASK52
+    rho = (53 - _bit_length_u64(w)).astype(np.int64)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, j, rho)
+    nz = np.nonzero(regs)[0]
+    return pd.DataFrame(
+        {"register": nz.astype("int64"), "rho": regs[nz]}
+    )
+
+
+def hll_registers(
+    ds: ray.data.Dataset, col: str, salt: str = "hll"
+) -> ray.data.Dataset:
+    """Merged HLL register table for ``col``: rows (register, rho),
+    one per register that saw at least one value, sorted by register.
+
+    The salt namespaces the hash so two sketches over the same column
+    never alias (same contract as ``hash_split``)."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = [f"{salt}:{v}" for v in batch[col].to_pylist()]
+        return hll_register_rows(pa.array(vals, type=pa.string()))
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .sort("register")
+    )
+
+
+def hll_estimate(registers: pd.DataFrame) -> float:
+    """Flajolet et al. 2007 estimator over a merged register table:
+    raw harmonic-mean estimate with the small-range linear-counting
+    correction (the only regime the correction tables matter for at
+    our m). Registers absent from the table are zero."""
+    m = HLL_M
+    rho = np.zeros(m, dtype=np.int64)
+    rho[registers["register"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    zeros = int(np.sum(rho == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return float(raw)
+
+
+def hll_count_distinct(
+    ds: ray.data.Dataset, col: str, salt: str = "hll"
+) -> float:
+    """Approximate distinct count of ``col`` in one streaming pass +
+    one O(m)-row merge. ~1.6% standard error at p=12."""
+    regs = hll_registers(ds, col, salt=salt).to_pandas()
+    return hll_estimate(regs)
+
+
+def distinct_count(
+    ds: ray.data.Dataset, cols: list[str], shuffle_partitions: int = 16
+) -> pd.DataFrame:
+    """EXACT distinct count: per-batch dedup shrinks the shuffle to
+    distinct-per-block before the grouped count (relational.distinct),
+    then a driver count over the (already tiny) key-per-row result.
+    Use the HLL path when 1.6% error is acceptable — it never shuffles
+    keys at all."""
+    from .relational import distinct
+
+    n = distinct(ds, cols, shuffle_partitions=shuffle_partitions).count()
+    return pd.DataFrame({"n_distinct": np.array([n], dtype=np.int64)})

@@ -1,0 +1,124 @@
+"""Sketch + new-aggregate semantics: exact vectorized bit_length,
+HLL estimate error bound, partition invariance (mergeability), exact
+distinct, grouped quantiles, span dedup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from biocypher_metta_ray.stages.sketch import (
+    _bit_length_u64,
+    distinct_count,
+    hll_count_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_bit_length_u64_exact():
+    edge = np.array(
+        [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 61) - 1, (1 << 64) - 1],
+        dtype=np.uint64,
+    )
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 1 << 63, size=500, dtype=np.uint64)
+    w = np.concatenate([edge, rand])
+    got = _bit_length_u64(w)
+    want = np.array([int(x).bit_length() for x in w], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def _values_ds(n: int, blocks: int) -> ray.data.Dataset:
+    df = pd.DataFrame({"v": [f"val-{i}" for i in range(n)]})
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def test_hll_estimate_within_bound(ray_session):
+    n = 10_000
+    est = hll_count_distinct(_values_ds(n, 8), "v")
+    assert abs(est - n) / n < 0.05  # p=12 -> 1.6% std err; 3 sigma
+
+
+def test_hll_partition_invariant(ray_session):
+    """Register tables are mergeable state: any partitioning of the
+    same values yields the SAME registers (the property that makes
+    the sketch safe at any cluster size)."""
+    a = hll_registers(_values_ds(3000, 2), "v").to_pandas()
+    b = hll_registers(_values_ds(3000, 17), "v").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_duplicates_dont_count(ray_session):
+    once = hll_registers(_values_ds(500, 3), "v").to_pandas()
+    df = pd.DataFrame({"v": [f"val-{i % 500}" for i in range(5000)]})
+    dup = hll_registers(
+        ray.data.from_pandas(df).repartition(5), "v"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(once, dup)
+    assert abs(hll_estimate(dup) - 500) / 500 < 0.05
+
+
+def test_distinct_count_exact(ray_session):
+    df = pd.DataFrame({"k": [i % 37 for i in range(1000)]})
+    out = distinct_count(ray.data.from_pandas(df).repartition(4), ["k"])
+    assert out["n_distinct"].tolist() == [37]
+    assert str(out["n_distinct"].dtype) == "int64"
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    from biocypher_metta_ray.stages.relational import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 5, 400), "x": rng.normal(size=400)}
+    )
+    out = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(6), ["g"], "x", (0.5, 0.9)
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        vals = df.loc[df["g"] == row["g"], "x"].to_numpy()
+        assert row["p50"] == pytest.approx(np.quantile(vals, 0.5))
+        assert row["p90"] == pytest.approx(np.quantile(vals, 0.9))
+
+
+def test_span_dedup_semantics(ray_session):
+    from biocypher_metta_ray.stages.cleaning import span_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f",      # spans: "a b c", "d e f"
+                "a b c x y z",      # "a b c" is a repeat -> "x y z"
+                "d e f",            # whole doc is a repeat -> dropped
+                "p q",              # short tail window, unique -> kept
+            ],
+        }
+    )
+    out = (
+        span_dedup(ray.data.from_pandas(df).repartition(3), width=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["text"].tolist() == ["a b c d e f", "x y z", "p q"]
+
+
+def test_explode_spans_tail_window(ray_session):
+    from biocypher_metta_ray.stages.cleaning import explode_spans
+
+    df = pd.DataFrame({"doc_id": [7], "text": ["w1 w2 w3 w4 w5"]})
+    out = (
+        explode_spans(ray.data.from_pandas(df), width=2)
+        .to_pandas()
+        .sort_values("span_no")
+    )
+    assert out["span"].tolist() == ["w1 w2", "w3 w4", "w5"]
+    assert out["span_no"].tolist() == [0, 1, 2]
