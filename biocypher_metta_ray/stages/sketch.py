@@ -122,6 +122,105 @@ def hll_count_distinct(
     return hll_estimate(regs)
 
 
+def _equi_depth_compact(
+    v: np.ndarray, w: np.ndarray, s: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted values to ``s`` equi-depth representatives:
+    sort, take the value at each weight-1/s boundary, give each weight
+    W/s. One compaction adds at most W/s weighted-rank error; inputs
+    already at or under ``s`` rows pass through exact."""
+    if len(v) <= s:
+        return v, w
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = total * (np.arange(1, s + 1, dtype=np.float64) / s)
+    idx = np.minimum(
+        np.searchsorted(cum, targets - 1e-9 * total, side="left"),
+        len(v) - 1,
+    )
+    return v[idx], np.full(s, total / s)
+
+
+def quantile_summary(
+    ds: ray.data.Dataset,
+    col: str,
+    s: int = 256,
+    merge_partitions: int = 8,
+) -> pd.DataFrame:
+    """Mergeable quantile summary of ``col``: ≤ ``s`` (value, weight)
+    rows whose weighted CDF tracks the exact one within
+    ~(levels/s) rank error (3 levels here → ≲1.2% at s=256).
+
+    This is the decomposable counterpart the exact
+    ``relational.grouped_quantiles`` docstring points at: per-block
+    equi-depth summaries (map_batches, O(s) rows out per block
+    regardless of block size) → one bounded repartition of the tiny
+    summaries → per-partition compaction → a driver compaction over
+    ≤ merge_partitions × s rows. The data itself never shuffles; at
+    deeper scale add more compaction levels, each costs 1/s error.
+    Deterministic for a given block layout (compaction boundaries
+    depend on where blocks fall — unlike the HLL sketch this is NOT
+    partition-invariant; the error bound is the contract, tested in
+    tests/test_sketch.py)."""
+
+    def summarize(batch: pa.Table) -> pd.DataFrame:
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v, w = _equi_depth_compact(
+            vals, np.ones(len(vals), dtype=np.float64), s
+        )
+        return pd.DataFrame({"value": v, "weight": w})
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        v, w = _equi_depth_compact(
+            df["value"].to_numpy(), df["weight"].to_numpy(), s
+        )
+        return pd.DataFrame({"value": v, "weight": w})
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(summarize, batch_format="pyarrow")
+        .repartition(merge_partitions)
+        .map_batches(compact, batch_format="pandas")
+        .to_pandas()
+    )
+    v, w = _equi_depth_compact(
+        parts["value"].to_numpy(), parts["weight"].to_numpy(), s
+    )
+    return pd.DataFrame({"value": v, "weight": w})
+
+
+def summary_quantile(summary: pd.DataFrame, q: float) -> float:
+    """Weighted lower quantile over a (value, weight) summary."""
+    v = summary["value"].to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    v = v[order]
+    cum = np.cumsum(summary["weight"].to_numpy()[order])
+    i = int(np.searchsorted(cum, q * cum[-1], side="left"))
+    return float(v[min(i, len(v) - 1)])
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 256,
+) -> pd.DataFrame:
+    """One-row frame of approximate global quantiles of ``col`` —
+    the sketch path for the corpus-scale-single-group regime where
+    exact co-location is impossible."""
+    summary = quantile_summary(ds, col, s=s)
+    return pd.DataFrame(
+        {
+            f"p{int(round(q * 100)):02d}": np.array(
+                [summary_quantile(summary, q)], dtype=np.float64
+            )
+            for q in qs
+        }
+    )
+
+
 def distinct_count(
     ds: ray.data.Dataset, cols: list[str], shuffle_partitions: int = 16
 ) -> pd.DataFrame:

@@ -59,6 +59,47 @@ def test_hll_duplicates_dont_count(ray_session):
     assert abs(hll_estimate(dup) - 500) / 500 < 0.05
 
 
+def test_quantile_summary_rank_error(ray_session):
+    """Weighted-rank error of every estimated quantile stays within
+    the documented ~levels/s bound (2.5% at s=256 with margin), on a
+    heavily skewed distribution."""
+    from biocypher_metta_ray.stages.sketch import (
+        approx_quantiles,
+        quantile_summary,
+        summary_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.lognormal(mean=2.0, sigma=1.5, size=100_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": x})).repartition(23)
+    summary = quantile_summary(ds, "x", s=256)
+    assert len(summary) <= 256
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = summary_quantile(summary, q)
+        rank = np.searchsorted(xs, est) / len(xs)
+        assert abs(rank - q) < 0.025, (q, rank)
+    one_row = approx_quantiles(ds, "x", (0.5, 0.9))
+    assert list(one_row.columns) == ["p50", "p90"]
+    assert len(one_row) == 1
+
+
+def test_quantile_summary_small_input_exact(ray_session):
+    """Inputs under s rows never compact: the summary IS the data and
+    quantiles are exact (lower order statistic)."""
+    from biocypher_metta_ray.stages.sketch import (
+        quantile_summary,
+        summary_quantile,
+    )
+
+    vals = np.arange(100, dtype=np.float64)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+    summary = quantile_summary(ds, "x", s=256)
+    assert summary["weight"].sum() == 100
+    assert summary_quantile(summary, 0.5) == 49.0
+    assert summary_quantile(summary, 1.0) == 99.0
+
+
 def test_distinct_count_exact(ray_session):
     df = pd.DataFrame({"k": [i % 37 for i in range(1000)]})
     out = distinct_count(ray.data.from_pandas(df).repartition(4), ["k"])
