@@ -787,6 +787,25 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
 
 
+def _q_doc_freq(sf_dir: str):
+    """Corpus document-frequency/IDF table (the TF-IDF/BM25 building
+    block): per-doc distinct tokens are exact within the batch, so
+    only the vocabulary-sized partials shuffle."""
+    from biocypher_metta_ray.stages.text_stats import token_doc_freq
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_doc_freq(ds)
+
+
+def _q_chunk_docs(sf_dir: str):
+    """RAG-style overlapping chunking: 16-word windows every 12 words
+    (overlap 4), per-doc and stateless."""
+    from biocypher_metta_ray.stages.text_stats import chunk_docs
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_docs(ds, chunk_words=16, overlap=4)
+
+
 def _q_span_dedup(sf_dir: str):
     """Corpus-level exact span dedup (Lee et al. 2021 windowed form):
     3-word windows, first occurrence (min doc_id, span_no) wins, docs
@@ -1431,6 +1450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "doc_freq": _q_doc_freq,
+        "chunk_docs": _q_chunk_docs,
         # corpus-cleaning family (stages/cleaning.py)
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
@@ -2040,6 +2061,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         **_cleaning_sql(),
+        # idf = ln((1+N)/(1+df)) + 1, rounded 6 — the smoothed
+        # sklearn form, stated in text_stats.token_doc_freq
+        "doc_freq": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            d AS (SELECT DISTINCT doc_id, token FROM t),
+            f AS (SELECT token, count(*) AS df FROM d GROUP BY token)
+            SELECT token, df,
+                   round(ln((1 + (SELECT count(*) FROM documents)) / (1 + df)) + 1, 6) AS idf
+            FROM f
+        """,
+        "chunk_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents)
+            SELECT doc_id, CAST((i - 1) // 12 AS BIGINT) AS chunk_no,
+                   array_to_string(list_slice(ws, i, i + 15), ' ') AS chunk
+            FROM w, unnest(generate_series(1, nw, 12)) AS t(i)
+        """,
         "grouped_quantiles": """
             SELECT l_returnflag,
                    CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,

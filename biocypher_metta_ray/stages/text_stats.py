@@ -137,3 +137,110 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint": pa.array(digests, pa.string()),
         }
     )
+
+
+def token_doc_freq(
+    ds, text_col: str = "text", min_df: int = 1
+):
+    """Corpus-level document-frequency table: (token, df, idf) — the
+    shared statistic behind TF-IDF rerankers (the linker keeps a
+    per-entity-profile IDF in stages/linker.py:74; this is the
+    corpus-wide counterpart an offline reranker or BM25 index builds
+    from). idf = ln((1 + N) / (1 + df)) + 1 (the smoothed sklearn
+    form, stated here because the oracle recomputes it literally).
+
+    Scale shape: a doc is one row, so per-doc DISTINCT tokens are
+    exact within the batch (token codes + per-doc segment unique — no
+    global distinct pass); per-batch partial df counts then ONE small
+    groupby-sum over the vocabulary. The corpus never shuffles; the
+    vocab table does (bounded by vocab size, not corpus size).
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401  (ds is a ray.data.Dataset)
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        uniq = pc.unique(flat)
+        codes = pc.index_in(flat, uniq).to_numpy(zero_copy_only=False)
+        didx = np.repeat(
+            np.arange(len(batch), dtype=np.int64), lengths
+        )
+        pair = np.unique(didx * np.int64(len(uniq)) + codes)
+        code_per_doc = pair % np.int64(len(uniq))
+        code_ids, counts = np.unique(code_per_doc, return_counts=True)
+        return pd.DataFrame(
+            {
+                "token": uniq.take(pa.array(code_ids)).to_pylist(),
+                "df": counts.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["df"] >= min_df].copy()
+        df["idf"] = np.round(
+            np.log((1.0 + n_docs) / (1.0 + df["df"].to_numpy())) + 1.0, 6
+        )
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def chunk_docs_batch(
+    batch: pa.Table,
+    chunk_words: int,
+    overlap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """RAG-style chunking: windows of ``chunk_words`` words starting
+    every ``chunk_words - overlap`` words (the last window may be
+    shorter; a window is emitted only if it starts inside the doc).
+    Per-doc and stateless — embarrassingly parallel."""
+    import pandas as pd
+
+    step = chunk_words - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < chunk_words")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_nos, out_txt = [], [], []
+    for did, text in zip(ids, batch[text_col].to_pylist()):
+        ws = text.split(" ")
+        for no, start in enumerate(range(0, len(ws), step)):
+            out_ids.append(did)
+            out_nos.append(no)
+            out_txt.append(" ".join(ws[start : start + chunk_words]))
+    return pd.DataFrame(
+        {
+            id_col: np.array(out_ids, dtype=ids.dtype),
+            "chunk_no": np.array(out_nos, dtype=np.int64),
+            "chunk": out_txt,
+        }
+    )
+
+
+def chunk_docs(
+    ds,
+    chunk_words: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    return ds.map_batches(
+        lambda b: chunk_docs_batch(
+            b, chunk_words, overlap, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )

@@ -152,6 +152,48 @@ def test_span_dedup_semantics(ray_session):
     assert out["text"].tolist() == ["a b c d e f", "x y z", "p q"]
 
 
+def test_chunk_docs_overlap(ray_session):
+    from biocypher_metta_ray.stages.text_stats import chunk_docs
+
+    df = pd.DataFrame(
+        {"doc_id": [1], "text": ["w0 w1 w2 w3 w4 w5 w6"]}
+    )
+    out = (
+        chunk_docs(ray.data.from_pandas(df), chunk_words=4, overlap=2)
+        .to_pandas()
+        .sort_values("chunk_no")
+    )
+    # step=2: windows start at 0,2,4,6; last two are short tails
+    assert out["chunk"].tolist() == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6", "w6",
+    ]
+
+
+def test_token_doc_freq(ray_session):
+    from biocypher_metta_ray.stages.text_stats import token_doc_freq
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b a", "b c", "c b d"],
+        }
+    )
+    out = (
+        token_doc_freq(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert out["token"].tolist() == ["a", "b", "c", "d"]
+    assert out["df"].tolist() == [1, 3, 2, 1]  # per-doc distinct
+    assert out["idf"].tolist() == [
+        round(float(np.log(4 / 2) + 1), 6),
+        round(float(np.log(4 / 4) + 1), 6),
+        round(float(np.log(4 / 3) + 1), 6),
+        round(float(np.log(4 / 2) + 1), 6),
+    ]
+
+
 def test_explode_spans_tail_window(ray_session):
     from biocypher_metta_ray.stages.cleaning import explode_spans
 
