@@ -787,6 +787,18 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing at seq_len=32: the two-level
+    range-bucketed prefix sum gives every token an exact global index
+    (bucket_width=64 -> 8 buckets at sf0.01, so the distributed scan
+    path is actually exercised, not the single-bucket degenerate
+    case)."""
+    from biocypher_metta_ray.stages.packing import pack_sequences
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=32, bucket_width=64)
+
+
 def _q_doc_freq(sf_dir: str):
     """Corpus document-frequency/IDF table (the TF-IDF/BM25 building
     block): per-doc distinct tokens are exact within the batch, so
@@ -1452,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "doc_freq": _q_doc_freq,
         "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
         # corpus-cleaning family (stages/cleaning.py)
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
@@ -2061,6 +2074,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         **_cleaning_sql(),
+        # the prefix sum is a window sum over doc_id order — the SQL
+        # statement of the invariant the two-level bucketed scan in
+        # stages/packing.py must reproduce exactly
+        "pack_sequences": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents),
+            o AS (SELECT doc_id, ws,
+                         coalesce(sum(nw) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS off
+                  FROM w),
+            t AS (SELECT off + i - 1 AS gidx, ws[i] AS tok
+                  FROM o, unnest(generate_series(1, len(ws))) AS u(i))
+            SELECT CAST(gidx // 32 AS BIGINT) AS seq_no,
+                   string_agg(tok, ' ' ORDER BY gidx) AS text,
+                   count(*) AS n_tokens
+            FROM t GROUP BY seq_no
+        """,
         # idf = ln((1+N)/(1+df)) + 1, rounded 6 — the smoothed
         # sklearn form, stated in text_stats.token_doc_freq
         "doc_freq": """

@@ -194,6 +194,63 @@ def test_token_doc_freq(ray_session):
     ]
 
 
+def test_pack_sequences_semantics(ray_session):
+    from biocypher_metta_ray.stages.packing import pack_sequences
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "d e", "f g h i"],
+        }
+    )
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(df).repartition(2), seq_len=4,
+            bucket_width=2, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("seq_no")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["a b c d", "e f g h", "i"]
+    assert out["n_tokens"].tolist() == [4, 4, 1]
+
+
+def test_pack_sequences_partitioning_invariant(ray_session):
+    """Offsets derive from doc_id order alone: any block layout and
+    any bucket width give identical packed rows."""
+    from biocypher_metta_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80),
+            "text": [
+                " ".join(
+                    f"w{rng.integers(0, 9)}"
+                    for _ in range(rng.integers(1, 12))
+                )
+                for _ in range(80)
+            ],
+        }
+    )
+    a = (
+        pack_sequences(
+            ray.data.from_pandas(df).repartition(3), 16, bucket_width=7
+        )
+        .to_pandas().sort_values("seq_no").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(
+            ray.data.from_pandas(df).repartition(11), 16, bucket_width=64
+        )
+        .to_pandas().sort_values("seq_no").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    full = " ".join(df["text"])
+    assert " ".join(a["text"]) == full
+
+
 def test_explode_spans_tail_window(ray_session):
     from biocypher_metta_ray.stages.cleaning import explode_spans
 
