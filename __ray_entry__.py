@@ -787,6 +787,16 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 top-10 for a 3-term query: stats pass touches scalars +
+    per-term df only, scoring pass is per-block vectorized with
+    partial top-k — the corpus never shuffles."""
+    from biocypher_metta_ray.stages.retrieval import bm25_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["table", "join", "sort"], k=10)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing at seq_len=32: the two-level
     range-bucketed prefix sum gives every token an exact global index
@@ -1465,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq": _q_doc_freq,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
+        "bm25": _q_bm25,
         # corpus-cleaning family (stages/cleaning.py)
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
@@ -2074,6 +2085,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         **_cleaning_sql(),
+        # Robertson idf, Okapi tf-part, k1=1.2 b=0.75 — the formula
+        # stated in retrieval.bm25_topk; rounded score is the sort
+        # key on BOTH sides so ordering survives float noise
+        "bm25": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+                   WHERE tok IN ('table', 'join', 'sort')
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                              * tf * (1.2 + 1)
+                              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                              AS s
+                   FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM sc
+            ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+        """,
         # the prefix sum is a window sum over doc_id order — the SQL
         # statement of the invariant the two-level bucketed scan in
         # stages/packing.py must reproduce exactly

@@ -194,6 +194,35 @@ def test_token_doc_freq(ray_session):
     ]
 
 
+def test_bm25_ranking(ray_session):
+    """More matching terms / higher tf -> higher score; docs without
+    any query term never appear; rarer terms weigh more."""
+    from biocypher_metta_ray.stages.retrieval import bm25_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "cat dog cat fish",   # cat x2 + dog
+                "cat bird bird lizard",  # cat x1
+                "dog bird bird lizard",  # dog x1 (dog rarer than cat? both df=2)
+                "bird lizard bird lizard",  # no query terms
+            ],
+        }
+    )
+    out = bm25_topk(
+        ray.data.from_pandas(df).repartition(2), ["cat", "dog"], k=10
+    )
+    assert out["doc_id"].tolist()[0] == 1  # two terms, tf=3
+    assert 4 not in out["doc_id"].tolist()
+    assert (out["score"] > 0).all()
+    # same corpus split differently -> identical result
+    out2 = bm25_topk(
+        ray.data.from_pandas(df).repartition(4), ["cat", "dog"], k=10
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_pack_sequences_semantics(ray_session):
     from biocypher_metta_ray.stages.packing import pack_sequences
 
