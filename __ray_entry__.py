@@ -122,6 +122,14 @@ def _q_kg_canonical_triples(sf_dir: str):
     return dedup_edges(triples)
 
 
+def _q_kg_degrees(sf_dir: str):
+    """Per-node in/out/total degree over the canonical distinct-edge
+    list — the hub-detection pass that feeds skew salting."""
+    from biocypher_metta_ray.pipelines.kg import degree_table
+
+    return degree_table(_q_kg_canonical_triples(sf_dir))
+
+
 def _q_kg_nodes(sf_dir: str):
     import ray.data
 
@@ -1424,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
         "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_degrees": _q_kg_degrees,
         "kg_nodes": _q_kg_nodes,
         "kg_node_sexpr": _q_kg_node_sexpr,
         "kg_edge_sexpr": _q_kg_edge_sexpr,
@@ -1840,6 +1849,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN {p['gaz']} ON t.subj_surface = gaz.surface
             JOIN {p['gaz2']} ON t.obj_surface = g2.surface
             GROUP BY 1, 2, 3
+        """,
+        "kg_degrees": f"""
+            WITH t AS ({p['triples']}),
+            e AS (SELECT gaz.entity_id AS subj, t.pred,
+                         g2.entity_id AS obj
+                  FROM t
+                  JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                  JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                  GROUP BY 1, 2, 3),
+            o AS (SELECT subj AS node, count(*) AS out_deg
+                  FROM e GROUP BY subj),
+            i AS (SELECT obj AS node, count(*) AS in_deg
+                  FROM e GROUP BY obj)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_deg, 0) AS out_deg,
+                   coalesce(in_deg, 0) AS in_deg,
+                   coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
         "kg_nodes": f"""
             WITH t AS ({p['triples']}),

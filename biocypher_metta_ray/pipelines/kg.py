@@ -434,3 +434,49 @@ def render_prolog_lines(
     if edges is not None:
         out["edges"] = edges.map_batches(edge_render, batch_format="pyarrow")
     return out
+
+
+def degree_table(
+    edges: ray.data.Dataset, shuffle_partitions: int = 16
+) -> ray.data.Dataset:
+    """Per-node degree statistics over a distinct-edge list:
+    (node, out_deg, in_deg, degree) — the first graph-analytics pass a
+    KG build runs for skew diagnosis (hub entities are exactly the
+    hot keys the salting machinery targets; stages/skew.py).
+
+    Same map-side-combine shape as ``dedup_edges``: per-batch partial
+    out/in counts (two C-speed groupbys per block), one grouped sum
+    over node keys — the shuffle moves one row per distinct node per
+    batch, never the edge list."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["subj", "obj"]).to_pandas()
+        out = (
+            df.groupby("subj", sort=False).size().rename("out_deg")
+            .reset_index().rename(columns={"subj": "node"})
+        )
+        inn = (
+            df.groupby("obj", sort=False).size().rename("in_deg")
+            .reset_index().rename(columns={"obj": "node"})
+        )
+        m = out.merge(inn, on="node", how="outer")
+        m["out_deg"] = m["out_deg"].fillna(0).astype("int64")
+        m["in_deg"] = m["in_deg"].fillna(0).astype("int64")
+        return m
+
+    summed = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_partitions)
+        .groupby("node")
+        .aggregate(
+            Sum("out_deg", alias_name="out_deg"),
+            Sum("in_deg", alias_name="in_deg"),
+        )
+    )
+    return summed.map_batches(
+        lambda df: df.assign(
+            degree=(df["out_deg"] + df["in_deg"]).astype("int64")
+        ),
+        batch_format="pandas",
+    )
