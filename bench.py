@@ -139,6 +139,9 @@ def timed_queries() -> dict:
         "agg_group", "word_count", "dedup_exact", "minhash_pairs", "knn",
         "grouped_events", "kg_extract_text", "kg_linked_mentions",
         "near_dup_groups", "subword_token_count",
+        # round-3 additions, same SF_DIR scale
+        "span_dedup", "pack_sequences", "doc_freq", "bm25",
+        "hll_registers", "grouped_quantiles",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

@@ -24,6 +24,13 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Deterministic block order for the suite: Ray's default
+    # preserve_order=False lets to_pandas() see blocks in completion
+    # order, which flips under load (observed: read_bed's 2-line file
+    # split into 2 blocks arriving reversed mid-suite). Tests assert
+    # file/line order in several places; ordering costs nothing at
+    # fixture scale. Production paths keep the streaming default.
+    ctx.execution_options.preserve_order = True
     yield ray
     ray.shutdown()
 
