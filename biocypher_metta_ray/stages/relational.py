@@ -235,6 +235,73 @@ def hash_split(
     )
 
 
+def mix_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> ray.data.Dataset:
+    """Deterministic per-domain mixture sampling: keep each row with
+    the probability configured for its ``group_col`` value (the
+    training-data "source mixing" step — upsample wiki, downsample
+    crawl). Same stable-key-hash contract as :func:`hash_split`: a key
+    kept at rate r is a superset of the keys kept at any r' < r, and
+    the decision is identical across runs, partitionings and cluster
+    sizes. ``rates`` is a small driver-side dict shipped in the task
+    closure (KB-scale — never a shuffle)."""
+    from ..functions.helpers import hash64_column
+
+    cuts = {g: int(r * 10_000) for g, r in rates.items()}
+    dcut = int(default_rate * 10_000)
+
+    def body(batch: pa.Table) -> pa.Table:
+        keys = [f"{salt}:{v}" for v in batch[key_col].to_pylist()]
+        bucket = hash64_column(pa.array(keys)) % np.uint64(10_000)
+        cut = np.array(
+            [cuts.get(g, dcut) for g in batch[group_col].to_pylist()],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(bucket < cut))
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    by: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: list[str] | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group top-k (``row_number() OVER (PARTITION BY g ORDER BY v)
+    <= k``): the "best k documents per domain" selection. Two-level:
+    every BATCH first reduces itself to its local per-group top-k (so
+    at most ``groups-in-batch x k`` rows enter the shuffle — the
+    partial-top-k shape of relational.top_k, applied per group), then
+    groups co-locate via one bounded hash partition and the same
+    vectorized body finalizes. ``tiebreak`` columns make the selection
+    deterministic when ``by`` ties (always pass them if ``by`` is not
+    unique within a group)."""
+    from .skew import partitioned_group_map
+
+    order = [by, *(tiebreak or [])]
+    asc = [ascending] + [True] * len(tiebreak or [])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order, ascending=asc, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return partitioned_group_map(pruned, group_cols, local, num_partitions)
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str],
              shuffle_partitions: int = 16) -> ray.data.Dataset:
     """Distinct over ``cols``: per-batch dedup, then a native grouped

@@ -1,0 +1,189 @@
+"""Round-3 late additions: interval (range) join, PageRank,
+mixture sampling, per-group top-k. Oracle parity for each runs in
+test_oracle_parity.py; these tests cover the edge semantics the
+sf0.01 tables don't exercise."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _ds(df):
+    return ray.data.from_pandas(df)
+
+
+# ---------------------------------------------------------------- interval
+
+
+def _brute_overlap(l, r, by):
+    m = l.merge(r, on=by)
+    hit = (m["ls"] <= m["re"]) & (m["rs"] <= m["le"])
+    return m[hit][["lid", "rid"]].sort_values(["lid", "rid"]).reset_index(
+        drop=True
+    )
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    from biocypher_metta_ray.stages.joins import interval_join
+
+    rng = np.random.RandomState(7)
+    l = pd.DataFrame(
+        {
+            "chrom": rng.randint(0, 3, 200).astype("int64"),
+            "lid": np.arange(200, dtype="int64"),
+            "ls": rng.randint(0, 5000, 200).astype("int64"),
+        }
+    )
+    l["le"] = l["ls"] + rng.randint(0, 900, 200)  # spans several bins
+    r = pd.DataFrame(
+        {
+            "chrom": rng.randint(0, 3, 300).astype("int64"),
+            "rid": np.arange(300, dtype="int64"),
+            "rs": rng.randint(0, 5000, 300).astype("int64"),
+        }
+    )
+    r["re"] = r["rs"] + rng.randint(0, 50, 300)
+
+    got = (
+        interval_join(
+            _ds(l), _ds(r), by="chrom",
+            left_range=("ls", "le"), right_range=("rs", "re"),
+            bin_size=128, num_partitions=8,
+        )
+        .to_pandas()[["lid", "rid"]]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    want = _brute_overlap(l, r, "chrom")
+    # no duplicate emission despite multi-bin overlaps
+    assert not got.duplicated().any()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_join_inclusive_touching_endpoints(ray_session):
+    from biocypher_metta_ray.stages.joins import interval_join
+
+    l = pd.DataFrame({"k": ["a", "a"], "lid": [1, 2],
+                      "ls": [0, 500], "le": [100, 600]})
+    r = pd.DataFrame({"k": ["a", "a"], "rid": [10, 20],
+                      "rs": [100, 601], "re": [150, 700]})
+    got = interval_join(
+        _ds(l), _ds(r), by="k", left_range=("ls", "le"),
+        right_range=("rs", "re"), bin_size=64, num_partitions=4,
+    ).to_pandas()
+    # [0,100]x[100,150] touch at one bp -> match; [500,600]x[601,700]
+    # are adjacent but disjoint -> no match
+    assert got[["lid", "rid"]].values.tolist() == [[1, 10]]
+
+
+def test_interval_join_rejects_column_overlap(ray_session):
+    from biocypher_metta_ray.stages.joins import interval_join
+
+    l = pd.DataFrame({"k": ["a"], "s": [0], "e": [1]})
+    with pytest.raises(ValueError):
+        interval_join(_ds(l), _ds(l.copy()), by="k",
+                      left_range=("s", "e"), right_range=("s", "e"))
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pr_reference(edges, d=0.85, iters=5):
+    """Dense numpy reference of the same recurrence (dangling mass
+    dropped)."""
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    e = edges.drop_duplicates()
+    out_deg = e.groupby("src").size()
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in zip(e["src"], e["dst"]):
+            nxt[idx[t]] += d * r[idx[s]] / out_deg[s]
+        r = nxt
+    return pd.DataFrame({"node": nodes, "pr": np.round(r, 6)})
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    edges = pd.DataFrame(
+        {
+            "src": [f"n{i}" for i in rng.randint(0, 40, 400)],
+            "dst": [f"n{i}" for i in rng.randint(0, 40, 400)],
+        }
+    )
+    got = (
+        pagerank(_ds(edges), iterations=5, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = _pr_reference(edges).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, atol=2e-6, check_dtype=False)
+
+
+def test_pagerank_sink_keeps_teleport_floor(ray_session):
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    # a -> b -> c, c dangling: every node keeps >= teleport mass and
+    # the chain accumulates rank downstream
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    got = pagerank(_ds(edges), iterations=10, num_partitions=2).to_pandas()
+    pr = dict(zip(got["node"], got["pr"]))
+    assert set(pr) == {"a", "b", "c"}
+    assert pr["a"] == pytest.approx(0.05, abs=1e-6)
+    assert pr["c"] > pr["b"] > pr["a"]
+    # dangling mass dropped, never redistributed
+    assert got["pr"].sum() < 1.0
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_mix_sample_rates_and_nesting(ray_session):
+    from biocypher_metta_ray.stages.relational import mix_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000, dtype="int64"),
+            "source": ["a", "b", "c", "d"] * 1000,
+        }
+    )
+    full = mix_sample(_ds(df), "source", "doc_id",
+                      {"a": 1.0, "b": 0.5, "c": 0.1}).to_pandas()
+    counts = full.groupby("source").size()
+    assert counts.get("a", 0) == 1000           # rate 1.0 keeps all
+    assert "d" not in counts.index              # default 0.0 drops
+    assert abs(counts["b"] - 500) < 80          # ~rate 0.5
+    assert abs(counts["c"] - 100) < 40          # ~rate 0.1
+    # determinism + nesting: the 0.1 sample of a source is a subset of
+    # its 0.5 sample (same key hash, larger cut)
+    half = mix_sample(_ds(df), "source", "doc_id", {"c": 0.5}).to_pandas()
+    tenth = mix_sample(_ds(df), "source", "doc_id", {"c": 0.1}).to_pandas()
+    assert set(tenth["doc_id"]) <= set(half["doc_id"])
+
+
+def test_top_k_per_group_ties_and_small_groups(ray_session):
+    from biocypher_metta_ray.stages.relational import top_k_per_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 5 + ["y"] * 2,
+            "v": [3.0, 3.0, 3.0, 1.0, 2.0, 9.0, 9.0],
+            "id": np.arange(7, dtype="int64"),
+        }
+    )
+    got = (
+        top_k_per_group(_ds(df), ["g"], by="v", k=2, ascending=False,
+                        tiebreak=["id"], num_partitions=4)
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    # ties broken by id ascending; a group smaller than k returns whole
+    assert got[got["g"] == "x"]["id"].tolist() == [0, 1]
+    assert got[got["g"] == "y"]["id"].tolist() == [5, 6]
