@@ -1541,6 +1541,20 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_lm_score(sf_dir: str):
+    """Self-trained add-alpha bigram LM perplexity scoring over the
+    documents corpus (stages/lm.py — the CCNet-style quality filter:
+    one count shuffle to train, broadcast model, streaming score)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.lm import lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_score(docs, alpha=0.1, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1637,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "mix_sample": _q_mix_sample,
         "top_k_per_group": _q_top_k_per_group,
+        "lm_score": _q_lm_score,
     }
 
 
@@ -2560,5 +2575,32 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY o_orderpriority
                 ORDER BY o_totalprice DESC, o_orderkey) <= 5
+        """,
+        # add-alpha bigram LM (stages/lm.py conventions: contexts =
+        # bigram starts, V = distinct contexts, bigrams pruned at
+        # count < 2, alpha = 0.1, mean ln P per doc); the two unnest()
+        # calls zip positionally, giving the (w1, w2) bigram stream
+        "lm_score": """
+            WITH t AS (SELECT doc_id,
+                              string_split(lower(text), ' ') AS toks
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         unnest(toks[1:len(toks) - 1]) AS w1,
+                         unnest(toks[2:len(toks)]) AS w2
+                  FROM t),
+            uni AS (SELECT w1, count(*) AS uc FROM b GROUP BY 1),
+            v AS (SELECT count(*) AS vc FROM uni),
+            big AS (SELECT w1, w2, count(*) AS bc FROM b
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+            sc AS (SELECT b.doc_id,
+                          sum(ln((coalesce(big.bc, 0) + 0.1)
+                                 / (uni.uc + 0.1 * vc))) AS lp,
+                          count(*) AS nb
+                   FROM b
+                   JOIN uni USING (w1)
+                   LEFT JOIN big USING (w1, w2)
+                   CROSS JOIN v
+                   GROUP BY b.doc_id)
+            SELECT doc_id, round(lp / nb, 6) AS avg_logprob FROM sc
         """,
     }

@@ -141,7 +141,7 @@ def timed_queries() -> dict:
         "near_dup_groups", "subword_token_count",
         # round-3 additions, same SF_DIR scale
         "span_dedup", "pack_sequences", "doc_freq", "bm25",
-        "hll_registers", "grouped_quantiles",
+        "hll_registers", "grouped_quantiles", "interval_join", "lm_score",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

@@ -1,0 +1,146 @@
+"""Statistical language-model scoring over the corpus (the CCNet /
+Wenzek-et-al perplexity-filter shape: train a cheap n-gram LM, score
+every document, filter/bucket on the score). The container has no
+KenLM, so the model is a self-trained add-alpha bigram LM — the
+plumbing (two-pass broadcast-model scoring) is the real deliverable
+and is identical for a real LM.
+
+Scale shape:
+
+- pass 1 (train) touches only COUNTS: per-batch bigram partials,
+  one bounded hash-partitioned sum keyed on the context word (so a
+  single partition body finalizes both the bigram counts and their
+  context totals — one shuffle, vocab-scale rows, never doc rows);
+  bigrams below ``min_count`` are pruned there, BEFORE anything
+  reaches the driver, which is what keeps the broadcast model
+  dimension-scale at corpus scale (pruned mass stays in the
+  denominator via the unpruned context totals);
+- pass 2 (score) broadcasts the model once (``ray.put``) and scores
+  each batch with two vectorized pandas hash merges — the corpus
+  streams, nothing shuffles.
+
+Model convention (stated so the SQL oracle can reproduce it
+bit-for-bit): tokens = ``lower(text)`` split on single spaces;
+context count c(w1) = number of bigrams starting with w1; vocabulary
+V = number of distinct contexts; P(w2|w1) = (c(w1,w2)_pruned + a) /
+(c(w1) + a·V); score = mean over a doc's bigrams of ln P. Documents
+with fewer than two tokens have no bigrams and are omitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .skew import partitioned_group_map
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str) -> tuple[np.ndarray, ...]:
+    """(doc_index, w1, w2) arrays for every bigram in the batch,
+    fully vectorized (split + positional shift, no per-row loop)."""
+    toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    first = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(first, lengths)
+    mask = pos < lengths[didx] - 1
+    i = np.flatnonzero(mask)
+    return didx[i], flat[i], flat[i + 1]
+
+
+def train_bigram_lm(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 2,
+    num_partitions: int = 16,
+) -> dict:
+    """One-shuffle bigram LM: returns ``{"bigrams": DataFrame(w1, w2,
+    bc), "contexts": DataFrame(w1, uc), "vocab": int}`` with bigram
+    rows pruned to ``count >= min_count`` and context totals unpruned."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, w1, w2 = _doc_bigrams(batch, text_col)
+        return (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    # partition on the CONTEXT word: every (w1, *) row co-locates, so
+    # one body emits final bigram counts, prunes, and attaches the
+    # unpruned context total — marker rows with w2=None carry the
+    # per-context totals out of the same pass
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+        uni = s.groupby("w1", sort=False)["c"].sum().reset_index()
+        pruned = s[s["c"] >= min_count]
+        uni = uni.assign(w2=None)
+        return pd.concat([pruned, uni], ignore_index=True)[["w1", "w2", "c"]]
+
+    rows = partitioned_group_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1"], final, num_partitions, coalesce=2 * num_partitions,
+    ).to_pandas()
+    ctx = rows[rows["w2"].isna()][["w1", "c"]].rename(columns={"c": "uc"})
+    big = rows[rows["w2"].notna()].rename(columns={"c": "bc"})
+    return {
+        "bigrams": big.reset_index(drop=True),
+        "contexts": ctx.reset_index(drop=True),
+        "vocab": int(len(ctx)),
+    }
+
+
+def lm_score(
+    ds: ray.data.Dataset,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    min_count: int = 2,
+) -> ray.data.Dataset:
+    """Score every document by its mean bigram log-probability under
+    the (self-trained unless provided) add-alpha LM. Returns
+    ``(id_col, avg_logprob)`` rounded to 6, docs with < 2 tokens
+    omitted."""
+    if model is None:
+        model = train_bigram_lm(ds, text_col=text_col, min_count=min_count)
+    v = model["vocab"]
+    model_ref = ray.put((model["bigrams"], model["contexts"]))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        big, ctx = ray.get(model_ref)
+        didx, w1, w2 = _doc_bigrams(batch, text_col)
+        if not len(didx):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "avg_logprob": pd.Series([], dtype="float64")}
+            )
+        df = pd.DataFrame({"d": didx, "w1": w1, "w2": w2})
+        df = df.merge(big, on=["w1", "w2"], how="left").merge(
+            ctx, on="w1", how="left"
+        )
+        bc = df["bc"].fillna(0).to_numpy(dtype=np.float64)
+        uc = df["uc"].fillna(0).to_numpy(dtype=np.float64)
+        lp = np.log((bc + alpha) / (uc + alpha * v))
+        g = pd.DataFrame({"d": df["d"], "lp": lp}).groupby("d", sort=False)[
+            "lp"
+        ]
+        agg = g.mean()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                id_col: ids[agg.index.to_numpy()].astype(np.int64),
+                "avg_logprob": np.round(agg.to_numpy(), 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

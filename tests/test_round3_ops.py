@@ -187,3 +187,66 @@ def test_top_k_per_group_ties_and_small_groups(ray_session):
     # ties broken by id ascending; a group smaller than k returns whole
     assert got[got["g"] == "x"]["id"].tolist() == [0, 1]
     assert got[got["g"] == "y"]["id"].tolist() == [5, 6]
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_lm_score_hand_computed(ray_session):
+    import math
+
+    from biocypher_metta_ray.stages.lm import lm_score, train_bigram_lm
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype="int64"),
+            "text": [
+                "The cat sat",      # bigrams: (the,cat) (cat,sat)
+                "the cat ran",      # (the,cat) (cat,ran)
+                "dog",              # no bigrams -> omitted
+                "the cat sat",      # (the,cat) (cat,sat)
+            ],
+        }
+    )
+    model = train_bigram_lm(_ds(docs), min_count=2)
+    # contexts: the->3, cat->3; vocab = 2 distinct contexts
+    ctx = dict(zip(model["contexts"]["w1"], model["contexts"]["uc"]))
+    assert ctx == {"the": 3, "cat": 3}
+    assert model["vocab"] == 2
+    # (cat,ran) occurs once -> pruned; (the,cat)=3 and (cat,sat)=2 kept
+    big = {
+        (a, b): c
+        for a, b, c in model["bigrams"][["w1", "w2", "bc"]].itertuples(
+            index=False
+        )
+    }
+    assert big == {("the", "cat"): 3, ("cat", "sat"): 2}
+
+    got = lm_score(_ds(docs), alpha=0.1, min_count=2).to_pandas()
+    scores = dict(zip(got["doc_id"], got["avg_logprob"]))
+    assert 2 not in scores          # single-token doc omitted
+    p_the_cat = math.log((3 + 0.1) / (3 + 0.2))
+    p_cat_sat = math.log((2 + 0.1) / (3 + 0.2))
+    p_cat_ran = math.log((0 + 0.1) / (3 + 0.2))  # pruned -> floor
+    assert scores[0] == pytest.approx(
+        round((p_the_cat + p_cat_sat) / 2, 6), abs=1e-6
+    )
+    assert scores[1] == pytest.approx(
+        round((p_the_cat + p_cat_ran) / 2, 6), abs=1e-6
+    )
+    # boilerplate (seen-twice) doc outscores the one with a rare bigram
+    assert scores[0] > scores[1]
+
+
+def test_lm_score_external_model_reuse(ray_session):
+    """A model trained on one corpus scores another (the
+    train-on-wiki / score-crawl CCNet deployment shape)."""
+    from biocypher_metta_ray.stages.lm import lm_score, train_bigram_lm
+
+    train = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c", "a b d"]}
+    )
+    target = pd.DataFrame({"doc_id": [7], "text": ["a b"]})
+    model = train_bigram_lm(_ds(train), min_count=2)
+    got = lm_score(_ds(target), model=model).to_pandas()
+    assert got["doc_id"].tolist() == [7]
