@@ -1541,6 +1541,19 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count of the undirected simple graph under the
+    canonical KG edge list (stages/graph.py::triangle_count —
+    degree-oriented wedge join, O(m^1.5) wedge bound)."""
+    from biocypher_metta_ray.stages.graph import triangle_count
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    return triangle_count(edges, src="subj", dst="obj")
+
+
 def _q_lm_score(sf_dir: str):
     """Self-trained add-alpha bigram LM perplexity scoring over the
     documents corpus (stages/lm.py — the CCNet-style quality filter:
@@ -1652,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": _q_mix_sample,
         "top_k_per_group": _q_top_k_per_group,
         "lm_score": _q_lm_score,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -2602,5 +2616,23 @@ def oracle_sql() -> dict[str, str]:
                    CROSS JOIN v
                    GROUP BY b.doc_id)
             SELECT doc_id, round(lp / nb, 6) AS avg_logprob FROM sc
+        """,
+        # undirected simple graph under the canonical KG edges:
+        # each triangle appears exactly once as u < v < w chained
+        # through the canonicalized (least, greatest) edge set
+        "triangle_count": f"""
+            WITH t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            e AS (SELECT DISTINCT least(subj, obj) AS u,
+                                  greatest(subj, obj) AS v
+                  FROM ce WHERE subj <> obj)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
     }

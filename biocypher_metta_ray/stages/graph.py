@@ -116,8 +116,10 @@ def pagerank(
             r = g[g["__side"] == "R"][[src, "pr"]]
             m = ew.merge(r, on=src)
             if not len(m):
-                return pd.DataFrame({"node": pd.Series([], dtype=object),
-                                     "c": pd.Series([], dtype="float64")})
+                return pd.DataFrame(
+                    {"node": ew[dst].iloc[:0],
+                     "c": pd.Series([], dtype="float64")}
+                )
             # partial-sum per dst inside the partition before the
             # node-scale shuffle
             s = (m["w"].to_numpy() * m["pr"].to_numpy())
@@ -151,3 +153,164 @@ def pagerank(
     return ranks.map_batches(
         lambda df: df.assign(pr=df["pr"].round(6)), batch_format="pandas"
     )
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    an edge Dataset (direction and multiplicity collapsed, self-loops
+    dropped). Returns a one-row frame ``(n_triangles)``.
+
+    Degree-oriented wedge join (the standard distributed shape): every
+    edge is oriented from its lower-``(degree, node)`` endpoint to the
+    higher, so each triangle is counted exactly once from its
+    smallest-key vertex and — the scale property — every node's
+    oriented out-degree is O(sqrt(m)), bounding wedge emission at
+    O(m^1.5) total even on a power-law graph whose raw hub degrees
+    would make naive neighbor-pairing quadratic. Three bounded
+    shuffles (attach degree to each endpoint, co-locate wedges with
+    closing edges); per-partition counts sum on the driver (one int
+    per partition).
+    """
+    from .joins import _pd_dtypes
+
+    ntype = _pd_dtypes(edges.select_columns([src]))[src]
+
+    und = partitioned_group_map(
+        edges.select_columns([src, dst]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "u": np.minimum(df[src], df[dst]),
+                    "v": np.maximum(df[src], df[dst]),
+                }
+            )[lambda d: d["u"] != d["v"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["u"],
+        lambda g: g.drop_duplicates(),
+        num_partitions,
+    )
+
+    deg = partitioned_group_map(
+        und.map_batches(
+            lambda df: pd.concat(
+                [df["u"].rename("node"), df["v"].rename("node")]
+            ).to_frame(),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.groupby("node", sort=False).size().reset_index(name="deg"),
+        num_partitions,
+        coalesce=2 * num_partitions,
+    )
+
+    def attach(col, out):
+        def tag_e(df):
+            df = df.copy()
+            df["__side"] = "E"
+            return df
+
+        def tag_d(df):
+            return df.rename(columns={"node": col, "deg": out}).assign(
+                __side="D"
+            )
+
+        def body(g):
+            e = g[g["__side"] == "E"].drop(columns=["__side", out],
+                                           errors="ignore")
+            d = g[g["__side"] == "D"][[col, out]]
+            d = d.dropna(subset=[col])
+            d[out] = d[out].astype("int64")
+            m = e.merge(d, on=col)
+            # undo the union-concat NaN-fill upcast on BOTH endpoint
+            # columns: a float64 node key hashes into a different
+            # partition than the same int64 key and silently drops
+            # rows in the NEXT attach/close stage (joins._pd_dtypes
+            # bug class)
+            for c in ("u", "v"):
+                m[c] = m[c].astype(ntype)
+            return m
+
+        return tag_e, tag_d, body
+
+    e1t, d1t, b1 = attach("u", "du")
+    with_du = partitioned_group_map(
+        und.map_batches(e1t, batch_format="pandas").union(
+            deg.map_batches(d1t, batch_format="pandas")
+        ),
+        ["u"], b1, num_partitions, coalesce=2 * num_partitions,
+    )
+    e2t, d2t, b2 = attach("v", "dv")
+    with_deg = partitioned_group_map(
+        with_du.map_batches(e2t, batch_format="pandas").union(
+            deg.map_batches(d2t, batch_format="pandas")
+        ),
+        ["v"], b2, num_partitions, coalesce=2 * num_partitions,
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        # orientation key (deg, node): ties broken by node id, so the
+        # order is total and both directions agree everywhere
+        u_first = (df["du"].to_numpy() < df["dv"].to_numpy()) | (
+            (df["du"].to_numpy() == df["dv"].to_numpy())
+            & (df["u"].to_numpy() < df["v"].to_numpy())
+        )
+        return pd.DataFrame(
+            {
+                "s": np.where(u_first, df["u"], df["v"]),
+                "d": np.where(u_first, df["v"], df["u"]),
+                "dd": np.where(u_first, df["dv"], df["du"]).astype("int64"),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("s", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            # neighbors in orientation-key order so each wedge's pair
+            # is itself oriented and can close on an oriented edge
+            nb = grp.sort_values(["dd", "d"], kind="mergesort")[
+                "d"
+            ].to_numpy()
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({"w1": nb[i], "w2": nb[j]}))
+        if not outs:
+            # empty frame with the NODE dtype, not object — blocks of
+            # an int-keyed graph must unify to one schema
+            return pd.DataFrame({"w1": g["d"].iloc[:0],
+                                 "w2": g["d"].iloc[:0]})
+        return pd.concat(outs, ignore_index=True)
+
+    w = partitioned_group_map(oriented, ["s"], wedges, num_partitions)
+
+    def tag_w(df):
+        df = df.copy()
+        df["__side"] = "W"
+        return df
+
+    def tag_close(df):
+        return df.rename(columns={"s": "w1", "d": "w2"})[["w1", "w2"]].assign(
+            __side="C"
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        closing = g[g["__side"] == "C"][["w1", "w2"]].drop_duplicates()
+        ww = g[g["__side"] == "W"][["w1", "w2"]]
+        n = len(ww.merge(closing, on=["w1", "w2"]))
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    parts = partitioned_group_map(
+        w.map_batches(tag_w, batch_format="pandas").union(
+            oriented.map_batches(tag_close, batch_format="pandas")
+        ),
+        ["w1", "w2"], close, num_partitions,
+    ).to_pandas()
+    return pd.DataFrame({"n_triangles": [np.int64(parts["n"].sum())]})

@@ -250,3 +250,50 @@ def test_lm_score_external_model_reuse(ray_session):
     model = train_bigram_lm(_ds(train), min_count=2)
     got = lm_score(_ds(target), model=model).to_pandas()
     assert got["doc_id"].tolist() == [7]
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    und = set()
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n = 0
+    for u, v in und:
+        n += len(adj[u] & adj[v])
+    return n // 3  # each triangle counted once per edge
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from biocypher_metta_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame(
+        {
+            "src": rng.randint(0, 30, 500).astype("int64"),
+            "dst": rng.randint(0, 30, 500).astype("int64"),
+        }
+    )
+    got = triangle_count(_ds(edges), num_partitions=4)
+    want = _brute_triangles(edges)
+    assert got["n_triangles"].iloc[0] == want
+    assert str(got["n_triangles"].dtype) == "int64"
+
+
+def test_triangle_count_ignores_direction_multiplicity_loops(ray_session):
+    from biocypher_metta_ray.stages.graph import triangle_count
+
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "c", "a", "x"],
+            "dst": ["b", "c", "a", "b", "a", "y"],
+        }
+    )  # one triangle abc (with a reversed + duplicate edge), loop, stray edge
+    got = triangle_count(_ds(edges), num_partitions=2)
+    assert got["n_triangles"].iloc[0] == 1
