@@ -1541,6 +1541,28 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-group outlier clipping: lineitem extendedprice clamped to
+    its returnflag group's [p05, p95] band
+    (stages/relational.py::winsorize — broadcast quantile bounds,
+    streaming clip)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import winsorize
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_extendedprice"],
+    )
+    out = winsorize(li, ["l_returnflag"], "l_extendedprice", "clipped",
+                    lo=0.05, hi=0.95)
+    return out.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "clipped"]],
+        batch_format="pandas",
+    )
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact triangle count of the undirected simple graph under the
     canonical KG edge list (stages/graph.py::triangle_count —
@@ -1666,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_per_group": _q_top_k_per_group,
         "lm_score": _q_lm_score,
         "triangle_count": _q_triangle_count,
+        "winsorize": _q_winsorize,
     }
 
 
@@ -2634,5 +2657,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.v
             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # quantile_cont == numpy/pandas linear interpolation (the
+        # grouped_quantiles parity contract)
+        "winsorize": """
+            WITH q AS (SELECT l_returnflag,
+                              quantile_cont(l_extendedprice, 0.05) AS lo,
+                              quantile_cont(l_extendedprice, 0.95) AS hi
+                       FROM lineitem GROUP BY 1)
+            SELECT l_orderkey, l_linenumber,
+                   round(least(greatest(l_extendedprice, lo), hi), 6)
+                       AS clipped
+            FROM lineitem JOIN q USING (l_returnflag)
         """,
     }

@@ -235,6 +235,43 @@ def hash_split(
     )
 
 
+def winsorize(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group outlier clipping: clamp ``value_col`` to the group's
+    [lo, hi] quantile band (the length/score outlier-trim step of a
+    data-cleaning pipeline). Quantiles come from
+    :func:`grouped_quantiles` (one co-located shuffle of the two
+    needed columns, dimension-cardinality output), are collected and
+    broadcast once (``ray.put``), and the corpus itself streams
+    through a vectorized merge+clip — never shuffles. Clipped values
+    rounded to 6 (float-oracle contract)."""
+    qs = grouped_quantiles(
+        ds, group_cols, value_col, qs=(lo, hi),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    names = [f"p{int(round(q * 100)):02d}" for q in (lo, hi)]
+    bounds = qs.rename(columns={names[0]: "__lo", names[1]: "__hi"})
+    bounds_ref = ray.put(bounds)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        m = df.merge(b, on=group_cols, how="left")
+        v = m[value_col].to_numpy(dtype=np.float64)
+        clipped = np.clip(v, m["__lo"].to_numpy(), m["__hi"].to_numpy())
+        out = df.copy()
+        out[out_col] = np.round(clipped, 6)
+        return out
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 def mix_sample(
     ds: ray.data.Dataset,
     group_col: str,

@@ -297,3 +297,33 @@ def test_triangle_count_ignores_direction_multiplicity_loops(ray_session):
     )  # one triangle abc (with a reversed + duplicate edge), loop, stray edge
     got = triangle_count(_ds(edges), num_partitions=2)
     assert got["n_triangles"].iloc[0] == 1
+
+
+# ---------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_to_group_band(ray_session):
+    from biocypher_metta_ray.stages.relational import winsorize
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 101 + ["b"] * 3,
+            "v": list(np.arange(101, dtype="float64")) + [0.0, 10.0, 1e9],
+            "i": np.arange(104, dtype="int64"),
+        }
+    )
+    got = (
+        winsorize(_ds(df), ["g"], "v", "w", lo=0.05, hi=0.95,
+                  num_partitions=4)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    a = got[got["g"] == "a"]
+    # 0..100: p05=5, p95=95 exactly; inside-band values untouched
+    assert a["w"].min() == 5.0 and a["w"].max() == 95.0
+    assert (a[(a["v"] >= 5) & (a["v"] <= 95)]["w"]
+            == a[(a["v"] >= 5) & (a["v"] <= 95)]["v"]).all()
+    # group b's huge outlier clipped to ITS OWN band, not group a's
+    b = got[got["g"] == "b"]
+    assert b["w"].max() < 1e9 and b["w"].max() > 95.0
