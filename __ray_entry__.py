@@ -1541,6 +1541,18 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_grouped_hll(sf_dir: str):
+    """Per-group HLL register tables (distinct part keys per return
+    flag) — stages/sketch.py::grouped_hll_registers; deterministic
+    md5 hashing makes every (group, register, rho) row SQL-checkable,
+    and the per-group estimator is error-bound-tested in
+    tests/test_sketch.py."""
+    from biocypher_metta_ray.stages.sketch import grouped_hll_registers
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    return grouped_hll_registers(ds, ["l_returnflag"], "l_partkey")
+
+
 def _q_winsorize(sf_dir: str):
     """Per-group outlier clipping: lineitem extendedprice clamped to
     its returnflag group's [p05, p95] band
@@ -1689,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "triangle_count": _q_triangle_count,
         "winsorize": _q_winsorize,
+        "grouped_hll": _q_grouped_hll,
     }
 
 
@@ -2669,5 +2682,20 @@ def oracle_sql() -> dict[str, str]:
                    round(least(greatest(l_extendedprice, lo), hi), 6)
                        AS clipped
             FROM lineitem JOIN q USING (l_returnflag)
+        """,
+        # same md5-nibble hash64 reassembly as hll_registers, grouped
+        "grouped_hll": """
+            WITH v AS (SELECT l_returnflag,
+                           'hll:' || CAST(l_partkey AS VARCHAR) AS s
+                       FROM lineitem),
+            h AS (SELECT l_returnflag,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                  FROM v),
+            r AS (SELECT l_returnflag, hi >> 20 AS register,
+                         53 - length(ltrim(bin(((hi & 1048575) << 32) | lo), '0')) AS rho
+                  FROM h)
+            SELECT l_returnflag, register, max(rho) AS rho
+            FROM r GROUP BY 1, 2
         """,
     }

@@ -112,6 +112,76 @@ def hll_registers(
     )
 
 
+def grouped_hll_registers(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    col: str,
+    salt: str = "hll",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group HLL register tables: rows ``(*group_cols, register,
+    rho)`` — the "distinct URLs per domain" shape. Each batch emits at
+    most m=4096 rows PER GROUP IT SEES regardless of batch size, then
+    one bounded hash partition on the group key merges partials with
+    a vectorized max — the shuffle is sketch-rows, never values, and a
+    hot group costs the same m rows as a cold one (sketches are the
+    skew-proof aggregate). Same deterministic md5 hashing as the
+    global sketch, so the oracle recomputes every row in SQL."""
+    from ..functions.helpers import hash64_column
+    from .skew import partitioned_group_map
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = [f"{salt}:{v}" for v in batch[col].to_pylist()]
+        h = hash64_column(pa.array(vals, type=pa.string()))
+        j = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = h & _MASK52
+        rho = (53 - _bit_length_u64(w)).astype(np.int64)
+        df = batch.select(group_cols).to_pandas()
+        df["register"] = j
+        df["rho"] = rho
+        return (
+            df.groupby([*group_cols, "register"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby([*group_cols, "register"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+        return out.astype({"register": "int64", "rho": "int64"})
+
+    return partitioned_group_map(
+        ds.select_columns([*group_cols, col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        group_cols, merge, num_partitions,
+    )
+
+
+def grouped_hll_count(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    col: str,
+    salt: str = "hll",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-group approximate distinct counts from the grouped register
+    tables (~1.6% error at p=12). Driver-side estimator over
+    group-count x <=m rows."""
+    regs = grouped_hll_registers(
+        ds, group_cols, col, salt=salt, num_partitions=num_partitions
+    ).to_pandas()
+    out = (
+        regs.groupby(group_cols, sort=False)[["register", "rho"]]
+        .apply(hll_estimate)
+        .reset_index(name="approx_distinct")
+    )
+    return out
+
+
 def hll_estimate(registers: pd.DataFrame) -> float:
     """Flajolet et al. 2007 estimator over a merged register table:
     raw harmonic-mean estimate with the small-range linear-counting

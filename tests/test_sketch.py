@@ -291,3 +291,40 @@ def test_explode_spans_tail_window(ray_session):
     )
     assert out["span"].tolist() == ["w1 w2", "w3 w4", "w5"]
     assert out["span_no"].tolist() == [0, 1, 2]
+
+
+def test_grouped_hll_estimates_within_error(ray_session):
+    import ray.data
+
+    from biocypher_metta_ray.stages.sketch import grouped_hll_count
+
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 20000),
+            "k": np.concatenate(
+                [np.arange(20000) % 5000, np.arange(20000) % 300]
+            ),
+        }
+    )
+    got = grouped_hll_count(
+        ray.data.from_pandas(df), ["g"], "k", num_partitions=4
+    ).set_index("g")["approx_distinct"]
+    assert abs(got["a"] - 5000) / 5000 < 0.05
+    assert abs(got["b"] - 300) / 300 < 0.05
+
+
+def test_grouped_hll_hot_group_costs_m_rows(ray_session):
+    """A group with 1M values still produces at most m register rows
+    (the skew-proof property)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.sketch import (
+        HLL_M,
+        grouped_hll_registers,
+    )
+
+    df = pd.DataFrame({"g": ["hot"] * 50000, "k": np.arange(50000)})
+    regs = grouped_hll_registers(
+        ray.data.from_pandas(df), ["g"], "k", num_partitions=4
+    ).to_pandas()
+    assert len(regs) <= HLL_M
