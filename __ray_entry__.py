@@ -1541,6 +1541,31 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakly connected components of the canonical KG
+    (stages/canonicalize.py::connected_components — the size-adaptive
+    union-find / distributed min-label machinery, here exposed
+    directly over the graph rather than via the dedup pair lists)."""
+    from biocypher_metta_ray.stages.canonicalize import (
+        connected_components,
+    )
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]]
+        .drop_duplicates()
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas",
+    )
+    out = connected_components(edges)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "component": df["component"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_hll(sf_dir: str):
     """Per-group HLL register tables (distinct part keys per return
     flag) — stages/sketch.py::grouped_hll_registers; deterministic
@@ -1702,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "winsorize": _q_winsorize,
         "grouped_hll": _q_grouped_hll,
+        "kg_components": _q_kg_components,
     }
 
 
@@ -2697,5 +2723,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT l_returnflag, register, max(rho) AS rho
             FROM r GROUP BY 1, 2
+        """,
+        # component = lexicographic-min node id reachable (the
+        # connected_components contract); the recursive walk is the
+        # same pattern as near_dup_groups
+        "kg_components": f"""
+            WITH RECURSIVE t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            edges AS (SELECT subj AS u, obj AS v FROM ce
+                      UNION SELECT obj, subj FROM ce),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node)
+            SELECT node, min(comp) AS component
+            FROM walk GROUP BY node
         """,
     }
