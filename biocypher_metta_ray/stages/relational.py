@@ -175,32 +175,63 @@ def grouped_quantiles(
     value-identical against DuckDB in the oracle suite). Output
     columns ``p50``-style, float64.
 
-    Exact quantiles are not decomposable, so every value of a group
-    must co-locate: one hash-partitioned shuffle of (keys, value) —
-    select the two columns before calling so nothing else moves —
-    then a vectorized ``groupby().quantile`` per partition. Right for
-    dimension-cardinality keys over fact-scale values (the worst
-    single group must fit a worker); a corpus-scale single group
-    needs a mergeable quantile sketch instead — the trade is the
-    caller's, same contract as sketch.hll_count_distinct vs exact
-    distinct."""
+    Exact quantiles are not decomposable, but their HISTOGRAM is:
+    each batch emits ``(group, value, count)`` partials, so what
+    shuffles is bounded by distinct values per block — for a discrete
+    or low-cardinality column that collapses a fact-scale shuffle to
+    kilobytes, and for a continuous column it degrades gracefully to
+    the raw rows (distinct == rows). Per partition, one weighted
+    linear-interpolation quantile per group over the merged histogram
+    reproduces ``numpy``'s formula exactly (a[floor(h)] + frac *
+    (a[floor(h)+1] - a[floor(h)]), h = (N-1)q, order statistics
+    resolved through cumulative counts). The worst single group's
+    HISTOGRAM must fit a worker; a group whose distinct-value set is
+    itself corpus-scale needs the mergeable quantile sketch instead —
+    the trade is the caller's, same contract as
+    sketch.hll_count_distinct vs exact distinct."""
     from .skew import partitioned_group_map
 
     names = [f"p{int(round(q * 100)):02d}" for q in qs]
 
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([*group_cols, value_col], sort=False)
+            .size()
+            .reset_index(name="__n")
+        )
+
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(group_cols, sort=False)[value_col]
-        out = {
-            name: gb.quantile(q, interpolation="linear").astype("float64")
-            for name, q in zip(names, qs)
-        }
-        return pd.DataFrame(out).reset_index()
+        rows = []
+        for key, grp in g.groupby(group_cols, sort=False):
+            uv, inv = np.unique(
+                grp[value_col].to_numpy(), return_inverse=True
+            )
+            cnt = np.zeros(len(uv), dtype=np.int64)
+            np.add.at(cnt, inv, grp["__n"].to_numpy(np.int64))
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            if not isinstance(key, tuple):
+                key = (key,)
+            row = dict(zip(group_cols, key))
+            for name, q in zip(names, qs):
+                h = (n - 1) * q
+                lo = int(np.floor(h))
+                vlo = np.float64(uv[np.searchsorted(cum, lo, side="right")])
+                vhi = np.float64(
+                    uv[np.searchsorted(cum, min(lo + 1, n - 1), side="right")]
+                )
+                row[name] = float(vlo + (h - lo) * (vhi - vlo))
+            rows.append(row)
+        return pd.DataFrame(rows)
 
     return partitioned_group_map(
-        ds.select_columns([*group_cols, value_col]),
+        ds.select_columns([*group_cols, value_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
         group_cols,
         body,
         num_partitions,
+        coalesce=2 * num_partitions,
     )
 
 
