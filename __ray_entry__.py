@@ -1541,6 +1541,17 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_hash_embed(sf_dir: str):
+    """Feature-hashing document embeddings over documents, exploded
+    as (doc_id, dim, weight) sparse triplets
+    (stages/text_stats.py::hash_embed — one streaming pass, zero
+    shuffle; md5 hashing makes every entry SQL-checkable)."""
+    from biocypher_metta_ray.stages.text_stats import hash_embed
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_embed(ds, dims=64)
+
+
 def _q_kg_components(sf_dir: str):
     """Weakly connected components of the canonical KG
     (stages/canonicalize.py::connected_components — the size-adaptive
@@ -1728,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "grouped_hll": _q_grouped_hll,
         "kg_components": _q_kg_components,
+        "hash_embed": _q_hash_embed,
     }
 
 
@@ -2743,5 +2755,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node)
             SELECT node, min(comp) AS component
             FROM walk GROUP BY node
+        """,
+        # dims=64 divides 2^32, so hash64 % 64 == lo % 64; sign = top
+        # bit of the 64-bit hash = hi >= 2^31 (hi is the high half)
+        "hash_embed": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents),
+            h AS (SELECT doc_id,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('fh:' || tok), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('fh:' || tok), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                  FROM t)
+            SELECT doc_id, lo % 64 AS dim,
+                   CAST(sum(CASE WHEN hi >= 2147483648 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS weight
+            FROM h GROUP BY 1, 2
+            HAVING sum(CASE WHEN hi >= 2147483648 THEN 1 ELSE -1 END) <> 0
         """,
     }

@@ -244,3 +244,63 @@ def chunk_docs(
         ),
         batch_format="pyarrow",
     )
+
+
+def hash_embed_batch(
+    batch: pa.Table,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fh",
+) -> "pd.DataFrame":
+    """Feature-hashing document vectors (the hashing trick, Weinberger
+    et al. 2009): each token lands in dimension ``hash64 % dims`` with
+    sign from the hash's top bit; the vector entry is the signed token
+    count. Model-free embeddings that bridge the text table into the
+    kNN/ANN family without a trained encoder, at exactly one streaming
+    pass and zero shuffle.
+
+    Emitted EXPLODED as ``(id, dim, weight)`` rows (zero entries
+    omitted) rather than a list column: at 100 TB a sparse triplet
+    stream feeds downstream joins/aggregations without materializing
+    dense vectors, and every row is recomputable in the SQL oracle
+    (same md5 nibble reassembly as hash_split/hll)."""
+    import pandas as pd
+
+    toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    flat = toks.flatten()
+    h = hash64_column(
+        pa.array([f"{salt}:{t}" for t in flat.to_pylist()], pa.string())
+    )
+    dim = (h % np.uint64(dims)).astype(np.int64)
+    sign = np.where((h >> np.uint64(63)) > 0, 1, -1).astype(np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    didx = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+    df = pd.DataFrame(
+        {id_col: ids[didx], "dim": dim, "weight": sign}
+    )
+    out = (
+        df.groupby([id_col, "dim"], sort=False)["weight"]
+        .sum()
+        .reset_index()
+    )
+    return out[out["weight"] != 0].reset_index(drop=True)
+
+
+def hash_embed(
+    ds,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fh",
+):
+    return ds.map_batches(
+        lambda b: hash_embed_batch(
+            b, dims, id_col=id_col, text_col=text_col, salt=salt
+        ),
+        batch_format="pyarrow",
+    )

@@ -327,3 +327,33 @@ def test_winsorize_clips_to_group_band(ray_session):
     # group b's huge outlier clipped to ITS OWN band, not group a's
     b = got[got["g"] == "b"]
     assert b["w"].max() < 1e9 and b["w"].max() > 95.0
+
+
+# ---------------------------------------------------------------- hash embed
+
+
+def test_hash_embed_linear_and_partition_invariant(ray_session):
+    from biocypher_metta_ray.stages.text_stats import hash_embed
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype="int64"),
+            "text": ["red green blue", "red red", "red green blue red red"],
+        }
+    )
+    got = hash_embed(_ds(docs), dims=16).to_pandas()
+    vec = {
+        d: dict(zip(g["dim"], g["weight"]))
+        for d, g in got.groupby("doc_id")
+    }
+    # doc2 = doc0 tokens + doc1 tokens -> its vector is the sum
+    alldims = set(vec[0]) | set(vec[1])
+    for k in alldims:
+        assert vec[2].get(k, 0) == vec[0].get(k, 0) + vec[1].get(k, 0)
+    # same corpus split into single-row blocks -> identical triplets
+    parts = [ray.data.from_pandas(docs.iloc[[i]]) for i in range(3)]
+    split = parts[0].union(parts[1]).union(parts[2])
+    got2 = hash_embed(split, dims=16).to_pandas()
+    a = got.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    b = got2.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
