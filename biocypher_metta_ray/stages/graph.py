@@ -129,8 +129,11 @@ def pagerank(
             )
             return out
 
+        # no coalesce here: `both` contains the FACT-scale edge table
+        # every sweep, and coalesce is an extra full pass (it is for
+        # small intermediates only — skew.py docstring)
         contribs = partitioned_group_map(
-            both, [src], contrib, num_partitions, coalesce=2 * num_partitions
+            both, [src], contrib, num_partitions
         )
 
         # node-scale: attach summed contributions to the full node
