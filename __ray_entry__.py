@@ -1541,6 +1541,47 @@ def _q_top_k_per_group(sf_dir: str):
     )
 
 
+def _q_fuzzy_join(sf_dir: str):
+    """Edit-distance (record-linkage) join: supplier names corrupted
+    by one deterministic character drop, matched back against the
+    clean name table at Levenshtein <= 1
+    (stages/joins.py::fuzzy_join — SymSpell deletion-neighborhood
+    blocking, DP verify on bucket-bounded candidates)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import fuzzy_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        ks = (df["s_suppkey"] % df["s_name"].str.len()).to_numpy()
+        return pd.DataFrame(
+            {
+                "probe_id": df["s_suppkey"].astype("int64"),
+                "probe": [
+                    n[:k] + n[k + 1 :]
+                    for n, k in zip(df["s_name"], ks)
+                ],
+            }
+        )
+
+    probes = sup.map_batches(corrupt, batch_format="pandas")
+    out = fuzzy_join(probes, sup, "probe_id", "probe", "s_suppkey",
+                     "s_name", max_dist=1)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "probe_id": df["lid"].astype("int64"),
+                "match_id": df["rid"].astype("int64"),
+                "dist": df["dist"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_hash_embed(sf_dir: str):
     """Feature-hashing document embeddings over documents, exploded
     as (doc_id, dim, weight) sparse triplets
@@ -1740,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_hll": _q_grouped_hll,
         "kg_components": _q_kg_components,
         "hash_embed": _q_hash_embed,
+        "fuzzy_join": _q_fuzzy_join,
     }
 
 
@@ -2771,5 +2813,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS weight
             FROM h GROUP BY 1, 2
             HAVING sum(CASE WHEN hi >= 2147483648 THEN 1 ELSE -1 END) <> 0
+        """,
+        # The oracle brute-forces the cross product (fine at sf0.01);
+        # the Ray side must find the same pairs via deletion-variant
+        # blocking (sound for Levenshtein <= 1: the deleted-char
+        # variant sets of two strings within distance 1 intersect).
+        "fuzzy_join": """
+            WITH probes AS (
+                SELECT s_suppkey AS probe_id,
+                       substr(s_name, 1,
+                              CAST(s_suppkey % length(s_name) AS INT))
+                       || substr(s_name,
+                                 CAST(s_suppkey % length(s_name) AS INT)
+                                 + 2) AS probe
+                FROM supplier)
+            SELECT p.probe_id,
+                   s.s_suppkey AS match_id,
+                   CAST(levenshtein(p.probe, s.s_name) AS BIGINT) AS dist
+            FROM probes p CROSS JOIN supplier s
+            WHERE levenshtein(p.probe, s.s_name) <= 1
         """,
     }

@@ -368,6 +368,110 @@ def interval_join(
     return partitioned_group_map(both, [by, "__bin"], body, num_partitions)
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Two-row DP edit distance (verify step only — candidate pairs
+    are blocking-bounded, never all-pairs)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_variants(s: str, d: int) -> set:
+    """All strings obtainable by deleting up to ``d`` characters."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        frontier = {
+            v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+        }
+        out |= frontier
+    return out
+
+
+def fuzzy_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 1,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Approximate string (edit-distance) join: emit ``(left_id,
+    right_id, dist)`` for every cross pair with Levenshtein distance
+    <= ``max_dist`` — the record-linkage join (corrupted mentions vs a
+    canonical name table) the reference's exact broadcast-dict maps
+    cannot express.
+
+    Blocking is the SymSpell deletion-neighborhood guarantee: two
+    strings within edit distance d share at least one member of their
+    up-to-d-deletion variant sets, so each side explodes into its
+    variants (len^d per row — keep d at 1-2), variants co-locate via
+    one bounded hash partition, and only intra-bucket cross pairs are
+    DP-verified. A second partition on the pair ids dedupes pairs
+    found under several shared variants. Never an all-pairs product;
+    candidate volume is bucket-bounded exactly like the LSH dedup
+    family (salt hot variant buckets upstream if a single surface
+    dominates)."""
+
+    def explode(side, id_col, col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids, variants, origs = [], [], []
+            for i, s in zip(df[id_col], df[col]):
+                for v in _deletion_variants(s, max_dist):
+                    ids.append(i)
+                    variants.append(v)
+                    origs.append(s)
+            return pd.DataFrame(
+                {"__v": variants, "__id": ids, "__s": origs,
+                 "__side": side}
+            )
+
+        return fn
+
+    both = left.map_batches(
+        explode("L", left_id, left_col), batch_format="pandas"
+    ).union(
+        right.map_batches(explode("R", right_id, right_col),
+                          batch_format="pandas")
+    )
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "L"][["__v", "__id", "__s"]].rename(
+            columns={"__id": "lid", "__s": "ls"}
+        )
+        r = g[g["__side"] == "R"][["__v", "__id", "__s"]].rename(
+            columns={"__id": "rid", "__s": "rs"}
+        )
+        m = l.merge(r, on="__v").drop(columns="__v")
+        return m.drop_duplicates(["lid", "rid"])
+
+    cand = partitioned_group_map(both, ["__v"], candidates, num_partitions)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["lid", "rid"])
+        dist = np.fromiter(
+            (_levenshtein(a, b) for a, b in zip(g["ls"], g["rs"])),
+            dtype=np.int64, count=len(g),
+        )
+        out = g[["lid", "rid"]].copy()
+        out["dist"] = dist
+        return out[out["dist"] <= max_dist]
+
+    return partitioned_group_map(cand, ["lid", "rid"], verify,
+                                 num_partitions)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

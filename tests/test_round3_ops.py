@@ -374,3 +374,65 @@ def test_driver_cap_keeps_proven_queries_in_first_50():
     for name in ("kg_extract_text", "kg_canonical_triples", "dedup_exact",
                  "minhash_pairs", "ontology_terms", "asof_join"):
         assert name in head
+
+
+# --------------------------------------------------------------- fuzzy join
+
+
+def _brute_fuzzy(l, r, max_dist):
+    from biocypher_metta_ray.stages.joins import _levenshtein
+
+    rows = [
+        (lid, rid, _levenshtein(ls, rs))
+        for lid, ls in zip(l["id"], l["s"])
+        for rid, rs in zip(r["id"], r["s"])
+        if _levenshtein(ls, rs) <= max_dist
+    ]
+    return (
+        pd.DataFrame(rows, columns=["lid", "rid", "dist"])
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_fuzzy_join_matches_bruteforce(ray_session, max_dist):
+    """Deletion-variant blocking must find EVERY pair within the
+    distance bound (substitutions and insertions included, not just
+    deletions) — cross-checked against the all-pairs DP."""
+    from biocypher_metta_ray.stages.joins import fuzzy_join
+
+    words = ["grape", "graph", "grap", "grapes", "table", "tabel",
+             "cable", "xylophone", "graphs", "tale"]
+    l = pd.DataFrame({"id": np.arange(len(words), dtype=np.int64),
+                      "s": words})
+    r = pd.DataFrame({"id": np.arange(100, 100 + len(words),
+                                      dtype=np.int64),
+                      "s": words[::-1]})
+    got = (
+        fuzzy_join(_ds(l), _ds(r), "id", "s", "id", "s",
+                   max_dist=max_dist, num_partitions=4)
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    want = _brute_fuzzy(l, r, max_dist)
+    pd.testing.assert_frame_equal(
+        got.astype({"lid": "int64", "rid": "int64", "dist": "int64"}),
+        want,
+    )
+
+
+def test_fuzzy_join_no_duplicate_pairs_from_shared_variants(ray_session):
+    """A pair reachable through several shared deletion variants must
+    surface exactly once."""
+    from biocypher_metta_ray.stages.joins import fuzzy_join
+
+    l = pd.DataFrame({"id": np.array([1], dtype=np.int64),
+                      "s": ["aaaa"]})
+    r = pd.DataFrame({"id": np.array([2], dtype=np.int64),
+                      "s": ["aaaa"]})
+    got = fuzzy_join(_ds(l), _ds(r), "id", "s", "id", "s",
+                     max_dist=2, num_partitions=2).to_pandas()
+    assert len(got) == 1
+    assert int(got["dist"].iloc[0]) == 0
