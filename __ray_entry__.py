@@ -1618,6 +1618,43 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_kg_bfs(sf_dir: str):
+    """Bounded k-hop BFS distances over the canonical KG from the
+    lexicographic-min entity (stages/graph.py::bfs_distances —
+    frontier sweeps against a once-co-located adjacency table)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.graph import bfs_distances
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]]
+        .drop_duplicates()
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas",
+    ).materialize()
+    # seed = global min node id: per-block partial min (1 row/block),
+    # tiny driver reduce — same k-per-block partial shape as knn
+    mins = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [min(df["src"].min(), df["dst"].min())]}
+        )
+        if len(df)
+        else pd.DataFrame({"m": pd.Series([], dtype="object")}),
+        batch_format="pandas",
+    ).to_pandas()
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": [mins["m"].min()]})
+    )
+    out = bfs_distances(edges, seeds, max_hops=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "dist": df["dist"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_hll(sf_dir: str):
     """Per-group HLL register tables (distinct part keys per return
     flag) — stages/sketch.py::grouped_hll_registers; deterministic
@@ -1782,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "hash_embed": _q_hash_embed,
         "fuzzy_join": _q_fuzzy_join,
+        "kg_bfs": _q_kg_bfs,
     }
 
 
@@ -2832,5 +2870,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(p.probe, s.s_name) AS BIGINT) AS dist
             FROM probes p CROSS JOIN supplier s
             WHERE levenshtein(p.probe, s.s_name) <= 1
+        """,
+        # bounded-depth recursive walk; UNION dedupes (node, d) pairs
+        # so the enumeration stays graph-sized, min(d) = hop distance
+        "kg_bfs": f"""
+            WITH RECURSIVE t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            edges AS (SELECT subj AS u, obj AS v FROM ce
+                      UNION SELECT obj, subj FROM ce),
+            seed AS (SELECT min(u) AS node FROM edges),
+            walk(node, d) AS (
+                SELECT node, 0 FROM seed
+                UNION
+                SELECT e.v, w.d + 1 FROM walk w
+                JOIN edges e ON e.u = w.node WHERE w.d < 3)
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node
         """,
     }

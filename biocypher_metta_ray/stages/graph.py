@@ -317,3 +317,127 @@ def triangle_count(
         ["w1", "w2"], close, num_partitions,
     ).to_pandas()
     return pd.DataFrame({"n_triangles": [np.int64(parts["n"].sum())]})
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+    directed: bool = False,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Shortest-path hop distances from a seed set, bounded at
+    ``max_hops`` — k-hop neighborhood expansion (the "context
+    subgraph around an entity of interest" query a KG serves; the
+    reference leaves graph traversal to its downstream MeTTa runtime,
+    /root/reference/metta_generator.py ships facts and nothing else).
+
+    Frontier BFS, one bounded sweep per hop (the 100 TB contract,
+    same shape as :func:`pagerank`):
+
+    - the (symmetrized, deduped) adjacency table is co-located by
+      ``src`` ONCE and materialized; each sweep re-reads its blocks;
+    - a sweep joins the hop-``h`` frontier against adjacency in the
+      existing partitioning, emitting in-partition-distinct neighbor
+      candidates;
+    - candidates then subtract the visited set AND dedupe in a single
+      ``node``-keyed co-location (tagged union — no separate
+      anti-join pass), becoming the hop-``h+1`` frontier;
+    - frontier/visited tables are node-scale; only the static
+      adjacency is fact-scale, and it never reshuffles after the
+      initial co-location.
+
+    Early-exits when a frontier empties. Returns ``(node, dist)``
+    with int64 ``dist`` = hop count (seeds at 0); nodes beyond
+    ``max_hops`` are absent.
+    """
+    e = edges.select_columns([src, dst])
+    if not directed:
+        e = e.union(
+            edges.select_columns([dst, src]).map_batches(
+                lambda df: df.rename(columns={dst: "__t", src: dst})
+                .rename(columns={"__t": src})[[src, dst]],
+                batch_format="pandas",
+            )
+        )
+
+    adj = partitioned_group_map(
+        e.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        ),
+        [src],
+        lambda g: g.drop_duplicates([src, dst]),
+        num_partitions,
+    ).materialize()
+
+    dist = seeds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df[seed_col].drop_duplicates(),
+             "dist": np.int64(0)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    frontier = dist.select_columns(["node"])
+
+    for h in range(1, max_hops + 1):
+        # frontier rows carry a placeholder dst (= their own node) so
+        # the union's frames share one schema: a missing column would
+        # NaN-fill in the partition concat and upcast integer node
+        # ids to float, silently breaking hash co-location (the
+        # joins._pd_dtypes hazard)
+        both = adj.map_batches(
+            lambda df: df[[src, dst]].assign(__side="E"),
+            batch_format="pandas",
+        ).union(
+            frontier.map_batches(
+                lambda df: pd.DataFrame(
+                    {src: df["node"], dst: df["node"], "__side": "F"}
+                ),
+                batch_format="pandas",
+            )
+        )
+
+        def step(g: pd.DataFrame) -> pd.DataFrame:
+            ew = g[g["__side"] == "E"]
+            f = g[g["__side"] == "F"]
+            hit = ew[ew[src].isin(set(f[src]))]
+            return pd.DataFrame({"node": hit[dst].drop_duplicates()})
+
+        nbrs = partitioned_group_map(both, [src], step, num_partitions)
+
+        vboth = nbrs.map_batches(
+            lambda df: df.assign(__side="N"), batch_format="pandas"
+        ).union(
+            dist.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"], "__side": "V"}
+                ),
+                batch_format="pandas",
+            )
+        )
+
+        def unseen(g: pd.DataFrame) -> pd.DataFrame:
+            seen = set(g.loc[g["__side"] == "V", "node"])
+            out = g.loc[g["__side"] == "N", ["node"]]
+            return out[~out["node"].isin(seen)].drop_duplicates()
+
+        new = (
+            partitioned_group_map(
+                vboth, ["node"], unseen, num_partitions,
+                coalesce=2 * num_partitions,
+            )
+            .map_batches(
+                lambda df, _h=h: df.assign(dist=np.int64(_h)),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new.select_columns(["node"])
+
+    return dist

@@ -436,3 +436,53 @@ def test_fuzzy_join_no_duplicate_pairs_from_shared_variants(ray_session):
                      max_dist=2, num_partitions=2).to_pandas()
     assert len(got) == 1
     assert int(got["dist"].iloc[0]) == 0
+
+
+# ----------------------------------------------------------------- BFS
+
+
+def test_bfs_distances_path_graph(ray_session):
+    """Path 0-1-2-3-4-5, seed 0, max_hops=3: dists 0..3, nodes 4,5
+    absent; early-exit leaves the 3-hop frontier as the last sweep."""
+    from biocypher_metta_ray.stages.graph import bfs_distances
+
+    e = pd.DataFrame({"src": [0, 1, 2, 3, 4], "dst": [1, 2, 3, 4, 5]})
+    seeds = pd.DataFrame({"node": [0]})
+    got = (
+        bfs_distances(_ds(e), _ds(seeds), max_hops=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got["node"].tolist() == [0, 1, 2, 3]
+    assert got["dist"].tolist() == [0, 1, 2, 3]
+
+
+def test_bfs_distances_directed_vs_undirected(ray_session):
+    from biocypher_metta_ray.stages.graph import bfs_distances
+
+    e = pd.DataFrame({"src": [1, 2], "dst": [0, 0]})
+    seeds = pd.DataFrame({"node": [0]})
+    und = bfs_distances(_ds(e), _ds(seeds), max_hops=2,
+                        num_partitions=2).to_pandas()
+    assert sorted(und["node"]) == [0, 1, 2]
+    dire = bfs_distances(_ds(e), _ds(seeds), max_hops=2, directed=True,
+                         num_partitions=2).to_pandas()
+    assert sorted(dire["node"]) == [0]  # edges point INTO the seed
+
+
+def test_bfs_distances_multi_seed_min_and_early_exit(ray_session):
+    """Two seeds in separate components; BFS stops when frontiers
+    empty (well before max_hops) and keeps per-node MIN distance."""
+    from biocypher_metta_ray.stages.graph import bfs_distances
+
+    e = pd.DataFrame({"src": [0, 1, 10], "dst": [1, 2, 11]})
+    seeds = pd.DataFrame({"node": [0, 2, 10]})
+    got = (
+        bfs_distances(_ds(e), _ds(seeds), max_hops=100, num_partitions=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got["node"].tolist() == [0, 1, 2, 10, 11]
+    assert got["dist"].tolist() == [0, 1, 0, 0, 1]
