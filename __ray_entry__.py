@@ -1655,6 +1655,27 @@ def _q_kg_bfs(sf_dir: str):
     )
 
 
+def _q_kmeans(sf_dir: str):
+    """Fixed-iteration Lloyd's k-means over the embeddings table
+    (stages/cluster.py::kmeans — broadcast centroids, per-block
+    partial sums, zero shuffle; deterministic smallest-id init)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.cluster import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assignments, _cents = kmeans(ds, k=4, iterations=2)
+    return assignments.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "cluster": df["cluster"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_hll(sf_dir: str):
     """Per-group HLL register tables (distinct part keys per return
     flag) — stages/sketch.py::grouped_hll_registers; deterministic
@@ -1820,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "fuzzy_join": _q_fuzzy_join,
         "kg_bfs": _q_kg_bfs,
+        "kmeans": _q_kmeans,
     }
 
 
@@ -2177,6 +2199,58 @@ def oracle_sql() -> dict[str, str]:
     canon_rows = ", ".join(
         f"('{s}', '{eid}')" for s, (eid, _l) in sorted(ENTITIES.items())
     )
+    # k-means oracle: unrolled Lloyd iterations (same trick as the
+    # pagerank oracle). ev = dim-exploded embeddings in DOUBLE (the
+    # exact float32->float64 widening the Ray kernel applies); each
+    # iteration is assign (argmin with ORDER BY dist, cid — numpy
+    # first-min), update (avg per (cid, dim), empty clusters keep the
+    # previous centroid via the LEFT JOIN coalesce); final labeling
+    # under the last centroids.
+    km_iters, km_k = 2, 4
+    km = [
+        """
+        ev AS (SELECT vec_id, CAST(g.i AS INT) AS dim,
+                      CAST(embedding[CAST(g.i + 1 AS INT)] AS DOUBLE)
+                          AS val
+               FROM embeddings, (SELECT unnest(range(64)) AS i) g),
+        sel AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT %d)),
+        c0 AS (SELECT sel.cid, ev.dim, ev.val
+               FROM sel JOIN ev ON sel.vec_id = ev.vec_id)
+        """
+        % km_k
+    ]
+    for t in range(1, km_iters + 2):
+        km.append(
+            f"""
+        d{t} AS (SELECT ev.vec_id, c.cid,
+                        sum((ev.val - c.val) * (ev.val - c.val)) AS dist
+                 FROM ev JOIN c{t - 1} c ON ev.dim = c.dim
+                 GROUP BY 1, 2),
+        a{t} AS (SELECT vec_id, cid FROM d{t}
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) = 1)
+            """
+        )
+        if t <= km_iters:
+            km.append(
+                f"""
+        m{t} AS (SELECT a.cid, ev.dim, avg(ev.val) AS val
+                 FROM a{t} a JOIN ev ON a.vec_id = ev.vec_id
+                 GROUP BY 1, 2),
+        c{t} AS (SELECT c.cid, c.dim, coalesce(m.val, c.val) AS val
+                 FROM c{t - 1} c LEFT JOIN m{t} m
+                 ON c.cid = m.cid AND c.dim = m.dim)
+                """
+            )
+    kmeans_sql = (
+        "WITH " + ",".join(km)
+        + f" SELECT vec_id, CAST(cid AS BIGINT) AS cluster"
+          f" FROM a{km_iters + 1}"
+    )
+
     stop_en = "('the', 'a', 'and', 'of', 'to')"
     stop_de = "('der', 'die', 'und', 'das', 'ein')"
     stop_fr = "('le', 'la', 'et', 'les', 'des')"
@@ -2891,4 +2965,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY node
         """,
+        "kmeans": kmeans_sql,
     }

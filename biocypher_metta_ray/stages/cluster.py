@@ -1,0 +1,150 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+Corpus-scale clustering is the backbone of embedding-based data
+curation (SemDedup-style semantic dedup, cluster-balanced sampling,
+IVF coarse quantizers — `stages/knn.py` currently samples its
+centroids, this trains them). The reference has no notion of it
+(its embeddings never exist; the KG ships to a downstream runtime,
+/root/reference/metta_generator.py), but a 100 TB training-data
+pipeline clusters every corpus it embeds.
+
+Shape (the 100 TB contract — k-means is the textbook
+broadcast-and-partial workload, NO shuffle at any step):
+
+- centroids live in one ``ray.put`` object per sweep (k x d float64,
+  KB-scale), read zero-copy by every task;
+- each sweep is ONE streaming pass: a stateless ``map_batches`` task
+  assigns its block (vectorized (B, k, d) distance kernel) and emits
+  k partial rows — ``(cluster, count, sum-vector packed as bytes)``
+  — so the driver reduce sees blocks x k rows, never the corpus;
+- the driver update is O(k x d): sum/count per cluster, empty
+  clusters keep their previous centroid (documented so the SQL
+  oracle states the same rule);
+- the final labeling pass streams ``(id, cluster)`` out without
+  materializing anything corpus-sized.
+
+Determinism: init centroids are the embeddings of the ``k`` smallest
+ids (found via per-block bottom-k partials — k rows/block, driver
+reduce), distances are full ``sum((x - c)^2)`` in float64 (same
+per-dimension arithmetic as the SQL oracle), argmin ties break to the
+lowest cluster index (numpy first-min == SQL ``ORDER BY dist, cid``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(B, d) float64 matrix from a list<float> column OR the Ray
+    tensor extension type (``from_pandas`` of ndarray cells)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if hasattr(arr, "flatten"):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(batch) if len(batch) else 0
+        X = flat.reshape(len(batch), d)
+    else:  # ArrowTensorArray and friends
+        X = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if X.dtype == object:
+            X = np.stack(X) if len(X) else X.reshape(0, 0)
+    return X.astype(np.float64, copy=False)
+
+
+def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # full (B, k, d) squared-difference kernel: fp-identical shape to
+    # the oracle's per-dimension sum, unlike the |x|^2 - 2xc trick
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    iterations: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Fixed-iteration Lloyd's k-means. Returns ``(assignments,
+    centroids)``: a streaming ``(id_col, cluster)`` Dataset labeled
+    under the final centroids, and the (k, d) float64 centroid
+    matrix (feed it to :func:`stages.knn.build_ivf_index` or a
+    SemDedup within-cluster dedup pass).
+    """
+    # ---- deterministic init: embeddings of the k smallest ids ----
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        X = _matrix(batch, col)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[take]),
+                "__vec": pa.array([X[i].tobytes() for i in take]),
+            }
+        )
+
+    seed = (
+        ds.map_batches(bottomk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+        .head(k)
+    )
+    cents = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in seed["__vec"]]
+    )
+
+    # ---- Lloyd sweeps: broadcast -> per-block partials -> reduce ----
+    for _ in range(iterations):
+        cents_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C = ray.get(cents_ref)
+            X = _matrix(batch, col)
+            a = _assign(X, C)
+            counts = np.bincount(a, minlength=k)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "s": pa.array([sums[j].tobytes() for j in range(k)]),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        nxt = cents.copy()
+        for j in range(k):
+            rows = parts[parts["cluster"] == j]
+            n = int(rows["n"].sum())
+            if n:
+                s = np.sum(
+                    np.stack(
+                        [np.frombuffer(b, dtype=np.float64)
+                         for b in rows["s"]]
+                    ),
+                    axis=0,
+                )
+                nxt[j] = s / n
+        cents = nxt
+
+    # ---- final streaming labeling pass ----
+    final_ref = ray.put(cents)
+
+    def label(batch: pa.Table) -> pa.Table:
+        C = ray.get(final_ref)
+        X = _matrix(batch, col)
+        a = _assign(X, C)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow"), cents

@@ -486,3 +486,74 @@ def test_bfs_distances_multi_seed_min_and_early_exit(ray_session):
     )
     assert got["node"].tolist() == [0, 1, 2, 10, 11]
     assert got["dist"].tolist() == [0, 1, 0, 0, 1]
+
+
+# -------------------------------------------------------------- k-means
+
+
+def _blob_ds(n_parts=1):
+    # rows interleaved across blobs (true blob of row i = i % 3) so
+    # the smallest-id deterministic init seeds one centroid per blob
+    rng = np.random.default_rng(7)
+    centers = np.array([[5.0, 5.0], [-5.0, 5.0], [0.0, -6.0]])
+    blobs = [c + 0.1 * rng.standard_normal((20, 2)) for c in centers]
+    X = np.stack(
+        [blobs[i % 3][i // 3] for i in range(60)]
+    ).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": [x for x in X]}
+    )
+    if n_parts == 1:
+        return ray.data.from_pandas(df), df
+    parts = np.array_split(df, n_parts)
+    return ray.data.from_pandas(list(parts)), df
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    from biocypher_metta_ray.stages.cluster import kmeans
+
+    ds, df = _blob_ds()
+    out, cents = kmeans(ds, k=3, iterations=4)
+    got = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    lab = got["cluster"].to_numpy()
+    # each true blob (ids congruent mod 3) maps to ONE cluster, and
+    # the three blobs to three different ones
+    blocks = [set(lab[i::3]) for i in range(3)]
+    assert all(len(b) == 1 for b in blocks)
+    assert len(set().union(*blocks)) == 3
+    assert cents.shape == (3, 2)
+
+
+def test_kmeans_partition_invariant(ray_session):
+    """Block partials must reduce to the same centroids however the
+    input is split (modulo fp noise too small to flip an argmin)."""
+    from biocypher_metta_ray.stages.cluster import kmeans
+
+    ds1, _ = _blob_ds(1)
+    ds5, _ = _blob_ds(5)
+    a1 = kmeans(ds1, k=3, iterations=2)[0].to_pandas()
+    a5 = kmeans(ds5, k=3, iterations=2)[0].to_pandas()
+    m = a1.merge(a5, on="vec_id")
+    assert (m["cluster_x"] == m["cluster_y"]).all()
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
+    """k larger than the number of distinct points: the orphan
+    centroid must keep its init position, not collapse to NaN."""
+    from biocypher_metta_ray.stages.cluster import kmeans
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(4, dtype=np.int64),
+         "embedding": [np.array([0.0, 0.0], dtype=np.float32),
+                       np.array([0.0, 0.0], dtype=np.float32),
+                       np.array([9.0, 9.0], dtype=np.float32),
+                       np.array([9.0, 9.0], dtype=np.float32)]}
+    )
+    out, cents = kmeans(ray.data.from_pandas(df), k=3, iterations=3)
+    assert not np.isnan(cents).any()
+    got = out.to_pandas()
+    # the duplicate-of-init centroid 1 (vec 1 == vec 0) stays empty:
+    # ties break to cluster 0; cluster 1 keeps its init position
+    assert np.allclose(cents[1], [0.0, 0.0])
+    assert sorted(set(got["cluster"])) == [0, 2]
