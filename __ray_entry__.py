@@ -1676,6 +1676,27 @@ def _q_kmeans(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDedup semantic deduplication: k-means clusters, then
+    within-cluster cosine prune against lower-id exemplars
+    (stages/cluster.py::semantic_dedup)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.cluster import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, threshold=0.3, k=4, iterations=2)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "cluster": df["cluster"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_hll(sf_dir: str):
     """Per-group HLL register tables (distinct part keys per return
     flag) — stages/sketch.py::grouped_hll_registers; deterministic
@@ -1842,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": _q_fuzzy_join,
         "kg_bfs": _q_kg_bfs,
         "kmeans": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2245,10 +2267,39 @@ def oracle_sql() -> dict[str, str]:
                  ON c.cid = m.cid AND c.dim = m.dim)
                 """
             )
+    km_body = ",".join(km)
+    km_final = km_iters + 1
     kmeans_sql = (
-        "WITH " + ",".join(km)
+        "WITH " + km_body
         + f" SELECT vec_id, CAST(cid AS BIGINT) AS cluster"
-          f" FROM a{km_iters + 1}"
+          f" FROM a{km_final}"
+    )
+    # SemDedup prune on top of the same unrolled clustering: drop a
+    # vector iff some LOWER-id member of ITS OWN cluster sits at
+    # cosine >= 0.3 (threshold chosen in a wide gap of the synthetic
+    # cosine distribution — nearest pair is 7e-5 away, so fp noise
+    # cannot flip the comparison)
+    semdedup_sql = (
+        "WITH " + km_body
+        + f""",
+        norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm
+                  FROM ev GROUP BY vec_id),
+        dots AS (SELECT ci.vec_id AS i, cj.vec_id AS j,
+                        sum(ei.val * ej.val) AS dot
+                 FROM a{km_final} ci JOIN a{km_final} cj
+                   ON ci.cid = cj.cid AND ci.vec_id < cj.vec_id
+                 JOIN ev ei ON ei.vec_id = ci.vec_id
+                 JOIN ev ej ON ej.vec_id = cj.vec_id
+                   AND ej.dim = ei.dim
+                 GROUP BY 1, 2),
+        drops AS (SELECT DISTINCT d.j FROM dots d
+                  JOIN norms ni ON ni.vec_id = d.i
+                  JOIN norms nj ON nj.vec_id = d.j
+                  WHERE d.dot / (ni.nrm * nj.nrm) >= 0.3)
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster
+        FROM a{km_final} a
+        WHERE a.vec_id NOT IN (SELECT j FROM drops)
+        """
     )
 
     stop_en = "('the', 'a', 'and', 'of', 'to')"
@@ -2966,4 +3017,5 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "kmeans": kmeans_sql,
+        "semantic_dedup": semdedup_sql,
     }

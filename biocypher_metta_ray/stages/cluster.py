@@ -148,3 +148,88 @@ def kmeans(
         )
 
     return ds.map_batches(label, batch_format="pyarrow"), cents
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.3,
+    k: int = 4,
+    iterations: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 16,
+    chunk: int = 1024,
+) -> ray.data.Dataset:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the corpus, then WITHIN each cluster
+    drop every vector that has a lower-id member at cosine >=
+    ``threshold`` (the lower-id member survives as the retained
+    exemplar; "any lower-id neighbor", kept or not — the simple
+    deterministic variant, stated so the SQL oracle says the same).
+
+    Scale shape: clustering is the shuffle-free :func:`kmeans`; the
+    prune is ONE cluster-keyed co-location, and the within-cluster
+    kernel is a chunked ``(chunk, m)`` normalized-dot sweep so memory
+    stays bounded at ``chunk x cluster_size`` floats however big the
+    cluster. The quadratic-in-cluster-size work is the SemDedup
+    contract itself — at corpus scale pick ``k`` so ``n / k`` keeps
+    the per-cluster matmul tractable (the paper's regime; k grows
+    with n). Cross-cluster near-duplicates are missed by design
+    (that is the approximation SemDedup trades for linearity).
+
+    Returns the SURVIVORS as ``(id_col, cluster)``.
+    """
+    from .skew import partitioned_group_map
+
+    _assignments, cents = kmeans(ds, k, iterations, col, id_col)
+    cents_ref = ray.put(cents)
+
+    def label_carry(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch, col)
+        a = _assign(X, ray.get(cents_ref))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64)),
+                "__vec": pa.array([x.tobytes() for x in X]),
+            }
+        )
+
+    carried = ds.map_batches(label_carry, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            M = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in grp["__vec"]]
+            )
+            G = M / np.linalg.norm(M, axis=1, keepdims=True)
+            m = len(G)
+            keep = np.ones(m, dtype=bool)
+            cols = np.arange(m)[None, :]
+            for i0 in range(0, m, chunk):
+                i1 = min(i0 + chunk, m)
+                S = G[i0:i1] @ G.T
+                hit = (S >= threshold) & (
+                    cols < np.arange(i0, i1)[:, None]
+                )
+                keep[i0:i1] = ~hit.any(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy()[keep],
+                        "cluster": np.int64(cid),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_group_map(
+        carried, ["cluster"], prune, num_partitions
+    )

@@ -557,3 +557,63 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
     # ties break to cluster 0; cluster 1 keeps its init position
     assert np.allclose(cents[1], [0.0, 0.0])
     assert sorted(set(got["cluster"])) == [0, 2]
+
+
+def test_semantic_dedup_keeps_min_id_exemplar(ray_session):
+    """Near-identical vectors in one blob: only the lowest id
+    survives; distinct blobs keep one survivor each."""
+    from biocypher_metta_ray.stages.cluster import semantic_dedup
+
+    base = np.array([[5.0, 5.0], [-5.0, 5.0], [0.0, -6.0]])
+    rows = []
+    for i in range(30):
+        v = base[i % 3] + 1e-4 * ((i // 3) % 7)  # near-dups per blob
+        rows.append(v)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(30, dtype=np.int64),
+         "embedding": [r.astype(np.float32) for r in rows]}
+    )
+    got = semantic_dedup(
+        ray.data.from_pandas(df), threshold=0.999, k=3, iterations=3,
+        num_partitions=4,
+    ).to_pandas().sort_values("vec_id")
+    # survivors: exactly the min id of each blob (ids 0, 1, 2)
+    assert got["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_semantic_dedup_chunked_matches_unchunked(ray_session):
+    from biocypher_metta_ray.stages.cluster import semantic_dedup
+
+    ds, _ = _blob_ds()
+    a = semantic_dedup(ds, threshold=0.9, k=3, iterations=2,
+                       chunk=4).to_pandas()
+    b = semantic_dedup(ds, threshold=0.9, k=3, iterations=2,
+                       chunk=4096).to_pandas()
+    assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+
+
+def test_semantic_dedup_cross_cluster_dups_survive(ray_session):
+    """The documented SemDedup approximation: identical vectors that
+    land in DIFFERENT clusters are both kept."""
+    from biocypher_metta_ray.stages.cluster import kmeans, semantic_dedup
+
+    # two tight far-apart pairs; k=2 with smallest-id init (one seed
+    # in each pair) puts each pair in its own cluster — duplicates
+    # ACROSS clusters don't exist here, so instead verify: per
+    # cluster one exemplar survives, total 2
+    df = pd.DataFrame(
+        {"vec_id": np.arange(4, dtype=np.int64),
+         "embedding": [np.array([9.0, 0.0], dtype=np.float32),
+                       np.array([-9.0, 0.0], dtype=np.float32),
+                       np.array([9.0, 0.001], dtype=np.float32),
+                       np.array([-9.0, 0.001], dtype=np.float32)]}
+    )
+    ds = ray.data.from_pandas(df)
+    got = semantic_dedup(ds, threshold=0.999, k=2, iterations=2,
+                         num_partitions=2).to_pandas()
+    assert sorted(got["vec_id"]) == [0, 1]
+    # and the same data at k=4 (every vector its own cluster):
+    # nothing prunes — cross-cluster duplicates survive
+    got4 = semantic_dedup(ds, threshold=0.999, k=4, iterations=2,
+                          num_partitions=2).to_pandas()
+    assert sorted(got4["vec_id"]) == [0, 1, 2, 3]
