@@ -1676,6 +1676,16 @@ def _q_kmeans(sf_dir: str):
     )
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min sketch of part-key frequencies over lineitem
+    (stages/sketch.py::cms_counts — streaming partials, two-level
+    tree merge, bit-for-bit SQL-checkable cells)."""
+    from biocypher_metta_ray.stages.sketch import cms_counts
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    return cms_counts(ds, "l_partkey")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDedup semantic deduplication: k-means clusters, then
     within-cluster cosine prune against lower-id exemplars
@@ -1864,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs": _q_kg_bfs,
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "cms_counts": _q_cms_counts,
     }
 
 
@@ -3018,4 +3029,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": kmeans_sql,
         "semantic_dedup": semdedup_sql,
+        # cell = low md5 half mod 1024 (1024 divides 2^32) — the
+        # hash_split/hash_embed nibble trick, one arm per depth
+        "cms_counts": """
+            WITH v AS (
+                SELECT 0 AS depth,
+                       'cms0:' || CAST(l_partkey AS VARCHAR) AS s
+                FROM lineitem
+                UNION ALL SELECT 1, 'cms1:' || CAST(l_partkey AS VARCHAR)
+                FROM lineitem
+                UNION ALL SELECT 2, 'cms2:' || CAST(l_partkey AS VARCHAR)
+                FROM lineitem
+                UNION ALL SELECT 3, 'cms3:' || CAST(l_partkey AS VARCHAR)
+                FROM lineitem),
+            h AS (SELECT depth,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                  FROM v)
+            SELECT CAST(depth AS BIGINT) AS depth, lo % 1024 AS cell,
+                   count(*) AS n
+            FROM h GROUP BY 1, 2
+        """,
     }

@@ -318,3 +318,95 @@ def distinct_count(
 
     n = distinct(ds, cols, shuffle_partitions=shuffle_partitions).count()
     return pd.DataFrame({"n_distinct": np.array([n], dtype=np.int64)})
+
+
+# --------------------------------------------------------------- Count-Min
+
+# d=4 depths x w=1024 cells; w divides 2^32 so ``hash64 % w`` equals
+# the low md5 half mod w — the same SQL-checkability trick as
+# hash_split / hash_embed.
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_counts(
+    ds: ray.data.Dataset,
+    col: str,
+    depth: int = CMS_D,
+    width: int = CMS_W,
+    salt: str = "cms",
+) -> ray.data.Dataset:
+    """Merged Count-Min sketch (Cormode & Muthukrishnan 2005) for the
+    string rendering of ``col``: rows ``(depth, cell, n)``, one per
+    non-empty cell. Point-frequency estimates (always >= truth) come
+    from :func:`cms_estimate`; the sketch answers "how often does key
+    X occur in 100 TB" in one streaming pass with a constant-size
+    merge, where the exact answer is a full keyed shuffle.
+
+    Determinism/verifiability: cell = ``hash64(f"{salt}{i}:{v}") %
+    width`` with the repo's md5-based hash64, so DuckDB recomputes
+    every cell count from ``md5()`` nibbles — the sketch is
+    bit-for-bit SQL-checkable like the HLL register table.
+
+    Merge is the HLL two-level tree (block coalesce + vectorized
+    per-block SUM — counters are additive), never a keyed shuffle:
+    each partial block is at most ``depth x width`` rows however
+    large the batch.
+    """
+    from ..functions.helpers import hash64_column
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = [str(v) for v in batch[col].to_pylist()]
+        frames = []
+        for i in range(depth):
+            h = hash64_column([f"{salt}{i}:{v}" for v in vals])
+            cells = (h % np.uint64(width)).astype(np.int64)
+            cnt = np.bincount(cells, minlength=width)
+            nz = np.nonzero(cnt)[0]
+            frames.append(
+                pd.DataFrame(
+                    {"depth": np.int64(i), "cell": nz.astype(np.int64),
+                     "n": cnt[nz].astype(np.int64)}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["depth", "cell"], sort=True)["n"].sum()
+            .reset_index()
+        )
+        return out.astype({"depth": "int64", "cell": "int64",
+                           "n": "int64"})
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def cms_estimate(
+    sketch: pd.DataFrame,
+    key: str,
+    depth: int = CMS_D,
+    width: int = CMS_W,
+    salt: str = "cms",
+) -> int:
+    """Point-frequency estimate: min over depths of the key's cell
+    counter (missing cell = 0). Never underestimates."""
+    from ..functions.helpers import hash64_column
+
+    lut = {
+        (int(d), int(c)): int(n)
+        for d, c, n in zip(sketch["depth"], sketch["cell"], sketch["n"])
+    }
+    est = None
+    for i in range(depth):
+        h = hash64_column([f"{salt}{i}:{key}"])[0]
+        n = lut.get((i, int(h % np.uint64(width))), 0)
+        est = n if est is None else min(est, n)
+    return int(est)

@@ -328,3 +328,42 @@ def test_grouped_hll_hot_group_costs_m_rows(ray_session):
         ray.data.from_pandas(df), ["g"], "k", num_partitions=4
     ).to_pandas()
     assert len(regs) <= HLL_M
+
+
+def test_cms_never_underestimates_and_heavy_keys_tight(ray_session):
+    import ray.data
+
+    from biocypher_metta_ray.stages.sketch import cms_counts, cms_estimate
+
+    rng = np.random.RandomState(11)
+    keys = np.concatenate(
+        [np.full(5000, 7), np.full(2000, 13),
+         rng.randint(100, 4000, 3000)]
+    ).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    sk = cms_counts(ray.data.from_pandas(df), "k").to_pandas()
+    true = pd.Series(keys).value_counts()
+    for key in (7, 13, int(true.index[-1])):
+        est = cms_estimate(sk, str(key))
+        assert est >= int(true[key])          # CMS never underestimates
+    # heavy hitters dominate their cells: estimate within eps*N slack
+    assert cms_estimate(sk, "7") - 5000 <= len(keys) * 4 / 1024
+    # total mass per depth equals the row count exactly
+    per_depth = sk.groupby("depth")["n"].sum()
+    assert (per_depth == len(keys)).all()
+
+
+def test_cms_partition_invariant(ray_session):
+    import ray.data
+
+    from biocypher_metta_ray.stages.sketch import cms_counts
+
+    df = pd.DataFrame({"k": np.arange(2000, dtype=np.int64) % 37})
+    one = cms_counts(ray.data.from_pandas(df), "k").to_pandas()
+    many = cms_counts(
+        ray.data.from_pandas(list(np.array_split(df, 7))), "k"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.sort_values(["depth", "cell"]).reset_index(drop=True),
+        many.sort_values(["depth", "cell"]).reset_index(drop=True),
+    )
