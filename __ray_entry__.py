@@ -1676,6 +1676,47 @@ def _q_kmeans(sf_dir: str):
     )
 
 
+def _q_outer_join(sf_dir: str):
+    """LEFT OUTER large-side join: every order row survives, orders
+    with no high-quantity lineitem carry a zero count
+    (stages/joins.py::hash_join how='left' — same native/bucketed
+    machinery as bucket_join, exercising the outer path)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import hash_join
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    ).filter(expr="l_quantity > 45")
+    counts = grouped_agg(
+        li, keys=["l_orderkey"], count_as="cnt"
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"orderkey": df["l_orderkey"].astype("int64"),
+             "cnt": df["cnt"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "orderkey"}),
+        batch_format="pandas",
+    )
+    out = hash_join(orders, counts, on="orderkey", how="left",
+                    num_partitions=16)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"orderkey": df["orderkey"].astype("int64"),
+             "o_custkey": df["o_custkey"].astype("int64"),
+             "cnt": df["cnt"].fillna(0).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch of part-key frequencies over lineitem
     (stages/sketch.py::cms_counts — streaming partials, two-level
@@ -1875,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "cms_counts": _q_cms_counts,
+        "outer_join": _q_outer_join,
     }
 
 
@@ -3048,5 +3090,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(depth AS BIGINT) AS depth, lo % 1024 AS cell,
                    count(*) AS n
             FROM h GROUP BY 1, 2
+        """,
+        "outer_join": """
+            SELECT o_orderkey AS orderkey, o_custkey,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+            FROM orders
+            LEFT JOIN (SELECT l_orderkey, count(*) AS cnt
+                       FROM lineitem WHERE l_quantity > 45
+                       GROUP BY 1) c
+            ON o_orderkey = c.l_orderkey
         """,
     }

@@ -97,8 +97,16 @@ def hash_join(
     if use_native and hasattr(left, "join") and not (
         _nested(left) or _nested(right)
     ):
+        # public vocabulary is pandas-merge ("left"/"right"/"outer");
+        # the native path speaks acero join-type names
+        native_how = {
+            "left": "left_outer",
+            "right": "right_outer",
+            "outer": "full_outer",
+        }.get(how, how)
         return left.join(
-            right, join_type=how, num_partitions=num_partitions, on=(on,)
+            right, join_type=native_how, num_partitions=num_partitions,
+            on=(on,),
         )
 
     lcols = [c for c in left.schema().names if c != on]

@@ -617,3 +617,38 @@ def test_semantic_dedup_cross_cluster_dups_survive(ray_session):
     got4 = semantic_dedup(ds, threshold=0.999, k=4, iterations=2,
                           num_partitions=2).to_pandas()
     assert sorted(got4["vec_id"]) == [0, 1, 2, 3]
+
+
+# ------------------------------------------------------------- outer joins
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_hash_join_outer_variants(ray_session, use_native):
+    """left/full outer must agree between the native acero path
+    (pandas 'left' -> acero 'left_outer' translation) and the
+    union-and-bucket fallback."""
+    from biocypher_metta_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                      "lv": np.array([10, 20, 30], dtype=np.int64)})
+    r = pd.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64),
+                      "rv": np.array([200, 300, 400], dtype=np.int64)})
+    left = (
+        hash_join(_ds(l), _ds(r), on="k", how="left",
+                  num_partitions=4, use_native=use_native)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert left["k"].tolist() == [1, 2, 3]
+    assert left["rv"].fillna(-1).astype("int64").tolist() == [-1, 200, 300]
+    full = (
+        hash_join(_ds(l), _ds(r), on="k", how="outer",
+                  num_partitions=4, use_native=use_native)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert full["k"].tolist() == [1, 2, 3, 4]
+    assert full["lv"].fillna(-1).astype("int64").tolist() == [10, 20, 30, -1]
+    assert full["rv"].fillna(-1).astype("int64").tolist() == [-1, 200, 300, 400]
