@@ -1717,6 +1717,20 @@ def _q_outer_join(sf_dir: str):
     )
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Deterministic TransE-style negative sampling over the
+    canonical KG (pipelines/kg.py::negative_triples — hash-indexed
+    vocabulary corruption, zero shuffle)."""
+    from biocypher_metta_ray.kg.gazetteer import ENTITIES
+    from biocypher_metta_ray.pipelines.kg import negative_triples
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "pred", "obj"]], batch_format="pandas"
+    )
+    vocab = sorted({eid for eid, _lab in ENTITIES.values()})
+    return negative_triples(edges, vocab, n_neg=2)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch of part-key frequencies over lineitem
     (stages/sketch.py::cms_counts — streaming partials, two-level
@@ -1917,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "cms_counts": _q_cms_counts,
         "outer_join": _q_outer_join,
+        "kg_negatives": _q_kg_negatives,
     }
 
 
@@ -3090,6 +3105,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(depth AS BIGINT) AS depth, lo % 1024 AS cell,
                    count(*) AS n
             FROM h GROUP BY 1, 2
+        """,
+        # 64-bit hash mod an ARBITRARY vocab size n (n need not divide
+        # 2^32): ((hi % n) * (2^32 % n) + lo % n) % n, all in BIGINT
+        "kg_negatives": f"""
+            WITH t AS ({p['triples']}),
+            ct AS (SELECT gaz.entity_id AS subj, t.pred,
+                          g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2, 3),
+            ents AS (SELECT entity_id,
+                            row_number() OVER (ORDER BY entity_id) - 1
+                                AS idx
+                     FROM (SELECT DISTINCT entity_id FROM {p['gaz']})),
+            nn AS (SELECT count(*) AS n FROM ents),
+            hs AS (SELECT subj, pred, obj,
+                          'neg' || CAST(j.j AS VARCHAR) || ':' || subj
+                          || '|' || pred || '|' || obj AS s
+                   FROM ct CROSS JOIN (VALUES (1), (2)) AS j(j)),
+            hl AS (SELECT subj, pred, obj,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                      list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                   FROM hs),
+            neg AS (SELECT hl.subj, hl.pred, e.entity_id AS obj
+                    FROM hl CROSS JOIN nn
+                    JOIN ents e
+                      ON e.idx = ((hl.hi % nn.n) * (4294967296 % nn.n)
+                                  + (hl.lo % nn.n)) % nn.n)
+            SELECT subj, pred, obj, CAST(0 AS BIGINT) AS label FROM neg
+            UNION ALL
+            SELECT subj, pred, obj, CAST(1 AS BIGINT) AS label FROM ct
         """,
         "outer_join": """
             SELECT o_orderkey AS orderkey, o_custkey,

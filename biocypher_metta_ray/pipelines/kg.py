@@ -480,3 +480,59 @@ def degree_table(
         ),
         batch_format="pandas",
     )
+
+
+def negative_triples(
+    edges: ray.data.Dataset,
+    entity_ids: list[str],
+    n_neg: int = 2,
+    salt: str = "neg",
+) -> ray.data.Dataset:
+    """Deterministic TransE-style negative sampling over canonical
+    triples: each positive ``(subj, pred, obj)`` emits itself with
+    ``label=1`` plus ``n_neg`` object-corrupted copies with
+    ``label=0`` — the training pairs every KG-embedding recipe
+    (TransE, Bordes et al. 2013) derives from a graph. The reference
+    stops at fact files (metta_generator.py); a training pipeline
+    needs the contrastive pairs too.
+
+    Corruption is a pure streaming map (zero shuffle): replacement
+    object = the SORTED entity vocabulary at index
+    ``hash64(f"{salt}{j}:{subj}|{pred}|{obj}") % n_entities`` — fully
+    reproducible across partitionings and SQL-checkable (the oracle
+    reduces the 64-bit hash mod n via ``((hi % n) * (2^32 % n) +
+    lo % n) % n``, exact for any vocabulary size, not just powers of
+    two). The vocabulary is dimension-scale and broadcast once via
+    ``ray.put``. A corrupted draw MAY collide with the true object;
+    the row still carries label 0 (the standard unfiltered-negatives
+    convention, stated so the oracle agrees).
+    """
+    from ..functions.helpers import hash64_column
+
+    vocab = np.array(sorted(set(entity_ids)), dtype=object)
+    vocab_ref = ray.put(vocab)
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        E = ray.get(vocab_ref)
+        n = np.uint64(len(E))
+        outs = [
+            pd.DataFrame(
+                {"subj": df["subj"], "pred": df["pred"],
+                 "obj": df["obj"], "label": np.int64(1)}
+            )
+        ]
+        for j in range(1, n_neg + 1):
+            keys = [
+                f"{salt}{j}:{s}|{p}|{o}"
+                for s, p, o in zip(df["subj"], df["pred"], df["obj"])
+            ]
+            idx = (hash64_column(keys) % n).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {"subj": df["subj"], "pred": df["pred"],
+                     "obj": E[idx], "label": np.int64(0)}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return edges.map_batches(corrupt, batch_format="pandas")

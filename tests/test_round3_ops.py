@@ -652,3 +652,28 @@ def test_hash_join_outer_variants(ray_session, use_native):
     assert full["k"].tolist() == [1, 2, 3, 4]
     assert full["lv"].fillna(-1).astype("int64").tolist() == [10, 20, 30, -1]
     assert full["rv"].fillna(-1).astype("int64").tolist() == [-1, 200, 300, 400]
+
+
+# ------------------------------------------------------- negative sampling
+
+
+def test_negative_triples_deterministic_and_labelled(ray_session):
+    from biocypher_metta_ray.pipelines.kg import negative_triples
+
+    edges = pd.DataFrame(
+        {"subj": ["a", "b"], "pred": ["r", "r"], "obj": ["x", "y"]}
+    )
+    vocab = ["a", "b", "x", "y", "z"]
+    got = negative_triples(_ds(edges), vocab, n_neg=3).to_pandas()
+    pos = got[got["label"] == 1]
+    neg = got[got["label"] == 0]
+    assert len(pos) == 2 and len(neg) == 6
+    assert set(neg["obj"]) <= set(vocab)
+    # positives pass through untouched
+    assert sorted(zip(pos["subj"], pos["obj"])) == [("a", "x"), ("b", "y")]
+    # partition-invariant: same rows from a 2-block split
+    parts = [_ds(edges.iloc[[i]]) for i in range(2)]
+    got2 = parts[0].union(parts[1])
+    got2 = negative_triples(got2, vocab, n_neg=3).to_pandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(got) == key(got2)
