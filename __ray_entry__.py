@@ -1717,6 +1717,28 @@ def _q_outer_join(sf_dir: str):
     )
 
 
+def _q_rolling_agg(sf_dir: str):
+    """Per-user trailing ROW-window stats over the event log: count /
+    sum / mean of the last 4 events (stages/windows.py::rolling_agg —
+    one key co-location, vectorized shift-stack frame)."""
+    from biocypher_metta_ray.stages.windows import rolling_agg
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = rolling_agg(ds, key="user_id", order_cols=["ts", "event_id"],
+                      value_col="value", window=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "n_window": df["n_window"].astype("int64"),
+             "sum_window": df["sum_window"],
+             "mean_window": df["mean_window"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_kg_negatives(sf_dir: str):
     """Deterministic TransE-style negative sampling over the
     canonical KG (pipelines/kg.py::negative_triples — hash-indexed
@@ -1932,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "outer_join": _q_outer_join,
         "kg_negatives": _q_kg_negatives,
+        "rolling_agg": _q_rolling_agg,
     }
 
 
@@ -3146,5 +3169,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem WHERE l_quantity > 45
                        GROUP BY 1) c
             ON o_orderkey = c.l_orderkey
+        """,
+        "rolling_agg": """
+            SELECT user_id, event_id,
+                   CAST(count(value) OVER w AS BIGINT) AS n_window,
+                   round(sum(value) OVER w, 6) AS sum_window,
+                   round(avg(value) OVER w, 6) AS mean_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
     }

@@ -118,3 +118,50 @@ def sliding_window(
         return g
 
     return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def rolling_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-row ROW-window trailing aggregates (SQL ``ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW``): count, sum and mean of
+    ``value_col`` over the last ``window`` rows of the row's key,
+    ordered by ``order_cols`` (include a unique tie-breaker — SQL
+    window frames are order-sensitive, so determinism requires a
+    total order).
+
+    Complements :func:`sliding_window` (time-interval frames): the
+    feature-engineering staple "average of the user's last N events".
+    One key-hash co-location; within a partition the frame is built
+    by an explicit vectorized shift-stack (direct sum of <= window
+    addends per row, the same arithmetic the SQL frame performs — NOT
+    pandas' incremental rolling sum, whose running-accumulator fp
+    drift could disagree with the oracle at the rounding boundary).
+    """
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g[value_col].to_numpy(dtype=np.float64)
+        # stack the window lags, masking across key boundaries
+        keys = g[key].to_numpy()
+        n = len(g)
+        acc = v.copy()
+        cnt = np.ones(n, dtype=np.int64)
+        for lag in range(1, window):
+            ok = np.zeros(n, dtype=bool)
+            ok[lag:] = keys[lag:] == keys[:-lag]
+            acc[ok] += v[np.nonzero(ok)[0] - lag]
+            cnt[ok] += 1
+        g["n_window"] = cnt
+        g["sum_window"] = np.round(acc, 6)
+        g["mean_window"] = np.round(acc / cnt, 6)
+        return g
+
+    return partitioned_group_map(ds, [key], body, num_partitions)

@@ -677,3 +677,40 @@ def test_negative_triples_deterministic_and_labelled(ray_session):
     got2 = negative_triples(got2, vocab, n_neg=3).to_pandas()
     key = lambda d: sorted(map(tuple, d.values.tolist()))
     assert key(got) == key(got2)
+
+
+# ------------------------------------------------------------- rolling agg
+
+
+def test_rolling_agg_matches_pandas_reference(ray_session):
+    from biocypher_metta_ray.stages.windows import rolling_agg
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {"k": rng.randint(0, 6, 200).astype("int64"),
+         "i": np.arange(200, dtype="int64"),
+         "v": np.round(rng.uniform(0, 100, 200), 3)}
+    )
+    got = (
+        rolling_agg(_ds(df), key="k", order_cols=["i"], value_col="v",
+                    window=3, num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "i"]).reset_index(drop=True)
+    r = ref.groupby("k", sort=False)["v"].rolling(3, min_periods=1)
+    assert got["n_window"].tolist() == [
+        int(x) for x in r.count().reset_index(level=0, drop=True)
+        .sort_index()
+    ]
+    np.testing.assert_allclose(
+        got["mean_window"],
+        np.round(
+            r.mean().reset_index(level=0, drop=True).sort_index(), 6
+        ),
+        atol=1e-9,
+    )
+    # frames never cross a key boundary
+    first_rows = got.groupby("k").head(1)
+    assert (first_rows["n_window"] == 1).all()
