@@ -1739,6 +1739,30 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel depth per user over the
+    event log (stages/windows.py::funnel — greedy-earliest ordered
+    matching, one key co-location)."""
+    from biocypher_metta_ray.stages.windows import funnel
+
+    # value filter thins the log (~10%) so funnel depth varies by
+    # user instead of saturating at the full 67-events-per-user log
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "value"]).filter(
+        expr="value > 113"
+    )
+    out = funnel(ds, key="user_id", ts_col="ts",
+                 type_col="event_type",
+                 steps=["view", "click", "purchase"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "stage": df["stage"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_kg_negatives(sf_dir: str):
     """Deterministic TransE-style negative sampling over the
     canonical KG (pipelines/kg.py::negative_triples — hash-indexed
@@ -1955,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": _q_outer_join,
         "kg_negatives": _q_kg_negatives,
         "rolling_agg": _q_rolling_agg,
+        "funnel": _q_funnel,
     }
 
 
@@ -3178,5 +3203,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        # greedy-earliest chained mins == deepest reachable stage
+        "funnel": """
+            WITH ev AS (SELECT user_id, ts, event_type FROM events
+                        WHERE value > 113),
+            u AS (SELECT DISTINCT user_id FROM ev),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
         """,
     }

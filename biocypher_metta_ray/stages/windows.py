@@ -165,3 +165,48 @@ def rolling_agg(
         return g
 
     return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: per key, how many of ``steps`` were
+    completed IN ORDER (strictly increasing timestamps). Returns one
+    ``(key, stage)`` row per distinct key, ``stage`` in
+    ``0..len(steps)``.
+
+    Matching is greedy-earliest (step i completes at the MIN
+    timestamp of a matching event strictly after step i-1's
+    completion), which is provably optimal for reachability: the
+    earliest completion of step i imposes the weakest constraint on
+    step i+1, so greedy reaches the deepest stage any matching does.
+    Stated so the SQL oracle (chained min-ts CTEs) agrees.
+
+    One key-hash co-location; per-partition work is a vectorized
+    pass per funnel step (mask by type, map the previous completion
+    time per key, filter, groupby-min) — no per-key Python loop.
+    """
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g[key].unique())
+        stage = pd.Series(np.int64(0), index=users)
+        prev = pd.Series(pd.Timestamp.min, index=users)
+        for i, st in enumerate(steps, 1):
+            ev = g[g[type_col] == st]
+            if not len(ev):
+                break
+            pt = ev[key].map(prev).to_numpy()
+            cand = ev[ev[ts_col].to_numpy() > pt]
+            t = cand.groupby(key)[ts_col].min()
+            if not len(t):
+                break
+            stage.loc[t.index] = np.int64(i)
+            prev = t
+        return pd.DataFrame({key: users, "stage": stage.to_numpy()})
+
+    return partitioned_group_map(ds, [key], body, num_partitions)

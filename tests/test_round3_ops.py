@@ -714,3 +714,50 @@ def test_rolling_agg_matches_pandas_reference(ray_session):
     # frames never cross a key boundary
     first_rows = got.groupby("k").head(1)
     assert (first_rows["n_window"] == 1).all()
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def test_funnel_ordered_matching(ray_session):
+    from biocypher_metta_ray.stages.windows import funnel
+
+    t = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta("1h")
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1,   2, 2,   3, 3, 3,   4],
+            "ts": [t, t + h, t + 2 * h,          # 1: A B C in order
+                   t, t + h,                     # 2: B before A -> stage 1
+                   t, t + h, t + h,              # 3: C at SAME ts as B ->
+                   t + 5 * h],                   #    strict > blocks C
+            "et": ["A", "B", "C",
+                   "B", "A",
+                   "A", "B", "C",
+                   "Z"],                         # 4: no funnel events
+        }
+    )
+    got = (
+        funnel(_ds(df), key="u", ts_col="ts", type_col="et",
+               steps=["A", "B", "C"], num_partitions=3)
+        .to_pandas()
+        .sort_values("u")
+    )
+    assert dict(zip(got["u"], got["stage"])) == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_funnel_greedy_is_optimal(ray_session):
+    """Two As; the earliest A admits the later B (greedy earliest
+    beats matching the A adjacent to B)."""
+    from biocypher_metta_ray.stages.windows import funnel
+
+    t = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta("1h")
+    df = pd.DataFrame(
+        {"u": [1, 1, 1],
+         "ts": [t + 2 * h, t, t + h],
+         "et": ["A", "A", "B"]}
+    )
+    got = funnel(_ds(df), key="u", ts_col="ts", type_col="et",
+                 steps=["A", "B"], num_partitions=2).to_pandas()
+    assert got["stage"].tolist() == [2]
