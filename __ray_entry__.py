@@ -1739,6 +1739,26 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_gram_matrix(sf_dir: str):
+    """Distributed Gram matrix X^T X over the embeddings table
+    (stages/cluster.py::gram_matrix — additive per-block matmul
+    partials, tree merge, zero shuffle)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.cluster import gram_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix(ds).map_batches(
+        lambda df: pd.DataFrame(
+            {"i": df["i"].astype("int64"), "j": df["j"].astype("int64"),
+             "val": df["val"].round(6)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_funnel(sf_dir: str):
     """view -> click -> purchase funnel depth per user over the
     event log (stages/windows.py::funnel — greedy-earliest ordered
@@ -1980,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,
         "rolling_agg": _q_rolling_agg,
         "funnel": _q_funnel,
+        "gram_matrix": _q_gram_matrix,
     }
 
 
@@ -3228,5 +3249,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.user_id = s1.user_id
             LEFT JOIN s2 ON u.user_id = s2.user_id
             LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "gram_matrix": """
+            WITH ev AS (SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+                               CAST(embedding[CAST(g.i + 1 AS INT)]
+                                    AS DOUBLE) AS val
+                        FROM embeddings,
+                             (SELECT unnest(range(64)) AS i) g)
+            SELECT a.dim AS i, b.dim AS j,
+                   round(sum(a.val * b.val), 6) AS val
+            FROM ev a JOIN ev b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY 1, 2
         """,
     }

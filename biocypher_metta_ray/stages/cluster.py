@@ -233,3 +233,45 @@ def semantic_dedup(
     return partitioned_group_map(
         carried, ["cluster"], prune, num_partitions
     )
+
+
+def gram_matrix(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Gram matrix ``X^T X`` over an embedding column —
+    the sufficient statistic for PCA / whitening / covariance (with
+    the mean vector, one more partial, cov = G/n - mm^T). The classic
+    fixed-size-result reduction: each block contributes its own
+    ``(d, d)`` partial via one matmul, partials are ADDITIVE, so the
+    merge is the CMS/HLL two-level block-coalesce tree — the corpus
+    streams once, nothing key-shuffles, and the driver never sees
+    more than upper-triangle triplets per block.
+
+    Returns upper-triangle triplets ``(i, j, val)`` with ``i <= j``
+    (int64 dims, float64 sums) — d(d+1)/2 rows total.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, col)
+        G = X.T @ X
+        d = G.shape[0]
+        iu = np.triu_indices(d)
+        return pd.DataFrame(
+            {"i": iu[0].astype(np.int64), "j": iu[1].astype(np.int64),
+             "val": G[iu]}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["i", "j"], sort=True)["val"].sum().reset_index()
+        )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

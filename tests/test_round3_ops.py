@@ -761,3 +761,22 @@ def test_funnel_greedy_is_optimal(ray_session):
     got = funnel(_ds(df), key="u", ts_col="ts", type_col="et",
                  steps=["A", "B"], num_partitions=2).to_pandas()
     assert got["stage"].tolist() == [2]
+
+
+# ------------------------------------------------------------ gram matrix
+
+
+def test_gram_matrix_matches_numpy(ray_session):
+    from biocypher_metta_ray.stages.cluster import gram_matrix
+
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((100, 5)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [x for x in X]})
+    for n_parts in (1, 4):
+        d = (ray.data.from_pandas(df) if n_parts == 1
+             else ray.data.from_pandas(list(np.array_split(df, n_parts))))
+        got = gram_matrix(d).to_pandas()
+        G = X.astype(np.float64).T @ X.astype(np.float64)
+        assert len(got) == 15  # upper triangle of 5x5
+        for i, j, v in zip(got["i"], got["j"], got["val"]):
+            assert abs(v - G[i, j]) < 1e-9
