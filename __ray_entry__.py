@@ -1739,6 +1739,16 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_pmi(sf_dir: str):
+    """PMI collocations over documents (stages/lm.py::
+    pmi_collocations — vocab-scale unigram broadcast, bigram table
+    stays distributed)."""
+    from biocypher_metta_ray.stages.lm import pmi_collocations
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return pmi_collocations(ds, min_count=5)
+
+
 def _q_gram_matrix(sf_dir: str):
     """Distributed Gram matrix X^T X over the embeddings table
     (stages/cluster.py::gram_matrix — additive per-block matmul
@@ -2001,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_agg": _q_rolling_agg,
         "funnel": _q_funnel,
         "gram_matrix": _q_gram_matrix,
+        "pmi": _q_pmi,
     }
 
 
@@ -3261,5 +3272,28 @@ def oracle_sql() -> dict[str, str]:
             FROM ev a JOIN ev b
               ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY 1, 2
+        """,
+        # left-assoc double products / single division / one ln —
+        # identical arithmetic to the Ray kernel
+        "pmi": """
+            WITH t AS (SELECT doc_id,
+                              string_split(lower(text), ' ') AS toks
+                       FROM documents),
+            b AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                         unnest(toks[2:len(toks)]) AS w2 FROM t),
+            uni AS (SELECT tok AS w, count(*) AS c
+                    FROM (SELECT unnest(toks) AS tok FROM t)
+                    GROUP BY 1),
+            tt AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni),
+            bb AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM b),
+            bcnt AS (SELECT w1, w2, count(*) AS bc FROM b GROUP BY 1, 2)
+            SELECT bcnt.w1, bcnt.w2, bcnt.bc,
+                   round(ln((bcnt.bc::DOUBLE * tt.T * tt.T)
+                            / (bb.B * u1.c * u2.c)), 6) AS pmi
+            FROM bcnt
+            CROSS JOIN tt CROSS JOIN bb
+            JOIN uni u1 ON bcnt.w1 = u1.w
+            JOIN uni u2 ON bcnt.w2 = u2.w
+            WHERE bcnt.bc >= 5
         """,
     }

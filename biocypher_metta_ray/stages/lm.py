@@ -144,3 +144,88 @@ def lm_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Pointwise mutual information collocations over the corpus:
+    ``pmi(w1, w2) = ln((bc * T * T) / (B * c1 * c2))`` for adjacent
+    bigrams with count >= ``min_count`` (T = total tokens, B = total
+    bigrams, c = unigram counts; same lower/space tokenization as the
+    bigram LM). The collocation-mining staple (Church & Hanks 1990)
+    for phrase vocabularies and tokenizer seeding.
+
+    Scale shape: two corpus passes. Pass 1 sums unigram counts
+    through one vocab-bounded co-location; the resulting table is
+    VOCAB-scale and is broadcast once via ``ray.put`` (the
+    train_bigram_lm contract). Pass 2 sums bigram partials through a
+    context-word co-location and computes PMI inside the partition
+    body from the broadcast table — the (much larger) distinct-bigram
+    table never leaves the workers. ``B = T - num_docs`` exactly
+    (every doc of n tokens yields n-1 bigrams; split always returns
+    >= 1 token), so no third pass is needed.
+    """
+    from .skew import partitioned_group_map
+
+    def upartial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        return (
+            pd.DataFrame({"w": flat})
+            .groupby("w", sort=False).size().reset_index(name="c")
+        )
+
+    uni = partitioned_group_map(
+        ds.map_batches(upartial, batch_format="pyarrow"),
+        ["w"],
+        lambda g: g.groupby("w", sort=False)["c"].sum().reset_index(),
+        num_partitions,
+        coalesce=2 * num_partitions,
+    ).to_pandas()
+    total_tokens = float(uni["c"].sum())
+    total_bigrams = total_tokens - float(ds.count())
+    uni_ref = ray.put(dict(zip(uni["w"], uni["c"].astype("int64"))))
+
+    def bpartial(batch: pa.Table) -> pd.DataFrame:
+        _, w1, w2 = _doc_bigrams(batch, text_col)
+        return (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False).size().reset_index(name="bc")
+        )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(uni_ref)
+        s = g.groupby(["w1", "w2"], sort=False)["bc"].sum().reset_index()
+        s = s[s["bc"] >= min_count]
+        if not len(s):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype="object"),
+                 "w2": pd.Series([], dtype="object"),
+                 "bc": pd.Series([], dtype="int64"),
+                 "pmi": pd.Series([], dtype="float64")}
+            )
+        c1 = s["w1"].map(lut).to_numpy(dtype=np.float64)
+        c2 = s["w2"].map(lut).to_numpy(dtype=np.float64)
+        bc = s["bc"].to_numpy(dtype=np.float64)
+        # left-assoc double products, single division, one ln — the
+        # exact arithmetic the SQL oracle states
+        pmi = np.log(
+            (bc * total_tokens * total_tokens)
+            / (total_bigrams * c1 * c2)
+        )
+        return pd.DataFrame(
+            {"w1": s["w1"], "w2": s["w2"],
+             "bc": s["bc"].astype("int64"),
+             "pmi": np.round(pmi, 6)}
+        )
+
+    return partitioned_group_map(
+        ds.map_batches(bpartial, batch_format="pyarrow"),
+        ["w1"], body, num_partitions, coalesce=2 * num_partitions,
+    )

@@ -780,3 +780,26 @@ def test_gram_matrix_matches_numpy(ray_session):
         assert len(got) == 15  # upper triangle of 5x5
         for i, j, v in zip(got["i"], got["j"], got["val"]):
             assert abs(v - G[i, j]) < 1e-9
+
+
+# -------------------------------------------------------------------- PMI
+
+
+def test_pmi_hand_computed(ray_session):
+    import math
+
+    from biocypher_metta_ray.stages.lm import pmi_collocations
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype="int64"),
+         "text": ["a b a b", "a b c", "c c"]}
+    )
+    got = pmi_collocations(_ds(docs), min_count=2,
+                           num_partitions=2).to_pandas()
+    # tokens: a=3 b=3 c=3, T=9; bigrams: (a,b)x3 (b,a)x1 (b,c)x1
+    # (c,c)x1, B=6; only (a,b) survives min_count=2
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["w1"], row["w2"], row["bc"]) == ("a", "b", 3)
+    want = round(math.log((3 * 9.0 * 9.0) / (6.0 * 3 * 3)), 6)
+    assert row["pmi"] == want
