@@ -1739,6 +1739,31 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus) sums/counts — coarser
+    levels re-aggregate the finest RESULT, never the corpus
+    (stages/relational.py::rollup_agg)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import rollup_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                     sums=["l_quantity"], count_as="n")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "l_linestatus": df["l_linestatus"],
+             "sum_qty": df["l_quantity"].round(2),
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_pmi(sf_dir: str):
     """PMI collocations over documents (stages/lm.py::
     pmi_collocations — vocab-scale unigram broadcast, bigram table
@@ -2012,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "gram_matrix": _q_gram_matrix,
         "pmi": _q_pmi,
+        "rollup": _q_rollup,
     }
 
 
@@ -3295,5 +3321,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON bcnt.w1 = u1.w
             JOIN uni u2 ON bcnt.w2 = u2.w
             WHERE bcnt.bc >= 5
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
     }

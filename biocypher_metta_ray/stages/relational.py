@@ -386,3 +386,60 @@ def distinct(ds: ray.data.Dataset, cols: list[str],
         .aggregate(Count(alias_name="__c"))
     )
     return out.drop_columns(["__c"])
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: list[str],
+    count_as: str = "n",
+    marker: str = "ALL",
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hierarchical (SQL ``GROUP BY ROLLUP``) sums/counts: one result
+    row per prefix level of ``keys`` — finest, each ancestor level,
+    and the grand total — with rolled-up key columns set to
+    ``marker`` (stated instead of SQL's NULL so value comparison
+    needs no NULL-vs-NaN convention).
+
+    Scale shape: only the FINEST level touches the corpus (the usual
+    partial-combine grouped_agg); every coarser level re-aggregates
+    the finest RESULT — group-cardinality-scale, so the extra levels
+    cost one tiny pass each, never a second corpus scan.
+    """
+    finest = grouped_agg(
+        ds, keys, sums, count_as, shuffle_partitions
+    ).materialize()
+
+    def fill(level_keys):
+        missing = [k for k in keys if k not in level_keys]
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for k in missing:
+                df[k] = marker
+            return df[keys + sums + [count_as]]
+
+        return fn
+
+    levels = [finest.map_batches(fill(keys), batch_format="pandas")]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:i]
+        src = finest
+        if not lvl_keys:
+            src = finest.map_batches(
+                lambda df: df.assign(__all=0), batch_format="pandas"
+            )
+            lvl_keys = ["__all"]
+        lvl = grouped_agg(
+            src, lvl_keys, sums + [count_as], count_as=None,
+            shuffle_partitions=max(2, shuffle_partitions // 4),
+        )
+        if lvl_keys == ["__all"]:
+            lvl = lvl.drop_columns(["__all"])
+        levels.append(lvl.map_batches(fill(keys[:i]),
+                                      batch_format="pandas"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -803,3 +803,27 @@ def test_pmi_hand_computed(ray_session):
     assert (row["w1"], row["w2"], row["bc"]) == ("a", "b", 3)
     want = round(math.log((3 * 9.0 * 9.0) / (6.0 * 3 * 3)), 6)
     assert row["pmi"] == want
+
+
+# ----------------------------------------------------------------- rollup
+
+
+def test_rollup_levels_consistent(ray_session):
+    from biocypher_metta_ray.stages.relational import rollup_agg
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y", "y"],
+         "b": ["p", "q", "p", "p", "q"],
+         "v": [1.0, 2.0, 4.0, 8.0, 16.0]}
+    )
+    got = rollup_agg(_ds(df), ["a", "b"], sums=["v"],
+                     count_as="n").to_pandas()
+    finest = got[(got["a"] != "ALL") & (got["b"] != "ALL")]
+    mid = got[(got["a"] != "ALL") & (got["b"] == "ALL")]
+    total = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert len(finest) == 4 and len(mid) == 2 and len(total) == 1
+    assert total["v"].iloc[0] == 31.0 and total["n"].iloc[0] == 5
+    assert dict(zip(mid["a"], mid["v"])) == {"x": 3.0, "y": 28.0}
+    # every level's mass equals the grand total
+    assert finest["v"].sum() == 31.0 and finest["n"].sum() == 5
+    assert mid["n"].sum() == 5
