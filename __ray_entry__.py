@@ -1739,6 +1739,25 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_percent_rank(sf_dir: str):
+    """Per-event percent rank of value within its event type
+    (stages/relational.py::percent_rank — one key co-location,
+    vectorized min-rank)."""
+    from biocypher_metta_ray.stages.relational import percent_rank
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = percent_rank(ds, ["event_type"], by="value")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "pr": df["pr"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus) sums/counts — coarser
     levels re-aggregate the finest RESULT, never the corpus
@@ -2038,6 +2057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": _q_gram_matrix,
         "pmi": _q_pmi,
         "rollup": _q_rollup,
+        "percent_rank": _q_percent_rank,
     }
 
 
@@ -3329,5 +3349,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "percent_rank": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER
+                         (PARTITION BY event_type ORDER BY value),
+                         6) AS pr
+            FROM events
         """,
     }

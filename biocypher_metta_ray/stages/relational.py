@@ -443,3 +443,36 @@ def rollup_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def percent_rank(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    by: str,
+    out_col: str = "pr",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY keys ORDER BY by)``:
+    per-row ``(rank - 1) / (n - 1)`` within the row's group, ties
+    sharing the min rank, single-row groups at 0. The integer
+    rank/(n-1) quotient is the same double on both engines, so parity
+    is exact (no rounding contract needed — rounded to 6 anyway for
+    uniformity).
+
+    One key co-location; in-partition work is a vectorized
+    ``groupby().rank(method="min")`` — group sizes bound partition
+    memory exactly like the window family.
+    """
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        rank = gb[by].rank(method="min").to_numpy(dtype=np.float64)
+        n = gb[by].transform("size").to_numpy(dtype=np.float64)
+        out = g.copy()
+        out[out_col] = np.round(
+            np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0), 6
+        )
+        return out
+
+    return partitioned_group_map(ds, keys, body, num_partitions)

@@ -827,3 +827,20 @@ def test_rollup_levels_consistent(ray_session):
     # every level's mass equals the grand total
     assert finest["v"].sum() == 31.0 and finest["n"].sum() == 5
     assert mid["n"].sum() == 5
+
+
+def test_percent_rank_ties_and_singletons(ray_session):
+    from biocypher_metta_ray.stages.relational import percent_rank
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"],
+         "id": np.arange(5, dtype="int64"),
+         "v": [1.0, 2.0, 2.0, 3.0, 9.0]}
+    )
+    got = (
+        percent_rank(_ds(df), ["g"], by="v", num_partitions=3)
+        .to_pandas().sort_values("id")
+    )
+    # min-rank ties: ranks 1,2,2,4 over n=4 -> pr 0, 1/3, 1/3, 1
+    assert got["pr"].tolist() == [0.0, round(1 / 3, 6), round(1 / 3, 6),
+                                  1.0, 0.0]  # singleton group -> 0
