@@ -1739,6 +1739,23 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (part keys occurring >= 45 times) via the
+    sketch-then-verify pattern (stages/sketch.py::heavy_hitters —
+    CMS probe bounds the candidate set, exact verify pass)."""
+    from biocypher_metta_ray.stages.sketch import heavy_hitters
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    out = heavy_hitters(ds, "l_partkey", min_count=45)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_partkey": df["l_partkey"].astype(str),
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_percent_rank(sf_dir: str):
     """Per-event percent rank of value within its event type
     (stages/relational.py::percent_rank — one key co-location,
@@ -2058,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi": _q_pmi,
         "rollup": _q_rollup,
         "percent_rank": _q_percent_rank,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -3356,5 +3374,10 @@ def oracle_sql() -> dict[str, str]:
                          (PARTITION BY event_type ORDER BY value),
                          6) AS pr
             FROM events
+        """,
+        "heavy_hitters": """
+            SELECT CAST(l_partkey AS VARCHAR) AS l_partkey,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 HAVING count(*) >= 45
         """,
     }

@@ -410,3 +410,80 @@ def cms_estimate(
         n = lut.get((i, int(h % np.uint64(width))), 0)
         est = n if est is None else min(est, n)
     return int(est)
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    min_count: int,
+    depth: int = CMS_D,
+    width: int = CMS_W,
+    salt: str = "cms",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters via sketch-then-verify — keys occurring at
+    least ``min_count`` times, with their exact counts, without ever
+    shuffling the full key space:
+
+    1. one pass builds the Count-Min sketch (:func:`cms_counts` —
+       constant-size tree merge);
+    2. one pass probes each block's distinct keys against the
+       broadcast sketch; CMS never underestimates, so survivors are a
+       SUPERSET of the true heavy set, bounded by it plus the sketch's
+       false positives (eps*N mass per cell) — collected to the
+       driver at candidate scale, never key-space scale;
+    3. one pass counts ONLY candidate keys exactly (broadcast set
+       filter, partial counts, candidate-scale co-location) and
+       applies the threshold.
+
+    Contrast with ``skew.top_frequencies`` (capped per-block partials:
+    approximate under adversarial splits): this is exact, at the cost
+    of two extra streaming passes. Returns ``(col, n)``.
+    """
+    from ..functions.helpers import hash64_column
+
+    sk = cms_counts(ds, col, depth, width, salt).to_pandas()
+    tables = np.zeros((depth, width), dtype=np.int64)
+    tables[sk["depth"].to_numpy(), sk["cell"].to_numpy()] = (
+        sk["n"].to_numpy()
+    )
+    tab_ref = ray.put(tables)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        T = ray.get(tab_ref)
+        vals = pd.Series(
+            [str(v) for v in batch[col].to_pylist()]
+        ).drop_duplicates()
+        est = None
+        for i in range(depth):
+            h = hash64_column([f"{salt}{i}:{v}" for v in vals])
+            e = T[i, (h % np.uint64(width)).astype(np.int64)]
+            est = e if est is None else np.minimum(est, e)
+        return pd.DataFrame({col: vals[est >= min_count]})
+
+    cands = (
+        ds.select_columns([col])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()[col]
+        .drop_duplicates()
+    )
+    cand_ref = ray.put(set(cands))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        keep = ray.get(cand_ref)
+        s = pd.Series([str(v) for v in batch[col].to_pylist()])
+        return (
+            pd.DataFrame({col: s[s.isin(keep)]})
+            .groupby(col, sort=False).size().reset_index(name="n")
+        )
+
+    from .skew import partitioned_group_map
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(col, sort=False)["n"].sum().reset_index()
+        return out[out["n"] >= min_count].astype({"n": "int64"})
+
+    return partitioned_group_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [col], merge, num_partitions, coalesce=2 * num_partitions,
+    )

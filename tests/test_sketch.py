@@ -367,3 +367,25 @@ def test_cms_partition_invariant(ray_session):
         one.sort_values(["depth", "cell"]).reset_index(drop=True),
         many.sort_values(["depth", "cell"]).reset_index(drop=True),
     )
+
+
+def test_heavy_hitters_exact_and_candidate_bounded(ray_session):
+    import ray.data
+
+    from biocypher_metta_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    keys = np.concatenate(
+        [np.full(900, 1), np.full(500, 2), np.full(99, 3),
+         rng.randint(1000, 5000, 2000)]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    got = heavy_hitters(
+        ray.data.from_pandas(list(np.array_split(df, 5))), "k",
+        min_count=100,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    # exact: 1 and 2 qualify, 3 (99 occurrences) does not, and the
+    # counts are true counts, not sketch estimates
+    assert got["k"].tolist() == ["1", "2"]
+    assert got["n"].tolist() == [900, 500]
