@@ -1739,6 +1739,37 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Bloom pre-filter of lineitem by high-value order keys
+    (stages/joins.py::bloom_semi_join — broadcast width/8-byte
+    filter, shuffle-free; deterministic superset of the semi join,
+    recomputed bit-for-bit by the oracle)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+    hi = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    ).filter(expr="o_totalprice > 200000").map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey"]],
+        batch_format="pandas",
+    )
+    out = bloom_semi_join(li, hi, on="l_orderkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].astype("int64"),
+             "l_quantity": df["l_quantity"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters (part keys occurring >= 45 times) via the
     sketch-then-verify pattern (stages/sketch.py::heavy_hitters —
@@ -2076,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": _q_rollup,
         "percent_rank": _q_percent_rank,
         "heavy_hitters": _q_heavy_hitters,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -3379,5 +3411,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_partkey AS VARCHAR) AS l_partkey,
                    count(*) AS n
             FROM lineitem GROUP BY 1 HAVING count(*) >= 45
+        """,
+        # the oracle REBUILDS the Bloom filter bit-for-bit: 32768
+        # divides 2^32 so position = low md5 half mod width; a left
+        # key survives iff all 3 arm positions are set
+        "bloom_semi_join": """
+            WITH arms AS (SELECT unnest(range(3)) AS i),
+            rk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+                   FROM orders WHERE o_totalprice > 200000),
+            rs AS (SELECT 'bloom' || CAST(i AS VARCHAR) || ':' || k
+                       AS s
+                   FROM rk CROSS JOIN arms),
+            rpos AS (SELECT DISTINCT
+                      (list_sum(list_transform(range(8), x -> (strpos('0123456789abcdef', substr(md5(s), CAST(x + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - x))))::BIGINT) % 32768 AS pos
+                     FROM rs),
+            lk AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k
+                   FROM lineitem),
+            ls AS (SELECT k, i,
+                          'bloom' || CAST(i AS VARCHAR) || ':' || k
+                              AS s
+                   FROM lk CROSS JOIN arms),
+            lpos AS (SELECT k, i,
+                      (list_sum(list_transform(range(8), x -> (strpos('0123456789abcdef', substr(md5(s), CAST(x + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - x))))::BIGINT) % 32768 AS pos
+                     FROM ls),
+            surv AS (SELECT k FROM lpos JOIN rpos USING (pos)
+                     GROUP BY k HAVING count(DISTINCT i) = 3)
+            SELECT l_orderkey, l_quantity FROM lineitem
+            WHERE CAST(l_orderkey AS VARCHAR) IN (SELECT k FROM surv)
         """,
     }

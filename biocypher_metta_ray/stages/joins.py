@@ -522,3 +522,95 @@ def asof_join(
         )
 
     return partitioned_group_map(both, [by], merge, num_partitions)
+
+
+BLOOM_D = 3
+BLOOM_M = 32768  # divides 2^32 -> low-md5-half mod trick stays SQL-checkable
+
+
+def bloom_bits(
+    keys: ray.data.Dataset,
+    on: str,
+    depth: int = BLOOM_D,
+    width: int = BLOOM_M,
+    salt: str = "bloom",
+) -> np.ndarray:
+    """Bloom filter of a key column as a width-bit bool array.
+
+    Deterministic md5-derived positions (``hash64(f"{salt}{i}:{v}") %
+    width`` per arm — the CMS/hash_split trick, so DuckDB can recompute
+    every bit). Build is one streaming pass emitting per-block DISTINCT
+    positions (<= width rows per block however large the block), merged
+    by the HLL/CMS two-level coalesce tree — never a keyed shuffle; the
+    result is width/8 bytes on the driver.
+    """
+    from ..functions.helpers import hash64_column
+
+    def positions(batch) -> pd.DataFrame:
+        vals = pd.Series(
+            [str(v) for v in batch[on].to_pylist()]
+        ).drop_duplicates()
+        pos = np.concatenate(
+            [
+                (hash64_column([f"{salt}{i}:{v}" for v in vals])
+                 % np.uint64(width)).astype(np.int64)
+                for i in range(depth)
+            ]
+        ) if len(vals) else np.array([], dtype=np.int64)
+        return pd.DataFrame({"pos": pd.unique(pos)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pos = (
+        keys.select_columns([on])
+        .map_batches(positions, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .to_pandas()["pos"]
+        .to_numpy()
+    )
+    bits = np.zeros(width, dtype=bool)
+    bits[pos] = True
+    return bits
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    depth: int = BLOOM_D,
+    width: int = BLOOM_M,
+    salt: str = "bloom",
+) -> ray.data.Dataset:
+    """Bloom-filter semi-join PRE-FILTER: keep left rows whose key
+    passes the Bloom test of ``right_keys`` — a deterministic SUPERSET
+    of the exact semi join (false-positive rate ~(1-e^{-dn/m})^d; no
+    false negatives), entirely shuffle-free: the filter is width/8
+    bytes broadcast once, and the left side streams.
+
+    This is the classic distributed-join optimization — cut the
+    shuffled volume of a later exact :func:`semi_join`/:func:`hash_join`
+    to the Bloom survivors — exposed as its own operator because at
+    100 TB the pre-filter, not the join kernel, is where the bytes are
+    saved. Exactness when needed: compose ``semi_join(bloom_semi_join(
+    L, R), R)``.
+    """
+    from ..functions.helpers import hash64_column
+
+    bits_ref = ray.put(bloom_bits(right_keys, on, depth, width, salt))
+
+    def keep(batch):
+        import pyarrow as pa
+
+        bits = ray.get(bits_ref)
+        vals = [str(v) for v in batch[on].to_pylist()]
+        ok = np.ones(len(vals), dtype=bool)
+        for i in range(depth):
+            h = hash64_column([f"{salt}{i}:{v}" for v in vals])
+            ok &= bits[(h % np.uint64(width)).astype(np.int64)]
+        return batch.filter(pa.array(ok))
+
+    return left.map_batches(keep, batch_format="pyarrow")

@@ -844,3 +844,33 @@ def test_percent_rank_ties_and_singletons(ray_session):
     # min-rank ties: ranks 1,2,2,4 over n=4 -> pr 0, 1/3, 1/3, 1
     assert got["pr"].tolist() == [0.0, round(1 / 3, 6), round(1 / 3, 6),
                                   1.0, 0.0]  # singleton group -> 0
+
+
+# ------------------------------------------------------------ bloom filter
+
+
+def test_bloom_semi_join_superset_no_false_negatives(ray_session):
+    from biocypher_metta_ray.stages.joins import bloom_semi_join
+
+    l = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                      "v": np.arange(5000, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(0, 5000, 50, dtype=np.int64)})
+    got = bloom_semi_join(_ds(l), _ds(r), on="k").to_pandas()
+    true = set(r["k"])
+    surv = set(got["k"])
+    assert true <= surv                      # no false negatives, ever
+    fp = len(surv - true)
+    assert fp < 200                          # ~(1-e^{-dn/m})^d stays tiny
+    # filtered rows keep their payload untouched
+    assert (got["k"] == got["v"]).all()
+
+
+def test_bloom_bits_partition_invariant(ray_session):
+    from biocypher_metta_ray.stages.joins import bloom_bits
+
+    r = pd.DataFrame({"k": np.arange(0, 3000, 7, dtype=np.int64)})
+    one = bloom_bits(_ds(r), on="k")
+    many = bloom_bits(
+        ray.data.from_pandas(list(np.array_split(r, 6))), on="k"
+    )
+    assert (one == many).all()
