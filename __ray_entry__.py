@@ -1739,6 +1739,24 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_sample_per_group(sf_dir: str):
+    """Deterministic exact-10-per-priority sample of orders
+    (stages/relational.py::sample_per_group — hash-order reservoir
+    on the two-level partial-top-k shape)."""
+    from biocypher_metta_ray.stages.relational import sample_per_group
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderkey"])
+    out = sample_per_group(ds, ["o_orderpriority"], "o_orderkey", k=10)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"],
+             "o_orderkey": df["o_orderkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_bloom_semi_join(sf_dir: str):
     """Bloom pre-filter of lineitem by high-value order keys
     (stages/joins.py::bloom_semi_join — broadcast width/8-byte
@@ -2108,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "heavy_hitters": _q_heavy_hitters,
         "bloom_semi_join": _q_bloom_semi_join,
+        "sample_per_group": _q_sample_per_group,
     }
 
 
@@ -3438,5 +3457,15 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY k HAVING count(DISTINCT i) = 3)
             SELECT l_orderkey, l_quantity FROM lineitem
             WHERE CAST(l_orderkey AS VARCHAR) IN (SELECT k FROM surv)
+        """,
+        "sample_per_group": """
+            WITH h AS (SELECT o_orderpriority, o_orderkey,
+                          list_sum(list_transform(range(8), x -> (strpos('0123456789abcdef', substr(md5('samp:' || CAST(o_orderkey AS VARCHAR)), CAST(x + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - x))))::BIGINT AS hhi,
+                          list_sum(list_transform(range(8), x -> (strpos('0123456789abcdef', substr(md5('samp:' || CAST(o_orderkey AS VARCHAR)), CAST(x + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - x))))::BIGINT AS hlo
+                       FROM orders)
+            SELECT o_orderpriority, o_orderkey FROM h
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY hhi, hlo, o_orderkey)
+                    <= 10
         """,
     }

@@ -476,3 +476,38 @@ def percent_rank(
         return out
 
     return partitioned_group_map(ds, keys, body, num_partitions)
+
+
+def sample_per_group(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "samp",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic EXACT-k-per-group sample (hash-order
+    reservoir): each group keeps the k rows whose salted md5 hash of
+    ``id_col`` is smallest — group-balanced subsetting (eval
+    holdouts, per-domain caps) with reproducibility across runs,
+    partitionings and cluster sizes, unlike rate-based
+    ``stratified_sample``/``mix_sample`` which cannot promise an
+    exact k. Rides :func:`top_k_per_group`'s two-level partial-top-k
+    shape, so at most groups x k rows per batch enter the shuffle.
+    """
+    from ..functions.helpers import hash64_column
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_column([f"{salt}:{v}" for v in df[id_col].astype(str)])
+        df = df.copy()
+        # split the uint64 into two int64-safe halves for ordering
+        df["__hhi"] = (h >> np.uint64(32)).astype(np.int64)
+        df["__hlo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return df
+
+    out = top_k_per_group(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_cols, by="__hhi", k=k, ascending=True,
+        tiebreak=["__hlo", id_col], num_partitions=num_partitions,
+    )
+    return out.drop_columns(["__hhi", "__hlo"])

@@ -874,3 +874,23 @@ def test_bloom_bits_partition_invariant(ray_session):
         ray.data.from_pandas(list(np.array_split(r, 6))), on="k"
     )
     assert (one == many).all()
+
+
+def test_sample_per_group_exact_k_and_partition_invariant(ray_session):
+    from biocypher_metta_ray.stages.relational import sample_per_group
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 100 + ["b"] * 50 + ["c"] * 3,
+         "id": np.arange(153, dtype="int64")}
+    )
+    got = sample_per_group(_ds(df), ["g"], "id", k=5).to_pandas()
+    sizes = got.groupby("g").size()
+    assert sizes["a"] == 5 and sizes["b"] == 5
+    assert sizes["c"] == 3                    # group smaller than k
+    many = sample_per_group(
+        ray.data.from_pandas(list(np.array_split(df, 7))), ["g"],
+        "id", k=5,
+    ).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, many.values.tolist())
+    )
