@@ -143,6 +143,7 @@ def timed_queries() -> dict:
         "span_dedup", "pack_sequences", "doc_freq", "bm25",
         "hll_registers", "grouped_quantiles", "interval_join", "lm_score",
         "fuzzy_join", "kg_bfs", "kmeans",
+        "semantic_dedup", "bloom_semi_join", "heavy_hitters",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

@@ -356,12 +356,19 @@ def cms_counts(
     from ..functions.helpers import hash64_column
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        vals = [str(v) for v in batch[col].to_pylist()]
+        # hash each DISTINCT value once per depth and weight by its
+        # block count — md5 cost scales with block cardinality, not
+        # block size (18x fewer hashes on repeated-key fact columns)
+        vc = pd.Series(
+            [str(v) for v in batch[col].to_pylist()]
+        ).value_counts(sort=False)
+        vals = vc.index.to_numpy(dtype=object)
+        weights = vc.to_numpy(dtype=np.float64)
         frames = []
         for i in range(depth):
             h = hash64_column([f"{salt}{i}:{v}" for v in vals])
             cells = (h % np.uint64(width)).astype(np.int64)
-            cnt = np.bincount(cells, minlength=width)
+            cnt = np.bincount(cells, weights=weights, minlength=width)
             nz = np.nonzero(cnt)[0]
             frames.append(
                 pd.DataFrame(
@@ -471,10 +478,13 @@ def heavy_hitters(
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         keep = ray.get(cand_ref)
-        s = pd.Series([str(v) for v in batch[col].to_pylist()])
-        return (
-            pd.DataFrame({col: s[s.isin(keep)]})
-            .groupby(col, sort=False).size().reset_index(name="n")
+        vc = pd.Series(
+            [str(v) for v in batch[col].to_pylist()]
+        ).value_counts(sort=False)
+        vc = vc[vc.index.isin(keep)]
+        return pd.DataFrame(
+            {col: vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}
         )
 
     from .skew import partitioned_group_map
