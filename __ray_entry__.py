@@ -1739,6 +1739,69 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_q3_revenue(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: BUILDING-segment customers'
+    unshipped-revenue top 10 — distributed semi join (customer ->
+    orders) + large-side hash join (orders x lineitem) + partial-
+    combine grouped sum + driver-merged partial top-k. The
+    composition showcase: every stage is an existing operator."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import hash_join, semi_join
+    from biocypher_metta_ray.stages.relational import grouped_agg, top_k
+
+    cutoff = pd.Timestamp("1998-01-01")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"o_custkey": df.loc[df["c_mktsegment"] == "BUILDING",
+                                 "c_custkey"]}
+        ),
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df[df["o_orderdate"] < cutoff],
+        batch_format="pandas",
+    )
+    orders = semi_join(orders, cust, on="o_custkey").map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "o_orderdate"]],
+        batch_format="pandas",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df.loc[df["l_shipdate"] > cutoff,
+                                  "l_orderkey"],
+             "rev": df.loc[df["l_shipdate"] > cutoff,
+                           "l_extendedprice"]
+             * (1.0 - df.loc[df["l_shipdate"] > cutoff, "l_discount"])}
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on="l_orderkey", num_partitions=16)
+    sums = grouped_agg(joined, ["l_orderkey", "o_orderdate"],
+                       sums=["rev"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].astype("int64"),
+             "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+             "revenue": df["rev"].round(2)}
+        ),
+        batch_format="pandas",
+    )
+    return top_k(sums, 10, by=["revenue", "l_orderkey"],
+                 ascending=[False, True])
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -2127,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "bloom_semi_join": _q_bloom_semi_join,
         "sample_per_group": _q_sample_per_group,
+        "q3_revenue": _q_q3_revenue,
     }
 
 
@@ -3467,5 +3531,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY o_orderpriority
                                        ORDER BY hhi, hlo, o_orderkey)
                     <= 10
+        """,
+        # ordered by the ROUNDED revenue (the repo's float sort-key
+        # rule) with l_orderkey tiebreak, so the top-10 cut is
+        # engine-independent
+        "q3_revenue": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
     }
