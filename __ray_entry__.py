@@ -1739,6 +1739,16 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_retention(sf_dir: str):
+    """Weekly cohort retention over the event log
+    (stages/windows.py::retention_cohorts — one key co-location,
+    per-cell partial counts, no COUNT DISTINCT shuffle)."""
+    from biocypher_metta_ray.stages.windows import retention_cohorts
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds, key="user_id", ts_col="ts")
+
+
 def _q_q3_revenue(sf_dir: str):
     """TPC-H Q3-shaped 3-table pipeline: BUILDING-segment customers'
     unshipped-revenue top 10 — distributed semi join (customer ->
@@ -2191,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "sample_per_group": _q_sample_per_group,
         "q3_revenue": _q_q3_revenue,
+        "retention": _q_retention,
     }
 
 
@@ -3548,5 +3559,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        # count(*) over the DISTINCT (user, week) activity == distinct
+        # users per cell — no COUNT DISTINCT needed
+        "retention": """
+            WITH f AS (SELECT user_id,
+                              CAST(floor(epoch(min(ts)) / 604800)
+                                   AS BIGINT) AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id,
+                         CAST(floor(epoch(ts) / 604800) AS BIGINT)
+                             AS week
+                  FROM events)
+            SELECT f.cohort, a.week - f.cohort AS wk_offset,
+                   count(*) AS n_users
+            FROM f JOIN a ON f.user_id = a.user_id
+            GROUP BY 1, 2
         """,
     }

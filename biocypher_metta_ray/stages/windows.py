@@ -210,3 +210,57 @@ def funnel(
         return pd.DataFrame({key: users, "stage": stage.to_numpy()})
 
     return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    period_s: int = 604800,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cohort retention table: users bucketed by the period of their
+    FIRST event, counted in every later period they were active —
+    ``(cohort, offset, n_users)`` with ``offset`` in periods since
+    the cohort period. The product-analytics staple next to
+    :func:`funnel`.
+
+    One key co-location does everything: within a partition each
+    key's first period and distinct active periods are vectorized
+    groupby results, and because each key lives in exactly ONE
+    partition, every (key, cohort, offset) row is emitted once — the
+    final per-cell count is a plain grouped sum of partition partials
+    (no COUNT DISTINCT shuffle of the full activity log).
+    """
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        periods = (
+            g[ts_col].astype("datetime64[us]").astype("int64")
+            // 1_000_000 // period_s
+        )
+        d = pd.DataFrame({key: g[key], "p": periods}).drop_duplicates()
+        first = d.groupby(key, sort=False)["p"].transform("min")
+        out = (
+            pd.DataFrame({"cohort": first, "wk_offset": d["p"] - first})
+            .groupby(["cohort", "wk_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
+
+    parts = partitioned_group_map(ds, [key], body, num_partitions)
+    # tiny: periods x offsets cells per partition
+    return (
+        parts.repartition(4)
+        .map_batches(
+            lambda df: df.groupby(["cohort", "wk_offset"], sort=True)
+            ["n_users"].sum().reset_index(),
+            batch_format="pandas", batch_size=None,
+        )
+        .repartition(1)
+        .map_batches(
+            lambda df: df.groupby(["cohort", "wk_offset"], sort=True)
+            ["n_users"].sum().reset_index().astype("int64"),
+            batch_format="pandas", batch_size=None,
+        )
+    )

@@ -894,3 +894,31 @@ def test_sample_per_group_exact_k_and_partition_invariant(ray_session):
     assert sorted(map(tuple, got.values.tolist())) == sorted(
         map(tuple, many.values.tolist())
     )
+
+
+# -------------------------------------------------------------- retention
+
+
+def test_retention_cohorts_hand_computed(ray_session):
+    from biocypher_metta_ray.stages.windows import retention_cohorts
+
+    w = pd.Timedelta(seconds=604800)
+    t0 = pd.Timestamp("1970-01-01")  # epoch-aligned: week 0 exactly
+    df = pd.DataFrame(
+        {"u": [1, 1, 1,  2, 2,  3],
+         "ts": [t0, t0 + w, t0 + 3 * w,      # u1: cohort 0, wks 0,1,3
+                t0 + w, t0 + w,              # u2: cohort 1, wk 1 twice
+                t0 + 2 * w]}                 # u3: cohort 2
+    )
+    got = (
+        retention_cohorts(_ds(df), key="u", ts_col="ts",
+                          num_partitions=3)
+        .to_pandas()
+        .sort_values(["cohort", "wk_offset"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"cohort": [0, 0, 0, 1, 2], "wk_offset": [0, 1, 3, 0, 0],
+         "n_users": [1, 1, 1, 1, 1]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
