@@ -88,12 +88,13 @@ def kmeans(
             }
         )
 
-    seed = (
-        ds.map_batches(bottomk, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(id_col, kind="mergesort")
-        .head(k)
-    )
+    seed = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    if not len(seed):
+        raise ValueError(
+            "kmeans: input dataset is empty (need at least one row "
+            "to seed centroids)"
+        )
+    seed = seed.sort_values(id_col, kind="mergesort").head(k)
     cents = np.stack(
         [np.frombuffer(b, dtype=np.float64) for b in seed["__vec"]]
     )

@@ -922,3 +922,29 @@ def test_retention_cohorts_hand_computed(ray_session):
          "n_users": [1, 1, 1, 1, 1]}
     ).astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+# ------------------------------------------------------------- edge guards
+
+
+def test_kmeans_empty_input_raises_clearly(ray_session):
+    from biocypher_metta_ray.stages.cluster import kmeans
+
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype="object")}
+    )
+    with pytest.raises(ValueError, match="empty"):
+        kmeans(ray.data.from_pandas(empty), k=2, iterations=1)
+
+
+def test_fuzzy_join_no_matches(ray_session):
+    from biocypher_metta_ray.stages.joins import fuzzy_join
+
+    l = pd.DataFrame({"id": np.array([1], dtype=np.int64),
+                      "s": ["aaaaaaaa"]})
+    r = pd.DataFrame({"id": np.array([2], dtype=np.int64),
+                      "s": ["zzzzzzzz"]})
+    got = fuzzy_join(_ds(l), _ds(r), "id", "s", "id", "s",
+                     max_dist=1, num_partitions=2).to_pandas()
+    assert len(got) == 0
