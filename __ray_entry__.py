@@ -1739,6 +1739,28 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_window_ranks(sf_dir: str):
+    """row_number / rank / dense_rank / cume_dist of event value
+    within its event type (stages/relational.py::window_ranks)."""
+    from biocypher_metta_ray.stages.relational import window_ranks
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = window_ranks(ds, ["event_type"], order_col="value",
+                       tiebreak=["event_id"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "row_number": df["row_number"],
+             "rnk": df["rnk"],
+             "dense_rnk": df["dense_rnk"],
+             "cume_dist": df["cume_dist"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_retention(sf_dir: str):
     """Weekly cohort retention over the event log
     (stages/windows.py::retention_cohorts — one key co-location,
@@ -2202,6 +2224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": _q_sample_per_group,
         "q3_revenue": _q_q3_revenue,
         "retention": _q_retention,
+        "window_ranks": _q_window_ranks,
     }
 
 
@@ -3575,5 +3598,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_users
             FROM f JOIN a ON f.user_id = a.user_id
             GROUP BY 1, 2
+        """,
+        "window_ranks": """
+            SELECT event_id, event_type,
+                   CAST(row_number() OVER
+                        (PARTITION BY event_type
+                         ORDER BY value, event_id) AS BIGINT)
+                       AS row_number,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   round(cume_dist() OVER w, 6) AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value)
         """,
     }

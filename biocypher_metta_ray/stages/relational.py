@@ -511,3 +511,42 @@ def sample_per_group(
         tiebreak=["__hlo", id_col], num_partitions=num_partitions,
     )
     return out.drop_columns(["__hhi", "__hlo"])
+
+
+def window_ranks(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str],
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """The SQL ranking-window family in one pass: appends
+    ``row_number`` (1-based over ``ORDER BY order_col, tiebreak`` —
+    the tiebreak must complete a total order), ``rnk`` (RANK,
+    min-rank ties with gaps), ``dense_rnk`` (no gaps) and
+    ``cume_dist`` (rows-at-or-before / n, an exact integer quotient,
+    so parity needs no rounding contract) per group; ranks and
+    cume_dist consider ``order_col`` alone, as SQL's do. One key
+    co-location; vectorized sort + groupby ranks inside the
+    partition.
+    """
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys + [order_col] + tiebreak, kind="mergesort"
+        ).reset_index(drop=True)
+        gb = g.groupby(keys, sort=False)
+        g["row_number"] = (gb.cumcount() + 1).astype("int64")
+        g["rnk"] = gb[order_col].rank(method="min").astype("int64")
+        g["dense_rnk"] = gb[order_col].rank(method="dense").astype(
+            "int64"
+        )
+        n = gb[order_col].transform("size").to_numpy(dtype=np.float64)
+        maxr = gb[order_col].rank(method="max").to_numpy(
+            dtype=np.float64
+        )
+        g["cume_dist"] = np.round(maxr / n, 6)
+        return g
+
+    return partitioned_group_map(ds, keys, body, num_partitions)

@@ -948,3 +948,22 @@ def test_fuzzy_join_no_matches(ray_session):
     got = fuzzy_join(_ds(l), _ds(r), "id", "s", "id", "s",
                      max_dist=1, num_partitions=2).to_pandas()
     assert len(got) == 0
+
+
+def test_window_ranks_tie_semantics(ray_session):
+    from biocypher_metta_ray.stages.relational import window_ranks
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 5,
+         "id": np.arange(5, dtype="int64"),
+         "v": [10.0, 20.0, 20.0, 30.0, 30.0]}
+    )
+    got = (
+        window_ranks(_ds(df), ["g"], order_col="v", tiebreak=["id"],
+                     num_partitions=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["row_number"].tolist() == [1, 2, 3, 4, 5]
+    assert got["rnk"].tolist() == [1, 2, 2, 4, 4]          # gaps
+    assert got["dense_rnk"].tolist() == [1, 2, 2, 3, 3]    # no gaps
+    assert got["cume_dist"].tolist() == [0.2, 0.6, 0.6, 1.0, 1.0]
