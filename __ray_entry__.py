@@ -1739,6 +1739,29 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_grouped_corr(sf_dir: str):
+    """Pearson correlation of quantity vs extended price per return
+    flag (stages/relational.py::grouped_corr — five partial sums per
+    batch, one small shuffle, O(groups) finish)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import grouped_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = grouped_corr(ds, ["l_returnflag"], "l_quantity",
+                       "l_extendedprice")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "corr": df["corr"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_window_ranks(sf_dir: str):
     """row_number / rank / dense_rank / cume_dist of event value
     within its event type (stages/relational.py::window_ranks)."""
@@ -2225,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue": _q_q3_revenue,
         "retention": _q_retention,
         "window_ranks": _q_window_ranks,
+        "grouped_corr": _q_grouped_corr,
     }
 
 
@@ -3610,5 +3634,23 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cume_dist
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        """,
+        # same five-sums formula as the Ray kernel, NOT corr():
+        # engine-internal covariance recurrences differ in fp path
+        "grouped_corr": """
+            WITH s AS (SELECT l_returnflag,
+                              count(*)::DOUBLE AS n,
+                              sum(l_quantity) AS sx,
+                              sum(l_extendedprice) AS sy,
+                              sum(l_quantity * l_quantity) AS sxx,
+                              sum(l_extendedprice * l_extendedprice)
+                                  AS syy,
+                              sum(l_quantity * l_extendedprice) AS sxy
+                       FROM lineitem GROUP BY 1)
+            SELECT l_returnflag,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6) AS corr
+            FROM s
         """,
     }

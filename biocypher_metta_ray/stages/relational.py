@@ -550,3 +550,55 @@ def window_ranks(
         return g
 
     return partitioned_group_map(ds, keys, body, num_partitions)
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x: str,
+    y: str,
+    out_col: str = "corr",
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation from the five classical partial
+    sums (n, sx, sy, sxx, syy, sxy) — each batch collapses to one
+    row per key before the shuffle (the grouped_agg shape), and the
+    final map is O(groups). The formula is stated explicitly —
+    ``(n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))`` — so
+    the SQL oracle computes the SAME expression from SQL sums rather
+    than relying on the engine's internal corr() recurrence.
+    Single-valued groups yield NaN -> dropped (stated).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].copy()
+        xv = batch[x].to_numpy(dtype=np.float64)
+        yv = batch[y].to_numpy(dtype=np.float64)
+        b["sx"], b["sy"] = xv, yv
+        b["sxx"], b["syy"], b["sxy"] = xv * xv, yv * yv, xv * yv
+        b["n"] = np.int64(1)
+        return b.groupby(keys, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(
+        shuffle_partitions
+    )
+    sums = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("sx", "sy", "sxx", "syy", "sxy", "n")]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        num = n * df["sxy"].to_numpy() - df["sx"].to_numpy() * df["sy"].to_numpy()
+        den = np.sqrt(
+            (n * df["sxx"].to_numpy() - df["sx"].to_numpy() ** 2)
+            * (n * df["syy"].to_numpy() - df["sy"].to_numpy() ** 2)
+        )
+        out = df[keys].copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[out_col] = np.round(num / den, 6)
+        return out[np.isfinite(out[out_col])]
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -967,3 +967,28 @@ def test_window_ranks_tie_semantics(ray_session):
     assert got["rnk"].tolist() == [1, 2, 2, 4, 4]          # gaps
     assert got["dense_rnk"].tolist() == [1, 2, 2, 3, 3]    # no gaps
     assert got["cume_dist"].tolist() == [0.2, 0.6, 0.6, 1.0, 1.0]
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from biocypher_metta_ray.stages.relational import grouped_corr
+
+    rng = np.random.RandomState(9)
+    x = rng.uniform(0, 10, 300)
+    df = pd.DataFrame(
+        {"g": (["a"] * 150) + (["b"] * 150),
+         "x": x,
+         "y": np.concatenate([2 * x[:150] + rng.normal(0, 1, 150),
+                              -x[150:] + rng.normal(0, 5, 150)])}
+    )
+    got = grouped_corr(
+        ray.data.from_pandas(list(np.array_split(df, 4))), ["g"],
+        "x", "y",
+    ).to_pandas().set_index("g")["corr"]
+    for g, grp in df.groupby("g"):
+        want = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got[g] - want) < 1e-6
+    # constant-y group -> dropped, not NaN/crash
+    cdf = pd.DataFrame({"g": ["c"] * 5, "x": np.arange(5.0),
+                        "y": np.ones(5)})
+    out = grouped_corr(_ds(cdf), ["g"], "x", "y").to_pandas()
+    assert len(out) == 0
