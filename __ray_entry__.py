@@ -1739,6 +1739,26 @@ def _q_rolling_agg(sf_dir: str):
     )
 
 
+def _q_ntile(sf_dir: str):
+    """NTILE(4) value quartile per event type
+    (stages/relational.py::ntile — integer arithmetic, exact
+    parity)."""
+    from biocypher_metta_ray.stages.relational import ntile
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = ntile(ds, ["event_type"], order_col="value",
+                tiebreak=["event_id"], n=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "tile": df["tile"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_corr(sf_dir: str):
     """Pearson correlation of quantity vs extended price per return
     flag (stages/relational.py::grouped_corr — five partial sums per
@@ -2249,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": _q_retention,
         "window_ranks": _q_window_ranks,
         "grouped_corr": _q_grouped_corr,
+        "ntile": _q_ntile,
     }
 
 
@@ -3652,5 +3673,12 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((n * sxx - sx * sx)
                                 * (n * syy - sy * sy)), 6) AS corr
             FROM s
+        """,
+        "ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER
+                        (PARTITION BY event_type
+                         ORDER BY value, event_id) AS BIGINT) AS tile
+            FROM events
         """,
     }

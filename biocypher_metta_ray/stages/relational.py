@@ -602,3 +602,40 @@ def grouped_corr(
         return out[np.isfinite(out[out_col])]
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def ntile(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str],
+    n: int,
+    out_col: str = "tile",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n)``: split each group's rows (ordered by
+    ``order_col, tiebreak`` — a total order, since NTILE is
+    row-number-based) into ``n`` buckets as evenly as possible, the
+    first ``n_rows % n`` buckets one row larger. Pure integer
+    arithmetic, so parity is exact. One key co-location.
+    """
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys + [order_col] + tiebreak, kind="mergesort"
+        ).reset_index(drop=True)
+        gb = g.groupby(keys, sort=False)
+        rn = gb.cumcount().to_numpy()
+        sz = gb[order_col].transform("size").to_numpy()
+        base, rem = sz // n, sz % n
+        cut = rem * (base + 1)
+        small_base = np.maximum(base, 1)  # avoid /0 when sz < n
+        g[out_col] = np.where(
+            rn < cut,
+            rn // np.maximum(base + 1, 1) + 1,
+            rem + (rn - cut) // small_base + 1,
+        ).astype("int64")
+        return g
+
+    return partitioned_group_map(ds, keys, body, num_partitions)

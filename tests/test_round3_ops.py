@@ -992,3 +992,22 @@ def test_grouped_corr_matches_numpy(ray_session):
                         "y": np.ones(5)})
     out = grouped_corr(_ds(cdf), ["g"], "x", "y").to_pandas()
     assert len(out) == 0
+
+
+def test_ntile_uneven_and_small_groups(ray_session):
+    from biocypher_metta_ray.stages.relational import ntile
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 7 + ["b"] * 2,
+         "id": np.arange(9, dtype="int64"),
+         "v": np.arange(9, dtype="float64")}
+    )
+    got = (
+        ntile(_ds(df), ["g"], order_col="v", tiebreak=["id"], n=3,
+              num_partitions=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # 7 rows / 3 tiles -> sizes 3,2,2
+    assert got[got["g"] == "a"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    # 2 rows / 3 tiles -> one row per tile, tile 3 empty
+    assert got[got["g"] == "b"]["tile"].tolist() == [1, 2]
