@@ -1,0 +1,140 @@
+"""Property-based checks (hypothesis) for operator kernels whose
+correctness argument is combinatorial — blocking soundness, frame
+boundaries, split invariance. Example counts are kept small because
+each example drives real Ray datasets; the properties, not the
+volume, carry the value."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=0, max_size=6),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+@settings(**SETTINGS)
+@given(left=_words, right=_words, d=st.integers(1, 2))
+def test_fuzzy_join_blocking_is_complete(ray_session, left, right, d):
+    """Deletion-variant blocking must find EXACTLY the brute-force
+    Levenshtein pairs for ANY strings — substitutions, insertions and
+    deletions alike (the SymSpell soundness claim)."""
+    from biocypher_metta_ray.stages.joins import _levenshtein, fuzzy_join
+
+    l = pd.DataFrame({"id": np.arange(len(left), dtype=np.int64),
+                      "s": left})
+    r = pd.DataFrame(
+        {"id": np.arange(100, 100 + len(right), dtype=np.int64),
+         "s": right}
+    )
+    got = fuzzy_join(
+        ray.data.from_pandas(l), ray.data.from_pandas(r),
+        "id", "s", "id", "s", max_dist=d, num_partitions=2,
+    ).to_pandas()
+    # a fully-empty Ray result arrives schema-less: no rows == no pairs
+    got_pairs = (
+        set() if got.empty else set(zip(got["lid"], got["rid"]))
+    )
+    want_pairs = {
+        (lid, rid)
+        for lid, ls in zip(l["id"], l["s"])
+        for rid, rs in zip(r["id"], r["s"])
+        if _levenshtein(ls, rs) <= d
+    }
+    assert got_pairs == want_pairs
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 40),
+    window=st.integers(1, 6),
+    nkeys=st.integers(1, 4),
+)
+def test_rolling_agg_frames_never_cross_keys(ray_session, n, window, nkeys):
+    from biocypher_metta_ray.stages.windows import rolling_agg
+
+    rng = np.random.RandomState(n * 7 + window)
+    df = pd.DataFrame(
+        {"k": rng.randint(0, nkeys, n).astype("int64"),
+         "i": np.arange(n, dtype="int64"),
+         "v": np.round(rng.uniform(0, 10, n), 3)}
+    )
+    got = (
+        rolling_agg(ray.data.from_pandas(df), key="k",
+                    order_cols=["i"], value_col="v", window=window,
+                    num_partitions=2)
+        .to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "i"]).reset_index(drop=True)
+    r = ref.groupby("k", sort=False)["v"].rolling(
+        window, min_periods=1
+    )
+    want_n = r.count().reset_index(level=0, drop=True).sort_index()
+    want_s = r.sum().reset_index(level=0, drop=True).sort_index()
+    assert got["n_window"].tolist() == [int(x) for x in want_n]
+    np.testing.assert_allclose(got["sum_window"],
+                               np.round(want_s, 6), atol=1e-9)
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(1, 60), k=st.integers(1, 5),
+       splits=st.integers(1, 5))
+def test_sample_per_group_split_invariant(ray_session, n, k, splits):
+    from biocypher_metta_ray.stages.relational import sample_per_group
+
+    rng = np.random.RandomState(n + 13 * k)
+    df = pd.DataFrame(
+        {"g": rng.randint(0, 3, n).astype("int64"),
+         "id": np.arange(n, dtype="int64")}
+    )
+    one = sample_per_group(
+        ray.data.from_pandas(df), ["g"], "id", k=k
+    ).to_pandas()
+    many = sample_per_group(
+        ray.data.from_pandas(
+            list(np.array_split(df, min(splits, len(df))))
+        ),
+        ["g"], "id", k=k,
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["g", "id"]].values.tolist()))
+    assert key(one) == key(many)
+    assert (one.groupby("g").size()
+            <= np.minimum(df.groupby("g").size(), k).max()).all()
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(2, 50), tiles=st.integers(1, 6))
+def test_ntile_sizes_differ_by_at_most_one(ray_session, n, tiles):
+    from biocypher_metta_ray.stages.relational import ntile
+
+    df = pd.DataFrame(
+        {"g": np.zeros(n, dtype="int64"),
+         "id": np.arange(n, dtype="int64"),
+         "v": np.arange(n, dtype="float64")}
+    )
+    got = ntile(
+        ray.data.from_pandas(df), ["g"], order_col="v",
+        tiebreak=["id"], n=tiles, num_partitions=2,
+    ).to_pandas()
+    sizes = got.groupby("tile").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.sum() == n
+    assert got["tile"].max() <= tiles
+    # ordered: every row in tile t has v below every row in tile t+1
+    mx = got.groupby("tile")["v"].max()
+    mn = got.groupby("tile")["v"].min()
+    for t in range(1, len(mx)):
+        assert mx.iloc[t - 1] <= mn.iloc[t]
