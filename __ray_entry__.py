@@ -1645,7 +1645,10 @@ def _q_kg_bfs(sf_dir: str):
     seeds = ray.data.from_pandas(
         pd.DataFrame({"node": [mins["m"].min()]})
     )
-    out = bfs_distances(edges, seeds, max_hops=3)
+    # the entity graph's node set is dimension-scale -> driver
+    # frontier, zero shuffles (graph.py size-adaptive contract)
+    out = bfs_distances(edges, seeds, max_hops=3,
+                        broadcast_frontier=True)
     return out.map_batches(
         lambda df: pd.DataFrame(
             {"node": df["node"].astype(str),

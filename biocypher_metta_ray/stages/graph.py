@@ -328,6 +328,7 @@ def bfs_distances(
     max_hops: int = 3,
     directed: bool = False,
     num_partitions: int = 16,
+    broadcast_frontier: bool = False,
 ) -> ray.data.Dataset:
     """Shortest-path hop distances from a seed set, bounded at
     ``max_hops`` — k-hop neighborhood expansion (the "context
@@ -335,20 +336,23 @@ def bfs_distances(
     reference leaves graph traversal to its downstream MeTTa runtime,
     /root/reference/metta_generator.py ships facts and nothing else).
 
-    Frontier BFS, one bounded sweep per hop (the 100 TB contract,
-    same shape as :func:`pagerank`):
+    Two modes, the canonicalize.py size-adaptive convention:
 
-    - the (symmetrized, deduped) adjacency table is co-located by
-      ``src`` ONCE and materialized; each sweep re-reads its blocks;
-    - a sweep joins the hop-``h`` frontier against adjacency in the
-      existing partitioning, emitting in-partition-distinct neighbor
-      candidates;
-    - candidates then subtract the visited set AND dedupe in a single
-      ``node``-keyed co-location (tagged union — no separate
-      anti-join pass), becoming the hop-``h+1`` frontier;
-    - frontier/visited tables are node-scale; only the static
-      adjacency is fact-scale, and it never reshuffles after the
-      initial co-location.
+    ``broadcast_frontier=True`` — for graphs whose NODE set is
+    dimension-scale (the KG entity graph): frontier and visited sets
+    live on the driver and broadcast via ``ray.put``; each hop is ONE
+    stateless streaming pass over the adjacency blocks with ZERO
+    shuffles (no setup co-location either — block-local dedup
+    suffices, the driver dedupes nodes). The fact-scale adjacency is
+    never sorted or shuffled at all.
+
+    ``broadcast_frontier=False`` (default) — fully distributed for
+    billion-node graphs: adjacency co-locates by ``src`` once, each
+    sweep joins the frontier in that partitioning and subtracts the
+    visited set in a single node-keyed co-location. Costs one
+    fact-scale sort per hop (Ray Data does not retain partitioning
+    metadata between operations), so prefer the broadcast mode
+    whenever the node set fits driver memory.
 
     Early-exits when a frontier empties. Returns ``(node, dist)``
     with int64 ``dist`` = hop count (seeds at 0); nodes beyond
@@ -362,6 +366,51 @@ def bfs_distances(
                 .rename(columns={"__t": src})[[src, dst]],
                 batch_format="pandas",
             )
+        )
+
+    if broadcast_frontier:
+        adjb = e.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        ).materialize()
+        seeds_pd = seeds.to_pandas()
+        seed_vals = (
+            seeds_pd[seed_col].drop_duplicates().tolist()
+            if len(seeds_pd) else []
+        )
+        visited = set(seed_vals)
+        frames = [pd.DataFrame({"node": seed_vals,
+                                "dist": np.int64(0)})]
+        frontier = set(seed_vals)
+        for h in range(1, max_hops + 1):
+            if not frontier:
+                break
+            f_ref = ray.put(frontier)
+
+            def step(df: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(f_ref)
+                return pd.DataFrame(
+                    {"node": df.loc[df[src].isin(f), dst]
+                     .drop_duplicates()}
+                )
+
+            cand = adjb.map_batches(
+                step, batch_format="pandas"
+            ).to_pandas()
+            if cand.empty:
+                break
+            new = [
+                n for n in cand["node"].drop_duplicates()
+                if n not in visited
+            ]
+            if not new:
+                break
+            visited.update(new)
+            frames.append(
+                pd.DataFrame({"node": new, "dist": np.int64(h)})
+            )
+            frontier = set(new)
+        return ray.data.from_pandas(
+            pd.concat(frames, ignore_index=True)
         )
 
     adj = partitioned_group_map(

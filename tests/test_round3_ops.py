@@ -1011,3 +1011,27 @@ def test_ntile_uneven_and_small_groups(ray_session):
     assert got[got["g"] == "a"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
     # 2 rows / 3 tiles -> one row per tile, tile 3 empty
     assert got[got["g"] == "b"]["tile"].tolist() == [1, 2]
+
+
+def test_bfs_broadcast_and_distributed_modes_agree(ray_session):
+    from biocypher_metta_ray.stages.graph import bfs_distances
+
+    rng = np.random.RandomState(21)
+    e = pd.DataFrame(
+        {"src": rng.randint(0, 30, 120).astype("int64"),
+         "dst": rng.randint(0, 30, 120).astype("int64")}
+    )
+    seeds = pd.DataFrame({"node": np.array([0, 7], dtype="int64")})
+    a = (
+        bfs_distances(_ds(e), _ds(seeds), max_hops=4,
+                      broadcast_frontier=True)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        bfs_distances(_ds(e), _ds(seeds), max_hops=4,
+                      broadcast_frontier=False, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.astype("int64"), b.astype("int64")
+    )
