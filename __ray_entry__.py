@@ -1946,6 +1946,31 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_cube(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus) sums/counts — all four
+    levels, coarser ones derived from the finest result
+    (stages/relational.py::cube_agg)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import cube_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = cube_agg(ds, ["l_returnflag", "l_linestatus"],
+                   sums=["l_quantity"], count_as="n")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "l_linestatus": df["l_linestatus"],
+             "sum_qty": df["l_quantity"].round(2),
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_percent_rank(sf_dir: str):
     """Per-event percent rank of value within its event type
     (stages/relational.py::percent_rank — one key co-location,
@@ -2273,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ranks": _q_window_ranks,
         "grouped_corr": _q_grouped_corr,
         "ntile": _q_ntile,
+        "cube": _q_cube,
     }
 
 
@@ -3683,5 +3709,13 @@ def oracle_sql() -> dict[str, str]:
                         (PARTITION BY event_type
                          ORDER BY value, event_id) AS BIGINT) AS tile
             FROM events
+        """,
+        "cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
     }

@@ -407,6 +407,47 @@ def rollup_agg(
     the finest RESULT — group-cardinality-scale, so the extra levels
     cost one tiny pass each, never a second corpus scan.
     """
+    level_sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return _multi_level_agg(ds, keys, sums, count_as, marker,
+                            level_sets, shuffle_partitions)
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: list[str],
+    count_as: str = "n",
+    marker: str = "ALL",
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE``: one result row per SUBSET of ``keys``
+    (all 2^k levels), rolled-up key columns set to ``marker``. Same
+    scale shape as :func:`rollup_agg` — only the finest level scans
+    the corpus; every other subset re-aggregates the finest result.
+    """
+    from itertools import combinations
+
+    level_sets = [
+        [k for k in keys if k in combo]
+        for r in range(len(keys), -1, -1)
+        for combo in combinations(keys, r)
+    ]
+    return _multi_level_agg(ds, keys, sums, count_as, marker,
+                            level_sets, shuffle_partitions)
+
+
+def _multi_level_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: list[str],
+    count_as: str,
+    marker: str,
+    level_sets: list[list[str]],
+    shuffle_partitions: int,
+) -> ray.data.Dataset:
+    """Shared ROLLUP/CUBE machinery: the first level set must be the
+    full key list (the corpus scan); all others derive from it."""
+    assert level_sets[0] == keys
     finest = grouped_agg(
         ds, keys, sums, count_as, shuffle_partitions
     ).materialize()
@@ -423,21 +464,20 @@ def rollup_agg(
         return fn
 
     levels = [finest.map_batches(fill(keys), batch_format="pandas")]
-    for i in range(len(keys) - 1, -1, -1):
-        lvl_keys = keys[:i]
-        src = finest
-        if not lvl_keys:
+    for lvl_keys in level_sets[1:]:
+        src, gk = finest, lvl_keys
+        if not gk:
             src = finest.map_batches(
                 lambda df: df.assign(__all=0), batch_format="pandas"
             )
-            lvl_keys = ["__all"]
+            gk = ["__all"]
         lvl = grouped_agg(
-            src, lvl_keys, sums + [count_as], count_as=None,
+            src, gk, sums + [count_as], count_as=None,
             shuffle_partitions=max(2, shuffle_partitions // 4),
         )
-        if lvl_keys == ["__all"]:
+        if gk == ["__all"]:
             lvl = lvl.drop_columns(["__all"])
-        levels.append(lvl.map_batches(fill(keys[:i]),
+        levels.append(lvl.map_batches(fill(lvl_keys),
                                       batch_format="pandas"))
     out = levels[0]
     for lvl in levels[1:]:

@@ -1035,3 +1035,19 @@ def test_bfs_broadcast_and_distributed_modes_agree(ray_session):
     pd.testing.assert_frame_equal(
         a.astype("int64"), b.astype("int64")
     )
+
+
+def test_cube_includes_all_subsets(ray_session):
+    from biocypher_metta_ray.stages.relational import cube_agg
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+         "v": [1.0, 2.0, 4.0]}
+    )
+    got = cube_agg(_ds(df), ["a", "b"], sums=["v"],
+                   count_as="n").to_pandas()
+    # 3 finest + 2 (a,ALL) + 2 (ALL,b) + 1 grand = 8
+    assert len(got) == 8
+    bonly = got[(got["a"] == "ALL") & (got["b"] != "ALL")]
+    assert dict(zip(bonly["b"], bonly["v"])) == {"p": 5.0, "q": 2.0}
+    assert got[(got["a"] == "ALL") & (got["b"] == "ALL")]["v"].iloc[0] == 7.0
