@@ -1946,6 +1946,48 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_pivot(sf_dir: str):
+    """Crosstab of quantity sums, return flag x line status
+    (stages/relational.py::pivot_agg — grouped_agg corpus scan, one
+    vectorized unstack over the group-scale result)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import pivot_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = pivot_agg(ds, ["l_returnflag"], "l_linestatus",
+                    "l_quantity", categories=["O", "F"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "sum_O": df["sum_O"].round(2),
+             "sum_F": df["sum_F"].round(2)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_string_agg(sf_dir: str):
+    """Sorted nation-name roster per region
+    (stages/relational.py::string_agg — deterministic ordered
+    concatenation)."""
+    from biocypher_metta_ray.stages.relational import string_agg
+
+    ds = _rp(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    out = string_agg(ds, ["n_regionkey"], "n_name", sep=",",
+                     out_col="nations")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"n_regionkey": df["n_regionkey"].astype("int64"),
+             "nations": df["nations"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_cube(sf_dir: str):
     """CUBE(l_returnflag, l_linestatus) sums/counts — all four
     levels, coarser ones derived from the finest result
@@ -2299,6 +2341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr": _q_grouped_corr,
         "ntile": _q_ntile,
         "cube": _q_cube,
+        "pivot": _q_pivot,
+        "string_agg": _q_string_agg,
     }
 
 
@@ -3717,5 +3761,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   round(coalesce(sum(l_quantity)
+                         FILTER (WHERE l_linestatus = 'O'), 0), 2)
+                       AS sum_O,
+                   round(coalesce(sum(l_quantity)
+                         FILTER (WHERE l_linestatus = 'F'), 0), 2)
+                       AS sum_F
+            FROM lineitem GROUP BY 1
+        """,
+        "string_agg": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY 1
         """,
     }

@@ -679,3 +679,73 @@ def ntile(
         return g
 
     return partitioned_group_map(ds, keys, body, num_partitions)
+
+
+def pivot_agg(
+    ds: ray.data.Dataset,
+    index: list[str],
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Pivot (crosstab): one row per ``index`` key, one
+    ``sum_<category>`` column per KNOWN pivot category (explicit
+    ``categories`` — discovering them would need an extra pass, and
+    an unbounded category set is a schema explosion; SQL PIVOT makes
+    the same demand). Semantics = conditional aggregation:
+    ``sum(value) FILTER (WHERE pivot_col = cat)``, absent cells 0.
+
+    Scale shape: the corpus scan is the ordinary partial-combine
+    grouped_agg on (index, pivot_col); the reshape runs on that
+    group-cardinality-scale result, one vectorized unstack per
+    partition of index keys.
+    """
+    from .skew import partitioned_group_map
+
+    finest = grouped_agg(
+        ds, index + [pivot_col], [value_col], count_as=None,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+    def reshape(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[index].drop_duplicates().set_index(index)
+        for cat in categories:
+            sub = (
+                g[g[pivot_col] == cat]
+                .groupby(index)[value_col].sum()
+            )
+            out[f"sum_{cat}"] = sub
+        return out.fillna(0.0).reset_index()
+
+    return partitioned_group_map(
+        finest, index, reshape, max(2, shuffle_partitions // 4),
+        coalesce=shuffle_partitions,
+    )
+
+
+def string_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    sep: str = ",",
+    out_col: str = "agg",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group ordered string concatenation (SQL ``string_agg(v,
+    sep ORDER BY v)``) — deterministic because the elements are
+    sorted before joining. One key co-location; the group's
+    concatenated value must fit a worker (same contract as any
+    per-group collect)."""
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([*keys, value_col], kind="mergesort")
+            .groupby(keys, sort=False)[value_col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .reset_index()
+            .rename(columns={value_col: out_col})
+        )
+
+    return partitioned_group_map(ds, keys, body, num_partitions)

@@ -1051,3 +1051,29 @@ def test_cube_includes_all_subsets(ray_session):
     bonly = got[(got["a"] == "ALL") & (got["b"] != "ALL")]
     assert dict(zip(bonly["b"], bonly["v"])) == {"p": 5.0, "q": 2.0}
     assert got[(got["a"] == "ALL") & (got["b"] == "ALL")]["v"].iloc[0] == 7.0
+
+
+def test_pivot_missing_cells_zero_filled(ray_session):
+    from biocypher_metta_ray.stages.relational import pivot_agg
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b"], "c": ["x", "y", "x"],
+         "v": [1.0, 2.0, 4.0]}
+    )
+    got = (
+        pivot_agg(_ds(df), ["k"], "c", "v", categories=["x", "y", "z"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["sum_x"].tolist() == [1.0, 4.0]
+    assert got["sum_y"].tolist() == [2.0, 0.0]   # missing cell -> 0
+    assert got["sum_z"].tolist() == [0.0, 0.0]   # empty category -> 0
+
+
+def test_string_agg_deterministic_order(ray_session):
+    from biocypher_metta_ray.stages.relational import string_agg
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2], "w": ["c", "a", "b", "z"]})
+    got = string_agg(
+        ray.data.from_pandas(list(np.array_split(df, 3))), ["g"], "w"
+    ).to_pandas().sort_values("g")
+    assert got["agg"].tolist() == ["a,b,c", "z"]
