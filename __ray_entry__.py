@@ -1946,6 +1946,41 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_multi_key_join(sf_dir: str):
+    """Composite-key join: every event row picks up its
+    (user, event_type) mean value — hash_join on a two-column key
+    (stages/joins.py::hash_join with on=[...])."""
+    from biocypher_metta_ray.stages.joins import hash_join
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    events = _rp(sf_dir, "events",
+                 columns=["event_id", "user_id", "event_type",
+                          "value"])
+    means = grouped_agg(
+        events, ["user_id", "event_type"], sums=["value"],
+        count_as="n",
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "type_mean": (df["value"] / df["n"]).round(6)}
+        ),
+        batch_format="pandas",
+    )
+    out = hash_join(events, means, on=["user_id", "event_type"],
+                    num_partitions=16)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "value": df["value"].round(6),
+             "type_mean": df["type_mean"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_pivot(sf_dir: str):
     """Crosstab of quantity sums, return flag x line status
     (stages/relational.py::pivot_agg — grouped_agg corpus scan, one
@@ -2343,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": _q_cube,
         "pivot": _q_pivot,
         "string_agg": _q_string_agg,
+        "multi_key_join": _q_multi_key_join,
     }
 
 
@@ -3776,5 +3812,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey,
                    string_agg(n_name, ',' ORDER BY n_name) AS nations
             FROM nation GROUP BY 1
+        """,
+        "multi_key_join": """
+            WITH m AS (SELECT user_id, event_type,
+                              round(sum(value) / count(*), 6)
+                                  AS type_mean
+                       FROM events GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.event_type,
+                   round(e.value, 6) AS value, m.type_mean
+            FROM events e
+            JOIN m ON e.user_id = m.user_id
+                  AND e.event_type = m.event_type
         """,
     }

@@ -68,12 +68,13 @@ def _safe_astype(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
+    on: str | list[str],
     how: str = "inner",
     num_partitions: int = 32,
     use_native: bool = True,
 ) -> ray.data.Dataset:
-    """Join two large datasets on one key column.
+    """Join two large datasets on one key column or a composite key
+    (pass a list — both paths partition/merge on the full tuple).
 
     The native ``Dataset.join`` path is used only when BOTH schemas
     are flat: Arrow's acero join rejects list/struct non-key columns
@@ -83,6 +84,8 @@ def hash_join(
     the portable union-and-bucket fallback is actor-free.
     """
     import pyarrow as _pa
+
+    on = [on] if isinstance(on, str) else list(on)
 
     def _nested(ds: ray.data.Dataset) -> bool:
         for t in ds.schema().types:
@@ -106,11 +109,11 @@ def hash_join(
         }.get(how, how)
         return left.join(
             right, join_type=native_how, num_partitions=num_partitions,
-            on=(on,),
+            on=tuple(on),
         )
 
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    lcols = [c for c in left.schema().names if c not in on]
+    rcols = [c for c in right.schema().names if c not in on]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key column overlap: {overlap}")
@@ -135,11 +138,11 @@ def hash_join(
         # full column set (missing side contributes an empty frame),
         # and astype undoes the concat NaN-fill dtype drift (safe after
         # the __side filter: each side's own columns are NaN-free)
-        l = _safe_astype(g[g["__side"] == "L"].reindex(columns=[on] + lcols), ltypes)
-        r = _safe_astype(g[g["__side"] == "R"].reindex(columns=[on] + rcols), rtypes)
+        l = _safe_astype(g[g["__side"] == "L"].reindex(columns=on + lcols), ltypes)
+        r = _safe_astype(g[g["__side"] == "R"].reindex(columns=on + rcols), rtypes)
         return l.merge(r, on=on, how=how)
 
-    return partitioned_group_map(both, [on], merge, num_partitions)
+    return partitioned_group_map(both, on, merge, num_partitions)
 
 
 def pair_payload_join(

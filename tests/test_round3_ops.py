@@ -1077,3 +1077,24 @@ def test_string_agg_deterministic_order(ray_session):
         ray.data.from_pandas(list(np.array_split(df, 3))), ["g"], "w"
     ).to_pandas().sort_values("g")
     assert got["agg"].tolist() == ["a,b,c", "z"]
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_hash_join_composite_key(ray_session, use_native):
+    from biocypher_metta_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"],
+                      "lv": [10, 20, 30]}).astype({"a": "int64",
+                                                   "lv": "int64"})
+    r = pd.DataFrame({"a": [1, 2, 2], "b": ["x", "x", "y"],
+                      "rv": [100, 200, 300]}).astype({"a": "int64",
+                                                      "rv": "int64"})
+    got = (
+        hash_join(_ds(l), _ds(r), on=["a", "b"], num_partitions=4,
+                  use_native=use_native)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # only (1,x) and (2,x) match on BOTH columns
+    assert got[["a", "b"]].values.tolist() == [[1, "x"], [2, "x"]]
+    assert got["lv"].tolist() == [10, 30]
+    assert got["rv"].tolist() == [100, 200]
