@@ -1946,6 +1946,27 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_lag_lead(sf_dir: str):
+    """Previous/next event value per user (stages/windows.py::
+    lag_lead — group-edge nulls carried as an explicit -1 sentinel so
+    the value compare needs no NULL convention)."""
+    from biocypher_metta_ray.stages.windows import lag_lead
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+    out = lag_lead(ds, key="user_id", order_cols=["ts", "event_id"],
+                   value_col="value")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "lag_value": df["lag_value"].fillna(-1.0).round(6),
+             "lead_value": df["lead_value"].fillna(-1.0).round(6)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_multi_key_join(sf_dir: str):
     """Composite-key join: every event row picks up its
     (user, event_type) mean value — hash_join on a two-column key
@@ -2379,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "string_agg": _q_string_agg,
         "multi_key_join": _q_multi_key_join,
+        "lag_lead": _q_lag_lead,
     }
 
 
@@ -3823,5 +3845,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN m ON e.user_id = m.user_id
                   AND e.event_type = m.event_type
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id,
+                   round(coalesce(lag(value) OVER w, -1), 6)
+                       AS lag_value,
+                   round(coalesce(lead(value) OVER w, -1), 6)
+                       AS lead_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     }

@@ -264,3 +264,29 @@ def retention_cohorts(
             batch_format="pandas", batch_size=None,
         )
     )
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    periods: int = 1,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``lag(value, n)`` / ``lead(value, n)`` per key (ordered by
+    ``order_cols`` — include a unique tie-breaker; frames never cross
+    key boundaries). Appends ``lag_<value_col>`` / ``lead_<value_col>``
+    with nulls at the group edges. One key co-location, one
+    vectorized groupby shift."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        gb = g.groupby(key, sort=False)[value_col]
+        g[f"lag_{value_col}"] = gb.shift(periods)
+        g[f"lead_{value_col}"] = gb.shift(-periods)
+        return g
+
+    return partitioned_group_map(ds, [key], body, num_partitions)

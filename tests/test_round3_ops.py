@@ -1098,3 +1098,19 @@ def test_hash_join_composite_key(ray_session, use_native):
     assert got[["a", "b"]].values.tolist() == [[1, "x"], [2, "x"]]
     assert got["lv"].tolist() == [10, 30]
     assert got["rv"].tolist() == [100, 200]
+
+
+def test_lag_lead_group_edges_null(ray_session):
+    from biocypher_metta_ray.stages.windows import lag_lead
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "i": [0, 1, 2, 3],
+         "v": [10.0, 20.0, 30.0, 99.0]}
+    )
+    got = (
+        lag_lead(_ds(df), key="k", order_cols=["i"], value_col="v",
+                 num_partitions=2)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert got["lag_v"].fillna(-1).tolist() == [-1, 10.0, 20.0, -1]
+    assert got["lead_v"].fillna(-1).tolist() == [20.0, 30.0, -1, -1]
