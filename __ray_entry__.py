@@ -1946,6 +1946,26 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user cumulative value over the event log
+    (stages/windows.py::running_total)."""
+    from biocypher_metta_ray.stages.windows import running_total
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+    out = running_total(ds, key="user_id",
+                        order_cols=["ts", "event_id"],
+                        value_col="value")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "running": df["running"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_lag_lead(sf_dir: str):
     """Previous/next event value per user (stages/windows.py::
     lag_lead — group-edge nulls carried as an explicit -1 sentinel so
@@ -2401,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg": _q_string_agg,
         "multi_key_join": _q_multi_key_join,
         "lag_lead": _q_lag_lead,
+        "running_total": _q_running_total,
     }
 
 
@@ -3854,5 +3875,12 @@ def oracle_sql() -> dict[str, str]:
                        AS lead_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING), 6) AS running
+            FROM events
         """,
     }

@@ -290,3 +290,28 @@ def lag_lead(
         return g
 
     return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``sum(value) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``: the per-key prefix sum (running balance /
+    cumulative exposure). One key co-location; pandas' sequential
+    ``cumsum`` adds in exactly the frame order SQL does, so float
+    parity holds to the rounding contract."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        g["running"] = np.round(
+            g.groupby(key, sort=False)[value_col].cumsum(), 6
+        )
+        return g
+
+    return partitioned_group_map(ds, [key], body, num_partitions)

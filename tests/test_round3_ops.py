@@ -1114,3 +1114,18 @@ def test_lag_lead_group_edges_null(ray_session):
     )
     assert got["lag_v"].fillna(-1).tolist() == [-1, 10.0, 20.0, -1]
     assert got["lead_v"].fillna(-1).tolist() == [20.0, 30.0, -1, -1]
+
+
+def test_running_total_per_key(ray_session):
+    from biocypher_metta_ray.stages.windows import running_total
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 1], "i": [0, 1, 2, 3],
+         "v": [1.5, 2.5, 10.0, 4.0]}
+    )
+    got = (
+        running_total(_ds(df), key="k", order_cols=["i"],
+                      value_col="v", num_partitions=2)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert got["running"].tolist() == [1.5, 4.0, 10.0, 8.0]
