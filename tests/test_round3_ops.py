@@ -1129,3 +1129,39 @@ def test_running_total_per_key(ray_session):
         .to_pandas().sort_values("i").reset_index(drop=True)
     )
     assert got["running"].tolist() == [1.5, 4.0, 10.0, 8.0]
+
+
+def test_window_family_under_hot_key_skew(ray_session):
+    """One key owning ~95% of the log: every windows-family operator
+    must stay a single vectorized partition body (correct counts, no
+    blowup) — the documented partitioning assumption."""
+    from biocypher_metta_ray.stages.windows import (
+        funnel, lag_lead, retention_cohorts, rolling_agg,
+    )
+
+    n = 30000
+    rng = np.random.RandomState(2)
+    t0 = pd.Timestamp("1970-01-01")
+    users = np.where(rng.uniform(size=n) < 0.95, 0,
+                     rng.randint(1, 20, n)).astype("int64")
+    df = pd.DataFrame(
+        {"u": users,
+         "i": np.arange(n, dtype="int64"),
+         "ts": t0 + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+         "et": rng.choice(["A", "B", "C"], n),
+         "v": rng.uniform(0, 10, n)}
+    )
+    ds = ray.data.from_pandas(list(np.array_split(df, 8)))
+    r = rolling_agg(ds, key="u", order_cols=["ts", "i"], value_col="v",
+                    window=4, num_partitions=4).to_pandas()
+    assert len(r) == n and r["n_window"].max() == 4
+    f = funnel(ds, key="u", ts_col="ts", type_col="et",
+               steps=["A", "B", "C"], num_partitions=4).to_pandas()
+    assert len(f) == df["u"].nunique()
+    assert (f.loc[f["u"] == 0, "stage"] == 3).all()  # hot user funnels
+    rc = retention_cohorts(ds, key="u", ts_col="ts",
+                           num_partitions=4).to_pandas()
+    assert rc["n_users"].sum() >= df["u"].nunique()
+    ll = lag_lead(ds, key="u", order_cols=["ts", "i"], value_col="v",
+                  num_partitions=4).to_pandas()
+    assert len(ll) == n and ll["lag_v"].isna().sum() == df["u"].nunique()
