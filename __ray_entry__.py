@@ -1946,6 +1946,64 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution: clean nation names plus their
+    one-char-dropped corruptions fuzzy-self-join at Levenshtein <= 1
+    (nation names: mostly distinct, with genuine near-collisions),
+    and the match graph's connected components assign each surface a
+    canonical (min-id) cluster — the record-linkage composition
+    (stages/joins.py::fuzzy_join -> canonicalize.
+    connected_components). Corrupted surfaces carry id + 10000."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.canonicalize import (
+        connected_components,
+    )
+    from biocypher_metta_ray.stages.joins import fuzzy_join
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    # deterministic surfaces with REAL separation (the table's own
+    # serial-number names are all within edit distance 1 of each
+    # other, which collapses every ER demo to one cluster): key k
+    # gets the letter-run chr(65+k) x (5 + k%3), its corruption one
+    # char shorter — distance 1 within the pair, >= 4 across pairs
+    def surfaces(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["n_nationkey"].to_numpy()
+        clean = [chr(65 + int(k)) * (5 + int(k) % 3) for k in keys]
+        return pd.DataFrame(
+            {
+                "id": np.concatenate(
+                    [keys, keys + 10000]
+                ).astype("int64"),
+                "s": clean + [c[:-1] for c in clean],
+            }
+        )
+
+    names = nat.map_batches(surfaces, batch_format="pandas")
+    pairs = fuzzy_join(names, names, "id", "s", "id", "s",
+                       max_dist=1)
+    # zero-pad ids so the CC min-label (lexicographic on strings)
+    # coincides with numeric min — the oracle pads identically
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["lid"].astype(str).str.zfill(5),
+             "dst": df["rid"].astype(str).str.zfill(5)}
+        ),
+        batch_format="pandas",
+    )
+    comp = connected_components(edges)
+    return comp.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df["node"].astype("int64"),
+             "cluster": df["component"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_running_total(sf_dir: str):
     """Per-user cumulative value over the event log
     (stages/windows.py::running_total)."""
@@ -2422,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_key_join": _q_multi_key_join,
         "lag_lead": _q_lag_lead,
         "running_total": _q_running_total,
+        "entity_resolution": _q_entity_resolution,
     }
 
 
@@ -3882,5 +3941,36 @@ def oracle_sql() -> dict[str, str]:
                          (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING), 6) AS running
             FROM events
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE surf AS (
+                SELECT n_nationkey AS id,
+                       repeat(chr(65 + CAST(n_nationkey AS INT)),
+                              5 + CAST(n_nationkey % 3 AS INT)) AS s
+                FROM nation
+                UNION ALL
+                SELECT n_nationkey + 10000,
+                       repeat(chr(65 + CAST(n_nationkey AS INT)),
+                              4 + CAST(n_nationkey % 3 AS INT))
+                FROM nation),
+            pairs AS (SELECT a.id AS i, b.id AS j
+                      FROM surf a CROSS JOIN surf b
+                      WHERE levenshtein(a.s, b.s) <= 1),
+            edges AS (SELECT lpad(CAST(i AS VARCHAR), 5, '0') AS u,
+                             lpad(CAST(j AS VARCHAR), 5, '0') AS v
+                      FROM pairs
+                      UNION
+                      SELECT lpad(CAST(j AS VARCHAR), 5, '0'),
+                             lpad(CAST(i AS VARCHAR), 5, '0')
+                      FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w
+                JOIN edges e ON e.u = w.node)
+            SELECT CAST(node AS BIGINT) AS id,
+                   CAST(min(comp) AS BIGINT) AS cluster
+            FROM walk GROUP BY node
         """,
     }
