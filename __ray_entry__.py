@@ -1946,6 +1946,67 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_histogram(sf_dir: str):
+    """Fixed-width value histogram of event values (integer bin =
+    floor(value / 25); pure grouped count via the partial-combine
+    aggregate — the profiling primitive)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    binned = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"bin": np.floor(df["value"].to_numpy() / 25.0)
+             .astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    out = grouped_agg(binned, ["bin"], count_as="n")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"bin": df["bin"].astype("int64"),
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_grouped_mode(sf_dir: str):
+    """Most frequent ship-date YEAR per return flag — mode as a
+    composition: partial-combine grouped count, then per-group top-1
+    with deterministic tie-break (relational.grouped_agg +
+    top_k_per_group)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import (
+        grouped_agg,
+        top_k_per_group,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "year": df["l_shipdate"].dt.year.astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    counts = grouped_agg(ds, ["l_returnflag", "year"], count_as="n")
+    out = top_k_per_group(
+        counts, ["l_returnflag"], by="n", k=1, ascending=False,
+        tiebreak=["year"], num_partitions=4,
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "year": df["year"].astype("int64"),
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_entity_resolution(sf_dir: str):
     """End-to-end entity resolution: clean nation names plus their
     one-char-dropped corruptions fuzzy-self-join at Levenshtein <= 1
@@ -2481,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": _q_lag_lead,
         "running_total": _q_running_total,
         "entity_resolution": _q_entity_resolution,
+        "histogram": _q_histogram,
+        "grouped_mode": _q_grouped_mode,
     }
 
 
@@ -3972,5 +4035,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS id,
                    CAST(min(comp) AS BIGINT) AS cluster
             FROM walk GROUP BY node
+        """,
+        "histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "grouped_mode": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(year(l_shipdate) AS BIGINT) AS year,
+                              count(*) AS n
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, year, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, year) = 1
         """,
     }
