@@ -1946,6 +1946,41 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_tokenize_explode(sf_dir: str):
+    """Positional token explosion of the corpus — the flat_map
+    primitive surfaced directly: one (doc_id, pos, token) row per
+    token, fully vectorized (Arrow split + offset arithmetic, the
+    stages/lm.py::_doc_bigrams machinery without the shift)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: _pa.Table) -> _pa.Table:
+        toks = _pc.split_pattern(_pc.utf8_lower(batch["text"]), " ")
+        if isinstance(toks, _pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = _pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        first = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = (
+            np.arange(int(lengths.sum()), dtype=np.int64)
+            - np.repeat(first, lengths)
+        )
+        return _pa.table(
+            {
+                "doc_id": _pa.array(np.repeat(doc_ids, lengths)),
+                "pos": _pa.array(pos),
+                "token": flat,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-width value histogram of event values (integer bin =
     floor(value / 25); pure grouped count via the partial-combine
@@ -2544,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": _q_entity_resolution,
         "histogram": _q_histogram,
         "grouped_mode": _q_grouped_mode,
+        "tokenize_explode": _q_tokenize_explode,
     }
 
 
@@ -4049,5 +4085,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, year, n FROM c
             QUALIFY row_number() OVER (PARTITION BY l_returnflag
                                        ORDER BY n DESC, year) = 1
+        """,
+        "tokenize_explode": """
+            SELECT doc_id,
+                   CAST(generate_subscripts(
+                        string_split(lower(text), ' '), 1) - 1
+                        AS BIGINT) AS pos,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
         """,
     }
