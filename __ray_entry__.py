@@ -1946,6 +1946,58 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_intersect_keys(sf_dir: str):
+    """INTERSECT (distinct-set semantics): part keys sold BOTH in
+    high-quantity and low-quantity lines — distinct + distributed
+    semi join composition (stages/relational.distinct +
+    joins.semi_join)."""
+    from biocypher_metta_ray.stages.joins import semi_join
+    from biocypher_metta_ray.stages.relational import distinct
+
+    hi = distinct(
+        _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .filter(expr="l_quantity > 45"),
+        ["l_partkey"],
+    )
+    lo = distinct(
+        _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .filter(expr="l_quantity < 3"),
+        ["l_partkey"],
+    )
+    out = semi_join(hi, lo, on="l_partkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_partkey": df["l_partkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_except_keys(sf_dir: str):
+    """EXCEPT (distinct-set semantics): part keys sold high-quantity
+    but NEVER low-quantity — distinct + distributed anti join."""
+    from biocypher_metta_ray.stages.joins import anti_join
+    from biocypher_metta_ray.stages.relational import distinct
+
+    hi = distinct(
+        _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .filter(expr="l_quantity > 45"),
+        ["l_partkey"],
+    )
+    lo = distinct(
+        _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .filter(expr="l_quantity < 3"),
+        ["l_partkey"],
+    )
+    out = anti_join(hi, lo, on="l_partkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_partkey": df["l_partkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_tokenize_explode(sf_dir: str):
     """Positional token explosion of the corpus — the flat_map
     primitive surfaced directly: one (doc_id, pos, token) row per
@@ -2580,6 +2632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": _q_histogram,
         "grouped_mode": _q_grouped_mode,
         "tokenize_explode": _q_tokenize_explode,
+        "intersect_keys": _q_intersect_keys,
+        "except_keys": _q_except_keys,
     }
 
 
@@ -4093,5 +4147,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos,
                    unnest(string_split(lower(text), ' ')) AS token
             FROM documents
+        """,
+        "intersect_keys": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+            INTERSECT
+            SELECT l_partkey FROM lineitem WHERE l_quantity < 3
+        """,
+        "except_keys": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+            EXCEPT
+            SELECT l_partkey FROM lineitem WHERE l_quantity < 3
         """,
     }
