@@ -1946,6 +1946,35 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_windowed_distinct(sf_dir: str):
+    """Exact distinct active users per UTC day — tumbling-window
+    distinct: per-batch (day, user) dedup, one distinct co-location,
+    then the partial-combine count (relational.distinct +
+    grouped_agg); the sketch-free counterpart of grouped_hll."""
+    from biocypher_metta_ray.stages.relational import (
+        distinct,
+        grouped_agg,
+    )
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    pairs = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"day": df["ts"].dt.floor("D"),
+             "user_id": df["user_id"].astype("int64")}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    d = distinct(pairs, ["day", "user_id"])
+    out = grouped_agg(d, ["day"], count_as="n_users")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"day": df["day"].astype("datetime64[us]"),
+             "n_users": df["n_users"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_intersect_keys(sf_dir: str):
     """INTERSECT (distinct-set semantics): part keys sold BOTH in
     high-quantity and low-quantity lines — distinct + distributed
@@ -2634,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_explode": _q_tokenize_explode,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
+        "windowed_distinct": _q_windowed_distinct,
     }
 
 
@@ -4157,5 +4187,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity < 3
+        """,
+        "windowed_distinct": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
     }
