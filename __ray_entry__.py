@@ -1946,6 +1946,25 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_zscore(sf_dir: str):
+    """Per-event-type z-score of value (stages/relational.py::zscore
+    — small stats shuffle, broadcast transform, stated-formula
+    parity)."""
+    from biocypher_metta_ray.stages.relational import zscore
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = zscore(ds, ["event_type"], "value")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"],
+             "z": df["z"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_windowed_distinct(sf_dir: str):
     """Exact distinct active users per UTC day — tumbling-window
     distinct: per-batch (day, user) dedup, one distinct co-location,
@@ -2664,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         "windowed_distinct": _q_windowed_distinct,
+        "zscore": _q_zscore,
     }
 
 
@@ -4192,5 +4212,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        # same five-number formula as the Ray kernel (std from raw
+        # sums), NOT stddev_samp(): engine Welford paths differ in fp
+        "zscore": """
+            WITH s AS (SELECT event_type,
+                              count(*)::DOUBLE AS n,
+                              sum(value) AS sx,
+                              sum(value * value) AS sxx
+                       FROM events GROUP BY 1),
+            st AS (SELECT event_type, sx / n AS m,
+                          sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+                              AS sd
+                   FROM s WHERE n > 1)
+            SELECT e.event_id, e.event_type,
+                   round((e.value - st.m) / st.sd, 6) AS z
+            FROM events e JOIN st ON e.event_type = st.event_type
+            WHERE st.sd > 0
         """,
     }

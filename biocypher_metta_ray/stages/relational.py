@@ -749,3 +749,60 @@ def string_agg(
         )
 
     return partitioned_group_map(ds, keys, body, num_partitions)
+
+
+def zscore(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "z",
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group z-score normalization: ``(v - mean) / sample_std``
+    appended per row — the feature-scaling staple. Two passes: the
+    group stats reduce through the usual partial-combine aggregate
+    (n, sum, sum-of-squares — one small shuffle), then the
+    dimension-scale stats table broadcasts via ``ray.put`` and the
+    corpus streams through a stateless transform. The std is stated
+    as ``sqrt((n*sxx - sx^2) / (n*(n-1)))`` so the SQL oracle computes
+    the identical expression (engine-internal Welford paths differ in
+    fp). Groups with n < 2 or zero variance drop (stated).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].copy()
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        b["sx"], b["sxx"], b["n"] = v, v * v, np.int64(1)
+        return b.groupby(keys, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(shuffle_partitions)
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("sx", "sxx", "n")])
+        .to_pandas()
+    )
+    n = sums["n"].to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = sums["sx"].to_numpy() / n
+        var = (n * sums["sxx"].to_numpy()
+               - sums["sx"].to_numpy() ** 2) / (n * (n - 1))
+        std = np.sqrt(var)
+    stats = sums[keys].copy()
+    stats["__mean"], stats["__std"] = mean, std
+    stats = stats[np.isfinite(std) & (std > 0)]
+    ref = ray.put(stats)
+
+    def transform(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        m = batch.merge(st, on=keys, how="inner")
+        m[out_col] = np.round(
+            (m[value_col].to_numpy(dtype=np.float64)
+             - m["__mean"].to_numpy()) / m["__std"].to_numpy(),
+            6,
+        )
+        return m.drop(columns=["__mean", "__std"])
+
+    return ds.map_batches(transform, batch_format="pandas")

@@ -1165,3 +1165,26 @@ def test_window_family_under_hot_key_skew(ray_session):
     ll = lag_lead(ds, key="u", order_cols=["ts", "i"], value_col="v",
                   num_partitions=4).to_pandas()
     assert len(ll) == n and ll["lag_v"].isna().sum() == df["u"].nunique()
+
+
+def test_zscore_matches_numpy_and_drops_degenerate(ray_session):
+    from biocypher_metta_ray.stages.relational import zscore
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {"g": ["a"] * 50 + ["b"] * 50 + ["c"] + ["d"] * 3,
+         "id": np.arange(104, dtype="int64"),
+         "v": np.concatenate([rng.uniform(0, 10, 100),
+                              [5.0], [7.0, 7.0, 7.0]])}
+    )
+    got = zscore(
+        ray.data.from_pandas(list(np.array_split(df, 4))), ["g"], "v"
+    ).to_pandas()
+    # singleton group c and zero-variance group d drop
+    assert set(got["g"]) == {"a", "b"}
+    for g, grp in df[df["g"].isin(["a", "b"])].groupby("g"):
+        sub = got[got["g"] == g].set_index("id")["z"]
+        want = (grp["v"] - grp["v"].mean()) / grp["v"].std(ddof=1)
+        np.testing.assert_allclose(
+            sub[grp["id"]].to_numpy(), np.round(want, 6), atol=2e-6
+        )
