@@ -1946,6 +1946,21 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Mention-count-weighted PageRank over the canonical KG
+    (stages/graph.py::pagerank(weight_col=...) — edge strength =
+    summed co-occurrence count, normalizer = per-subject weight
+    sum)."""
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df.rename(columns={"subj": "src", "obj": "dst"})
+        [["src", "dst", "n_mentions"]],
+        batch_format="pandas",
+    )
+    return pagerank(edges, weight_col="n_mentions")
+
+
 def _q_zscore(sf_dir: str):
     """Per-event-type z-score of value (stages/relational.py::zscore
     — small stats shuffle, broadcast transform, stated-formula
@@ -2684,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_keys": _q_except_keys,
         "windowed_distinct": _q_windowed_distinct,
         "zscore": _q_zscore,
+        "pagerank_weighted": _q_pagerank_weighted,
     }
 
 
@@ -2985,12 +3001,16 @@ def _multimodal_resize_values_sql() -> str:
     """
 
 
-def _pagerank_sql(p: dict) -> str:
+def _pagerank_sql(p: dict, weighted: bool = False) -> str:
     """Unrolled 5-sweep PageRank recurrence (d=0.85, uniform teleport,
     dangling mass dropped — the convention stated in
     stages/graph.py). SQL can't iterate with aggregation inside a
     recursive CTE, so the fixed sweep count is unrolled as a CTE
-    chain; rounded to 6 like the Python side."""
+    chain; rounded to 6 like the Python side. ``weighted`` switches
+    to mention-count edge weights (w = raw co-occurrence count,
+    normalizer = per-subject weight sum)."""
+    contrib = ("sum(r{prev}.pr * e.w / od.d)" if weighted
+               else "sum(r{prev}.pr / od.d)")
     sweeps = []
     for i in range(1, 6):
         sweeps.append(f"""
@@ -3000,24 +3020,41 @@ def _pagerank_sql(p: dict) -> str:
                            + 0.85 * coalesce(c{i}.s, 0) AS pr
                 FROM nodes nd
                 LEFT JOIN (
-                    SELECT e.obj AS node, sum(r{i - 1}.pr / od.d) AS s
+                    SELECT e.obj AS node,
+                           {contrib.format(prev=i - 1)} AS s
                     FROM e
                     JOIN r{i - 1} ON e.subj = r{i - 1}.node
                     JOIN od ON od.subj = e.subj
                     GROUP BY e.obj) c{i}
                 ON nd.node = c{i}.node)""")
     chain = ",".join(sweeps)
-    return f"""
-        WITH t AS ({p['triples']}),
+    if weighted:
+        e_cte = """
+        e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM t
+              JOIN {gaz} ON t.subj_surface = gaz.surface
+              JOIN {gaz2} ON t.obj_surface = g2.surface
+              GROUP BY 1, 2)"""
+        od_cte = "od AS (SELECT subj, sum(w) AS d FROM e GROUP BY subj)"
+    else:
+        e_cte = """
         e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
               FROM t
-              JOIN {p['gaz']} ON t.subj_surface = gaz.surface
-              JOIN {p['gaz2']} ON t.obj_surface = g2.surface
-              GROUP BY 1, 2),
+              JOIN {gaz} ON t.subj_surface = gaz.surface
+              JOIN {gaz2} ON t.obj_surface = g2.surface
+              GROUP BY 1, 2)"""
+        od_cte = (
+            "od AS (SELECT subj, count(*) AS d FROM e GROUP BY subj)"
+        )
+    e_cte = e_cte.format(gaz=p["gaz"], gaz2=p["gaz2"])
+    return f"""
+        WITH t AS ({p['triples']}),
+        {e_cte},
         nodes AS (SELECT subj AS node FROM e
                   UNION SELECT obj FROM e),
         n AS (SELECT count(*) AS c FROM nodes),
-        od AS (SELECT subj, count(*) AS d FROM e GROUP BY subj),
+        {od_cte},
         r0 AS (SELECT node, 1.0 / (SELECT c FROM n) AS pr FROM nodes),
         {chain}
         SELECT node, round(pr, 6) AS pr FROM r5
@@ -3671,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
                          AND rstart <= pend AND pstart <= rend
         """,
         "pagerank": _pagerank_sql(p),
+        "pagerank_weighted": _pagerank_sql(p, weighted=True),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

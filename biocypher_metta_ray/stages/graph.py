@@ -45,23 +45,42 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     num_partitions: int = 16,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank over an ``(src, dst)`` edge Dataset.
 
-    Duplicate edges are collapsed first (multiplicity is a property of
-    extraction, not topology). Returns ``(node, pr)`` with ``pr``
-    rounded to 6 decimals — summation order across partitions is not
-    deterministic, so the stable contract is the rounded value (same
-    rule as every float oracle in this repo).
+    Unweighted (default): duplicate edges are collapsed first
+    (multiplicity is a property of extraction, not topology) and each
+    out-edge carries ``1/out_degree``. With ``weight_col``: duplicate
+    (src, dst) rows SUM their weights (additive per-batch partials,
+    final sum in the co-location) and each edge carries
+    ``w / out_weight_sum`` — mention-count-strength propagation.
+    Returns ``(node, pr)`` rounded to 6 decimals — summation order
+    across partitions is not deterministic, so the stable contract is
+    the rounded value (same rule as every float oracle in this repo).
     """
-    e = edges.select_columns([src, dst])
+    cols = [src, dst] + ([weight_col] if weight_col else [])
+    e = edges.select_columns(cols)
 
     def dd(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col:
+            return df.groupby([src, dst], sort=False,
+                              as_index=False)[weight_col].sum()
         return df.drop_duplicates()
 
-    # distinct edges: per-batch dedup, then co-locate by src so the
-    # out-degree weight can be attached in the same pass
+    # collapsed edges: per-batch partial, then co-locate by src so
+    # the out-degree/out-weight normalizer attaches in the same pass
     def weight(g: pd.DataFrame) -> pd.DataFrame:
+        if weight_col:
+            g = g.groupby([src, dst], sort=False,
+                          as_index=False)[weight_col].sum()
+            tot = g.groupby(src, sort=False)[weight_col].transform(
+                "sum"
+            ).to_numpy(dtype=np.float64)
+            return pd.DataFrame(
+                {src: g[src], dst: g[dst],
+                 "w": g[weight_col].to_numpy(dtype=np.float64) / tot}
+            )
         g = g.drop_duplicates([src, dst])
         deg = g.groupby(src, sort=False)[dst].transform("size")
         return pd.DataFrame(

@@ -1188,3 +1188,38 @@ def test_zscore_matches_numpy_and_drops_degenerate(ray_session):
         np.testing.assert_allclose(
             sub[grp["id"]].to_numpy(), np.round(want, 6), atol=2e-6
         )
+
+
+def test_pagerank_weighted_reference(ray_session):
+    """Weighted recurrence against a dense numpy reference; heavier
+    edges pull more rank than the uniform variant."""
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    edges = pd.DataFrame(
+        {"src": ["a", "a", "b", "c"],
+         "dst": ["b", "c", "c", "a"],
+         "w": [9.0, 1.0, 1.0, 1.0]}
+    )
+    got = (
+        pagerank(_ds(edges), weight_col="w", iterations=5,
+                 num_partitions=2)
+        .to_pandas().set_index("node")["pr"]
+    )
+    nodes = ["a", "b", "c"]
+    import numpy as np_
+    r = {n: 1 / 3 for n in nodes}
+    out_w = {"a": 10.0, "b": 1.0, "c": 1.0}
+    for _ in range(5):
+        nxt = {n: 0.05 for n in nodes}
+        for s, d, w in zip(edges["src"], edges["dst"], edges["w"]):
+            nxt[d] += 0.85 * r[s] * (w / out_w[s])
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - round(r[n], 6)) < 2e-6
+    # b receives 90% of a's mass under weighting vs 50% uniform: its
+    # weighted rank must exceed its unweighted rank
+    uni = (
+        pagerank(_ds(edges), iterations=5, num_partitions=2)
+        .to_pandas().set_index("node")["pr"]
+    )
+    assert got["b"] > uni["b"]
