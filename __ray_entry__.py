@@ -1946,6 +1946,22 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank seeded at ENTG0001 — relevance of the
+    KG around one entity (stages/graph.py::pagerank(seed_nodes=...);
+    teleport mass and the initial distribution concentrate on the
+    seed, Jeh & Widom 2003)."""
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]]
+        .drop_duplicates()
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas",
+    )
+    return pagerank(edges, seed_nodes=["ENTG0001"])
+
+
 def _q_pagerank_weighted(sf_dir: str):
     """Mention-count-weighted PageRank over the canonical KG
     (stages/graph.py::pagerank(weight_col=...) — edge strength =
@@ -2700,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct": _q_windowed_distinct,
         "zscore": _q_zscore,
         "pagerank_weighted": _q_pagerank_weighted,
+        "pagerank_personalized": _q_pagerank_personalized,
     }
 
 
@@ -3001,7 +3018,8 @@ def _multimodal_resize_values_sql() -> str:
     """
 
 
-def _pagerank_sql(p: dict, weighted: bool = False) -> str:
+def _pagerank_sql(p: dict, weighted: bool = False,
+                  seed: str | None = None) -> str:
     """Unrolled 5-sweep PageRank recurrence (d=0.85, uniform teleport,
     dangling mass dropped — the convention stated in
     stages/graph.py). SQL can't iterate with aggregation inside a
@@ -3011,12 +3029,16 @@ def _pagerank_sql(p: dict, weighted: bool = False) -> str:
     normalizer = per-subject weight sum)."""
     contrib = ("sum(r{prev}.pr * e.w / od.d)" if weighted
                else "sum(r{prev}.pr / od.d)")
+    tele = (
+        f"(CASE WHEN nd.node = '{seed}' THEN 0.15 ELSE 0 END)"
+        if seed else "(0.15 / (SELECT c FROM n))"
+    )
     sweeps = []
     for i in range(1, 6):
         sweeps.append(f"""
             r{i} AS (
                 SELECT nd.node,
-                       (0.15 / (SELECT c FROM n))
+                       {tele}
                            + 0.85 * coalesce(c{i}.s, 0) AS pr
                 FROM nodes nd
                 LEFT JOIN (
@@ -3055,7 +3077,10 @@ def _pagerank_sql(p: dict, weighted: bool = False) -> str:
                   UNION SELECT obj FROM e),
         n AS (SELECT count(*) AS c FROM nodes),
         {od_cte},
-        r0 AS (SELECT node, 1.0 / (SELECT c FROM n) AS pr FROM nodes),
+        r0 AS (SELECT node,
+                      {"CASE WHEN node = '" + seed + "' THEN 1.0 ELSE 0 END"
+                       if seed else "1.0 / (SELECT c FROM n)"} AS pr
+               FROM nodes),
         {chain}
         SELECT node, round(pr, 6) AS pr FROM r5
     """
@@ -3709,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(p),
         "pagerank_weighted": _pagerank_sql(p, weighted=True),
+        "pagerank_personalized": _pagerank_sql(p, seed="ENTG0001"),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -46,6 +46,7 @@ def pagerank(
     iterations: int = 5,
     num_partitions: int = 16,
     weight_col: str | None = None,
+    seed_nodes: list | None = None,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank over an ``(src, dst)`` edge Dataset.
 
@@ -105,11 +106,37 @@ def pagerank(
         coalesce=2 * num_partitions,
     ).materialize()
     n = nodes.count()
-    teleport = (1.0 - damping) / n
+    if seed_nodes is not None:
+        # personalized: teleport mass and the initial distribution
+        # concentrate on the seed set (Jeh & Widom 2003); everything
+        # else in the sweep is unchanged. Seed set is dimension-scale
+        # and broadcast once.
+        seeds = set(seed_nodes)
+        if not seeds:
+            raise ValueError("personalized pagerank needs >= 1 seed")
+        seeds_ref = ray.put(seeds)
+        t_seed = (1.0 - damping) / len(seeds)
+        r_seed = 1.0 / len(seeds)
 
-    ranks = nodes.map_batches(
-        lambda df: df.assign(pr=np.float64(1.0 / n)), batch_format="pandas"
-    ).materialize()
+        def init(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(seeds_ref)
+            return df.assign(
+                pr=np.where(df["node"].isin(s), np.float64(r_seed),
+                            np.float64(0.0))
+            )
+
+        def teleport_of(node_series: pd.Series) -> np.ndarray:
+            s = ray.get(seeds_ref)
+            return np.where(node_series.isin(s), t_seed, 0.0)
+
+        ranks = nodes.map_batches(init, batch_format="pandas").materialize()
+    else:
+        teleport = (1.0 - damping) / n
+        teleport_of = None
+        ranks = nodes.map_batches(
+            lambda df: df.assign(pr=np.float64(1.0 / n)),
+            batch_format="pandas",
+        ).materialize()
 
     for _ in range(iterations):
         def tag(side, cols):
@@ -163,8 +190,10 @@ def pagerank(
 
         def newrank(g: pd.DataFrame) -> pd.DataFrame:
             s = g.groupby("node", sort=False)["c"].sum()
+            t = (teleport_of(s.index.to_series())
+                 if teleport_of is not None else teleport)
             return pd.DataFrame(
-                {"node": s.index, "pr": teleport + damping * s.to_numpy()}
+                {"node": s.index, "pr": t + damping * s.to_numpy()}
             )
 
         ranks = partitioned_group_map(

@@ -1223,3 +1223,24 @@ def test_pagerank_weighted_reference(ray_session):
         .to_pandas().set_index("node")["pr"]
     )
     assert got["b"] > uni["b"]
+
+
+def test_pagerank_personalized_concentrates_on_seed(ray_session):
+    from biocypher_metta_ray.stages.graph import pagerank
+
+    # chain a -> b -> c plus an isolated pair x -> y
+    edges = pd.DataFrame(
+        {"src": ["a", "b", "x"], "dst": ["b", "c", "y"]}
+    )
+    got = (
+        pagerank(_ds(edges), seed_nodes=["a"], iterations=10,
+                 num_partitions=2)
+        .to_pandas().set_index("node")["pr"]
+    )
+    # seed keeps the teleport floor; mass decays down the chain
+    assert got["a"] == pytest.approx(0.15, abs=1e-6)
+    assert got["a"] > got["b"] > got["c"] > 0
+    # nodes unreachable from the seed get NO mass at all
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    with pytest.raises(ValueError):
+        pagerank(_ds(edges), seed_nodes=[])
