@@ -482,6 +482,59 @@ def degree_table(
     )
 
 
+def co_mention_edges(
+    linked: ray.data.Dataset,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Entity co-mention graph: for every unordered pair of DISTINCT
+    entities linked in the same document, the number of documents
+    where they co-occur — the co-occurrence edge table a KG build
+    derives alongside the verb triples (the reference's edges are all
+    pattern-based; co-mention is the statistical sibling every
+    corpus-scale KG also ships).
+
+    Scale shape: one doc-keyed co-location makes pair generation exact
+    under ANY upstream batching (a body sees every mention of its
+    docs), with per-doc pair counts bounded by (distinct entities per
+    doc choose 2) — dozens, not corpus-scale; then one pair-keyed
+    co-location sums the partials. Returns ``(ent_a, ent_b, n_docs)``
+    with ``ent_a < ent_b``.
+    """
+    from ..stages.skew import partitioned_group_map
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[doc_col, ent_col]].drop_duplicates()
+        m = d.merge(d, on=doc_col)
+        a, b = f"{ent_col}_x", f"{ent_col}_y"
+        m = m[m[a] < m[b]]
+        p = (
+            m.groupby([a, b], sort=False).size().reset_index(name="n_docs")
+        )
+        return p.rename(columns={a: "ent_a", b: "ent_b"})
+
+    partials = partitioned_group_map(
+        linked.map_batches(
+            lambda df: df[[doc_col, ent_col]], batch_format="pandas"
+        ),
+        [doc_col], pairs, num_partitions,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["ent_a", "ent_b"], sort=False)["n_docs"]
+            .sum().reset_index()
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return partitioned_group_map(
+        partials, ["ent_a", "ent_b"], merge, num_partitions,
+        coalesce=2 * num_partitions,
+    )
+
+
 def negative_triples(
     edges: ray.data.Dataset,
     entity_ids: list[str],

@@ -56,11 +56,48 @@ def _matrix(batch: pa.Table, col: str) -> np.ndarray:
     return X.astype(np.float64, copy=False)
 
 
-def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    # full (B, k, d) squared-difference kernel: fp-identical shape to
-    # the oracle's per-dimension sum, unlike the |x|^2 - 2xc trick
-    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1)
+ASSIGN_BUDGET_BYTES = 256 << 20
+
+
+def _assign(
+    X: np.ndarray, cents: np.ndarray,
+    budget_bytes: int = ASSIGN_BUDGET_BYTES,
+) -> np.ndarray:
+    """Nearest-centroid assignment with the exact per-dimension
+    squared-difference sum the SQL oracle states (NOT the
+    |x|^2 - 2xc trick, whose cancellation drifts), argmin ties to the
+    lowest cluster index.
+
+    Memory is bounded: the (B, k, d) difference tensor is never
+    materialized whole — centroids are swept in chunks of ``c`` sized
+    so the (B, c, d) slab stays under ``budget_bytes`` (at k=1024,
+    d=768, B=4096 the full tensor is ~25 GB; chunked it is <= 256 MB).
+    Each chunk's argmin picks its first (lowest-index) minimum and the
+    cross-chunk merge only replaces on STRICTLY smaller distance, so
+    the global tie-break — and every per-dimension float64 operation —
+    is identical to the unchunked kernel."""
+    n, d = X.shape
+    k = len(cents)
+    c = max(1, budget_bytes // max(1, n * d * 8))
+    if c >= k:
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+    best_d: np.ndarray | None = None
+    best_i: np.ndarray | None = None
+    rows = np.arange(n)
+    for j0 in range(0, k, c):
+        d2 = (
+            (X[:, None, :] - cents[None, j0:j0 + c, :]) ** 2
+        ).sum(axis=2)
+        i_loc = d2.argmin(axis=1)
+        d_loc = d2[rows, i_loc]
+        if best_d is None:
+            best_d, best_i = d_loc, i_loc + j0
+        else:
+            upd = d_loc < best_d
+            best_d = np.where(upd, d_loc, best_d)
+            best_i = np.where(upd, i_loc + j0, best_i)
+    return best_i
 
 
 def kmeans(

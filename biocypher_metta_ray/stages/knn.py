@@ -141,6 +141,47 @@ def knn_bruteforce_multi(
     return df[["query_id", id_col, "cos"]]
 
 
+def range_search(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """Cosine RANGE search (the radius/threshold sibling of top-k):
+    every (query, vector) pair with cosine >= ``threshold``. Same
+    broadcast shape as :func:`knn_bruteforce_multi` — one ``ray.put``
+    of the normalized query matrix, one ``M @ Q.T`` matmul per batch —
+    but the result STREAMS out as a Dataset (the hit count is
+    data-dependent, potentially corpus-scale at a loose threshold, so
+    no driver merge is allowed; top-k's k-per-block partials are).
+
+    Returns ``(query_id, vec_id)``."""
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+    qids_arr = (np.arange(len(Q), dtype=np.int64) if query_ids is None
+                else np.asarray(query_ids, dtype=np.int64))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        M = _embedding_matrix(batch, col)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (M @ qm.T) / norms[:, None]  # (rows, n_queries)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        r, q = np.nonzero(cos >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_arr[q]),
+                id_col: pa.array(ids[r].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

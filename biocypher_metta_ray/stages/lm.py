@@ -39,21 +39,49 @@ import ray.data
 from .skew import partitioned_group_map
 
 
-def _doc_bigrams(batch: pa.Table, text_col: str) -> tuple[np.ndarray, ...]:
-    """(doc_index, w1, w2) arrays for every bigram in the batch,
-    fully vectorized (split + positional shift, no per-row loop)."""
+def _doc_bigrams(
+    batch: pa.Table, text_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """(doc_index, code1, code2, vocab) arrays for every bigram in the
+    batch, fully vectorized (split + positional shift, no per-row
+    loop). Tokens are dictionary-encoded in Arrow (``pc.unique`` +
+    ``pc.index_in``) so bigrams are int64 CODE pairs; token strings
+    only cross into Python at VOCAB scale — callers decode their
+    (distinct-pair-scale) results via ``vocab.take`` / fancy-indexing,
+    never the token stream (the stages/text_stats.py::token_doc_freq
+    pattern)."""
     toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     lengths = lengths.astype(np.int64)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten()
+    uniq = pc.unique(flat)
+    codes = pc.index_in(flat, uniq).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
     first = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(first, lengths)
+    pos = np.arange(codes.size, dtype=np.int64) - np.repeat(first, lengths)
     mask = pos < lengths[didx] - 1
     i = np.flatnonzero(mask)
-    return didx[i], flat[i], flat[i + 1]
+    return didx[i], codes[i], codes[i + 1], uniq
+
+
+def _decode_pairs(
+    c1: np.ndarray, c2: np.ndarray, uniq: pa.Array
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse code pairs to their distinct set and decode ONLY the
+    distinct pairs to strings. Returns ``(w1, w2, counts, inverse)``
+    — the inverse map reconstructs per-occurrence values from
+    per-distinct-pair ones."""
+    v = np.int64(len(uniq))
+    key = c1 * v + c2
+    upair, inv, counts = np.unique(
+        key, return_inverse=True, return_counts=True
+    )
+    uv = uniq.to_pandas().to_numpy()
+    return uv[upair // v], uv[upair % v], counts.astype(np.int64), inv
 
 
 def train_bigram_lm(
@@ -67,13 +95,15 @@ def train_bigram_lm(
     rows pruned to ``count >= min_count`` and context totals unpruned."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        _, w1, w2 = _doc_bigrams(batch, text_col)
-        return (
-            pd.DataFrame({"w1": w1, "w2": w2})
-            .groupby(["w1", "w2"], sort=False)
-            .size()
-            .reset_index(name="c")
-        )
+        _, c1, c2, uniq = _doc_bigrams(batch, text_col)
+        if not len(c1):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object),
+                 "w2": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        w1, w2, counts, _ = _decode_pairs(c1, c2, uniq)
+        return pd.DataFrame({"w1": w1, "w2": w2, "c": counts})
 
     # partition on the CONTEXT word: every (w1, *) row co-locates, so
     # one body emits final bigram counts, prunes, and attaches the
@@ -118,20 +148,24 @@ def lm_score(
 
     def score(batch: pa.Table) -> pd.DataFrame:
         big, ctx = ray.get(model_ref)
-        didx, w1, w2 = _doc_bigrams(batch, text_col)
+        didx, code1, code2, uniq = _doc_bigrams(batch, text_col)
         if not len(didx):
             return pd.DataFrame(
                 {id_col: pd.Series([], dtype="int64"),
                  "avg_logprob": pd.Series([], dtype="float64")}
             )
-        df = pd.DataFrame({"d": didx, "w1": w1, "w2": w2})
+        # model lookups run at DISTINCT-pair scale; the inverse map
+        # fans the per-pair logprob back out to occurrences (same
+        # doubles in the same positions as the per-occurrence merge)
+        w1, w2, _, inv = _decode_pairs(code1, code2, uniq)
+        df = pd.DataFrame({"w1": w1, "w2": w2})
         df = df.merge(big, on=["w1", "w2"], how="left").merge(
             ctx, on="w1", how="left"
         )
         bc = df["bc"].fillna(0).to_numpy(dtype=np.float64)
         uc = df["uc"].fillna(0).to_numpy(dtype=np.float64)
-        lp = np.log((bc + alpha) / (uc + alpha * v))
-        g = pd.DataFrame({"d": df["d"], "lp": lp}).groupby("d", sort=False)[
+        lp = np.log((bc + alpha) / (uc + alpha * v))[inv]
+        g = pd.DataFrame({"d": didx, "lp": lp}).groupby("d", sort=False)[
             "lp"
         ]
         agg = g.mean()
@@ -175,10 +209,13 @@ def pmi_collocations(
         toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
-        return (
-            pd.DataFrame({"w": flat})
-            .groupby("w", sort=False).size().reset_index(name="c")
+        # Arrow-native count: strings reach Python at vocab scale only
+        vc = pc.value_counts(toks.flatten())
+        return pd.DataFrame(
+            {"w": vc.field("values").to_pandas().to_numpy(),
+             "c": vc.field("counts").to_numpy(
+                 zero_copy_only=False
+             ).astype(np.int64)}
         )
 
     uni = partitioned_group_map(
@@ -193,11 +230,15 @@ def pmi_collocations(
     uni_ref = ray.put(dict(zip(uni["w"], uni["c"].astype("int64"))))
 
     def bpartial(batch: pa.Table) -> pd.DataFrame:
-        _, w1, w2 = _doc_bigrams(batch, text_col)
-        return (
-            pd.DataFrame({"w1": w1, "w2": w2})
-            .groupby(["w1", "w2"], sort=False).size().reset_index(name="bc")
-        )
+        _, c1, c2, uniq = _doc_bigrams(batch, text_col)
+        if not len(c1):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object),
+                 "w2": pd.Series([], dtype=object),
+                 "bc": pd.Series([], dtype="int64")}
+            )
+        w1, w2, counts, _ = _decode_pairs(c1, c2, uniq)
+        return pd.DataFrame({"w1": w1, "w2": w2, "bc": counts})
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(uni_ref)

@@ -51,6 +51,38 @@ def decode_fake_media(buf: bytes):
     return KINDS[kind], w, h, n, body[:need].reshape(n, h, w)
 
 
+def pil_decode(buf: bytes):
+    """Real-codec decode with the fake-codec signature: PIL opens the
+    payload (PNG/JPEG/...), converts to 8-bit grayscale, and returns
+    ``('image', w, h, 1, frames uint8[1, h, w])``. Malformed payloads
+    return None (same log-and-skip policy as the fake codec). Only
+    callable when PIL imported — resolve via
+    :func:`available_real_codec`."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(buf)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8)
+    except Exception:
+        return None
+    h, w = arr.shape
+    return "image", w, h, 1, arr.reshape(1, h, w)
+
+
+def available_real_codec():
+    """Optional-import codec resolution: returns :func:`pil_decode`
+    when PIL is installed (a real cluster image), else None (this
+    container). Stages pass ``use_real_codec=True`` to demand it and
+    get a clear NotImplementedError where it cannot be satisfied."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return None
+    return pil_decode
+
+
 def media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fixture table: (media_id, media_type, payload)."""
     rng = np.random.default_rng(seed)
@@ -85,11 +117,15 @@ class MediaDecoder:
 
     def __init__(self, decode_fn=None, use_real_codec: bool = False):
         if use_real_codec:
-            raise NotImplementedError(
-                "real image/audio codecs are not available in this "
-                "environment; inject decode_fn instead"
-            )
-        self.decode = decode_fn or decode_fake_media
+            real = available_real_codec()
+            if real is None:
+                raise NotImplementedError(
+                    "real image/audio codecs are not available in this "
+                    "environment (no PIL); inject decode_fn instead"
+                )
+            self.decode = decode_fn or real
+        else:
+            self.decode = decode_fn or decode_fake_media
         self.dropped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -161,10 +197,20 @@ class MediaResizer:
     kernel for a real codec; the Ray-side surface is identical).
     Malformed payloads drop with accounting."""
 
-    def __init__(self, width: int, height: int, decode_fn=None):
+    def __init__(self, width: int, height: int, decode_fn=None,
+                 use_real_codec: bool = False):
         self.w = width
         self.h = height
-        self.decode = decode_fn or decode_fake_media
+        if use_real_codec:
+            real = available_real_codec()
+            if real is None:
+                raise NotImplementedError(
+                    "real image codecs are not available in this "
+                    "environment (no PIL); inject decode_fn instead"
+                )
+            self.decode = decode_fn or real
+        else:
+            self.decode = decode_fn or decode_fake_media
         self.dropped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -220,11 +266,15 @@ def decode_media(
     ds: ray.data.Dataset,
     concurrency: int | tuple | None = None,
     batch_size: int = 64,
+    use_real_codec: bool = False,
 ) -> ray.data.Dataset:
     """Decode/feature-extract stage. Small batch_size: payload bytes x
-    batch x pool must fit worker heaps (large-binary guidance)."""
+    batch x pool must fit worker heaps (large-binary guidance).
+    ``use_real_codec=True`` resolves PIL at actor construction (a
+    cluster image with codecs gets them with no code change)."""
     return ds.map_batches(
         MediaDecoder,
+        fn_constructor_kwargs={"use_real_codec": use_real_codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=autoscale_pool(concurrency),

@@ -806,3 +806,59 @@ def zscore(
         return m.drop(columns=["__mean", "__std"])
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    order_col: str,
+    id_col: str,
+    ascending: bool = False,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed global ORDER BY rank: ``row_number() OVER (ORDER BY
+    order_col [DESC], id_col)`` without a global sort. Two-phase
+    order-statistics shape:
+
+    1. per-batch counts per DISTINCT order value reduce through one
+       value-keyed co-location; the resulting (value, count) table is
+       bounded by the order column's distinct cardinality (the stated
+       partitioning assumption — for continuous keys, quantile-bucket
+       upstream first), sorts on the driver, and its exclusive prefix
+       sums broadcast once via ``ray.put``;
+    2. one value-keyed ``partitioned_group_map`` ranks within each
+       value by ``id_col`` (vectorized cumcount) and adds the
+       broadcast offset — rows never globally shuffle into a single
+       ordered stream, which is the point: a 100 TB ORDER BY needs
+       only the value histogram to agree globally.
+
+    Returns the input columns plus int64 ``rank`` (1-based).
+    """
+    from .skew import partitioned_group_map
+
+    def vpartial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = (batch.groupby(order_col, sort=False).size()
+             .reset_index(name="n"))
+        return p
+
+    counts = partitioned_group_map(
+        ds.map_batches(vpartial, batch_format="pandas"),
+        [order_col],
+        lambda g: g.groupby(order_col, sort=False)["n"].sum().reset_index(),
+        num_partitions, coalesce=2 * num_partitions,
+    ).to_pandas()
+    counts = counts.sort_values(
+        order_col, ascending=ascending, kind="mergesort"
+    ).reset_index(drop=True)
+    offs = np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+    off_ref = ray.put(dict(zip(counts[order_col], offs.astype(np.int64))))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(off_ref)
+        g = g.sort_values([order_col, id_col], kind="mergesort")
+        within = g.groupby(order_col, sort=False).cumcount().to_numpy()
+        base = g[order_col].map(lut).to_numpy(dtype=np.int64)
+        g = g.copy()
+        g["rank"] = base + within + 1
+        return g
+
+    return partitioned_group_map(ds, [order_col], body, num_partitions)

@@ -427,6 +427,7 @@ def heavy_hitters(
     width: int = CMS_W,
     salt: str = "cms",
     num_partitions: int = 16,
+    driver_cap: int = 200_000,
 ) -> ray.data.Dataset:
     """EXACT heavy hitters via sketch-then-verify — keys occurring at
     least ``min_count`` times, with their exact counts, without ever
@@ -437,11 +438,18 @@ def heavy_hitters(
     2. one pass probes each block's distinct keys against the
        broadcast sketch; CMS never underestimates, so survivors are a
        SUPERSET of the true heavy set, bounded by it plus the sketch's
-       false positives (eps*N mass per cell) — collected to the
-       driver at candidate scale, never key-space scale;
-    3. one pass counts ONLY candidate keys exactly (broadcast set
-       filter, partial counts, candidate-scale co-location) and
-       applies the threshold.
+       false positives (eps*N mass per cell). The candidate Dataset is
+       materialized in the OBJECT STORE (block-distributed), then its
+       row count decides the verify route;
+    3. the exact-count pass: per-batch partial ``value_counts`` (rows
+       bounded by per-batch distinct keys) and a candidate filter +
+       candidate-keyed co-location with the threshold. When candidates
+       fit under ``driver_cap`` rows they become ONE broadcast set
+       (fast path); when a mis-set ``min_count`` sits below the eps*N
+       sketch noise and EVERY key qualifies, the filter instead runs
+       as the distributed :func:`stages.joins.semi_join` — the
+       candidate set never lands on the driver, at the cost of one
+       extra key-hash shuffle on the degenerate path only.
 
     Contrast with ``skew.top_frequencies`` (capped per-block partials:
     approximate under adversarial splits): this is exact, at the cost
@@ -468,24 +476,12 @@ def heavy_hitters(
             est = e if est is None else np.minimum(est, e)
         return pd.DataFrame({col: vals[est >= min_count]})
 
-    cands = (
+    cand_ds = (
         ds.select_columns([col])
         .map_batches(probe, batch_format="pyarrow")
-        .to_pandas()[col]
-        .drop_duplicates()
+        .materialize()
     )
-    cand_ref = ray.put(set(cands))
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        keep = ray.get(cand_ref)
-        vc = pd.Series(
-            [str(v) for v in batch[col].to_pylist()]
-        ).value_counts(sort=False)
-        vc = vc[vc.index.isin(keep)]
-        return pd.DataFrame(
-            {col: vc.index.to_numpy(dtype=object),
-             "n": vc.to_numpy(dtype=np.int64)}
-        )
+    n_cands = cand_ds.count()
 
     from .skew import partitioned_group_map
 
@@ -493,7 +489,45 @@ def heavy_hitters(
         out = g.groupby(col, sort=False)["n"].sum().reset_index()
         return out[out["n"] >= min_count].astype({"n": "int64"})
 
+    if n_cands <= driver_cap:
+        # fast path: candidates fit on the driver as one broadcast set
+        cand_ref = ray.put(set(cand_ds.to_pandas()[col]))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            keep = ray.get(cand_ref)
+            vc = pd.Series(
+                [str(v) for v in batch[col].to_pylist()]
+            ).value_counts(sort=False)
+            vc = vc[vc.index.isin(keep)]
+            return pd.DataFrame(
+                {col: vc.index.to_numpy(dtype=object),
+                 "n": vc.to_numpy(dtype=np.int64)}
+            )
+
+        return partitioned_group_map(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [col], merge, num_partitions, coalesce=2 * num_partitions,
+        )
+
+    # degenerate-threshold path: candidate count exceeds what the
+    # driver should hold — filter the per-batch partial counts with
+    # the DISTRIBUTED semi join instead (candidates stay in the
+    # object store end to end)
+    from .joins import semi_join
+
+    def partial_all(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(
+            [str(v) for v in batch[col].to_pylist()]
+        ).value_counts(sort=False)
+        return pd.DataFrame(
+            {col: vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    kept = semi_join(
+        ds.map_batches(partial_all, batch_format="pyarrow"),
+        cand_ds, on=col, num_partitions=num_partitions,
+    )
     return partitioned_group_map(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        [col], merge, num_partitions, coalesce=2 * num_partitions,
+        kept, [col], merge, num_partitions, coalesce=2 * num_partitions,
     )

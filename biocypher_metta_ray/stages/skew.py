@@ -15,6 +15,7 @@ final phase (north_rule: "skew handled explicitly").
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import numpy as np
@@ -22,6 +23,85 @@ import pandas as pd
 import ray.data
 
 PART_COL = "__part"
+
+# Shuffle-partition sizing targets (the shuffle-side analog of
+# stages/pool.py::autoscale_pool). A partitioned_group_map body
+# receives ONE whole hash partition as an in-memory pandas DataFrame,
+# so the partition count — not the block size — bounds task memory:
+# a fixed num_partitions=16 that is fine at bench scale becomes a
+# multi-TB task at 100x data. Partitions aim at TARGET_PARTITION_BYTES
+# of input each; when data is plentiful the count also rises to the
+# cluster CPU count (parallelism floor) as long as partitions stay
+# above MIN_PARTITION_BYTES (so a big cluster never idles on 16 tasks,
+# and a small input never shatters into confetti).
+TARGET_PARTITION_BYTES = 256 << 20
+MIN_PARTITION_BYTES = 16 << 20
+MAX_PARTITIONS = 65536
+
+
+def _estimated_bytes(op) -> int | None:
+    """Metadata-only size estimate for a logical operator subtree:
+    the operator's own inferred size when known, else the sum of its
+    children's (a read op knows its size from parquet footers; most
+    map stages don't, so this resolves to the upstream read — an
+    input-bytes proxy for the shuffle volume). NEVER executes the
+    plan; returns None when nothing in the subtree knows."""
+    try:
+        sb = op.infer_metadata().size_bytes
+    except Exception:
+        sb = None
+    if sb:
+        return int(sb)
+    deps = list(getattr(op, "input_dependencies", []) or [])
+    known = [s for s in (_estimated_bytes(d) for d in deps) if s]
+    return sum(known) if known else None
+
+
+def partitions_for_bytes(
+    nbytes: int | None,
+    default: int,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+    cap: int = MAX_PARTITIONS,
+) -> int:
+    """Pure sizing rule (unit-tested directly): ``default`` is the
+    FLOOR — toy inputs keep today's tuned counts and their ~2 s
+    fixed-cost budget; above it the count grows linearly with input
+    bytes so one partition stays ~``target_bytes``, with a parallelism
+    floor of the cluster CPU count whenever partitions would still
+    hold >= MIN_PARTITION_BYTES each."""
+    if not nbytes or nbytes <= 0:
+        return default
+    need = math.ceil(nbytes / target_bytes)
+    if need <= default:
+        return default
+    try:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 0))
+            if ray.is_initialized()
+            else 0
+        )
+    except Exception:
+        cpus = 0
+    by_min = max(1, nbytes // MIN_PARTITION_BYTES)
+    parts = max(need, min(cpus, by_min))
+    return int(min(cap, max(default, parts)))
+
+
+def autoscale_partitions(
+    ds: ray.data.Dataset,
+    default: int = 32,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int:
+    """Resolve a shuffle partition count from the dataset's estimated
+    input bytes (parquet-footer metadata walked up the logical plan —
+    no execution). Falls back to ``default`` when the size is unknown."""
+    try:
+        nbytes = _estimated_bytes(ds._logical_plan.dag)
+    except Exception:
+        nbytes = None
+    return partitions_for_bytes(nbytes, default, target_bytes)
 
 
 def add_hash_partition(
@@ -61,21 +141,48 @@ def partitioned_group_map(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 32,
     coalesce: int | None = None,
+    autoscale: bool = True,
 ) -> ray.data.Dataset:
     """Run ``fn`` once per hash partition (NOT per group). ``fn``
     receives every row of each key it sees and is expected to do its
     own vectorized ``df.groupby(key_cols)`` internally.
 
+    ``num_partitions`` is the FLOOR: with ``autoscale`` (default) the
+    count rises with the input's estimated bytes
+    (:func:`autoscale_partitions`) so one partition's in-memory pandas
+    body stays ~TARGET_PARTITION_BYTES however big the run — at toy /
+    bench scale the estimate sits under the target and the passed
+    count is used unchanged. ``autoscale=False`` pins it (callers
+    whose input is provably bounded, e.g. register-scale sketches).
+
     ``coalesce``: block count to repartition to BEFORE the sort-based
-    groupby. The sort pays a fixed per-block cost, so a stage whose
-    input is a SMALL intermediate spread over many tiny blocks (union
-    outputs, per-band rows) should coalesce to ~2x its partition
-    count; leave None for corpus-scale inputs where the extra pass
-    isn't worth it.
+    groupby — for a stage whose input is a SMALL intermediate spread
+    over many tiny blocks (union outputs, per-band rows); leave None
+    for corpus-scale inputs where the extra pass isn't worth it.
+    The effective count is capped at ``num_partitions // 2``: the
+    groupby's range sort emits one output partition per INPUT BLOCK,
+    and ``__part`` has exactly ``num_partitions`` distinct values, so
+    any pre-sort block count above that guarantees empty ranges —
+    which Ray materializes as schema-less zero-column pandas blocks
+    (the "RefBundle with a different schema" executor warnings; the
+    same class of untyped empty silently dropped pairs in round 2
+    when it came from a group body). Half the distinct-value count
+    keeps every range populated under quantile boundary sampling;
+    per-key work is unchanged (the body still runs once per key's
+    partition), only the merge stage's task count halves — irrelevant
+    at the small-intermediate scale ``coalesce`` is for. Scales up
+    alongside ``num_partitions`` so an autoscaled run never funnels a
+    fact-scale intermediate through a toy block count.
     """
+    if autoscale:
+        scaled = autoscale_partitions(ds, default=num_partitions)
+        if scaled > num_partitions:
+            if coalesce is not None:
+                coalesce = max(coalesce, 2 * scaled)
+            num_partitions = scaled
     parted = add_hash_partition(ds, key_cols, num_partitions)
     if coalesce:
-        parted = parted.repartition(coalesce)
+        parted = parted.repartition(max(1, min(coalesce, num_partitions // 2)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=[PART_COL]))

@@ -304,3 +304,75 @@ def hash_embed(
         ),
         batch_format="pyarrow",
     )
+
+
+def tfidf_top_terms(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """Per-document top-``k`` terms by TF-IDF — the keyword/reranker
+    feature pass built on :func:`token_doc_freq`'s corpus statistic.
+    ``idf = ln((1 + N) / (1 + df)) + 1`` (the same smoothed sklearn
+    form, UNROUNDED here since it feeds a product), ``score =
+    round(tf * idf, 6)``, ties break token-ascending (stated so the
+    SQL oracle ranks identically).
+
+    Scale shape: the df table is VOCAB-scale and broadcasts once via
+    ``ray.put``; scoring is one streaming pass — per-doc term counts
+    are exact within a batch (a doc is one row), the idf lookup is a
+    vectorized map, and only k rows per doc leave the task. Two corpus
+    passes total (df + score), zero corpus shuffles.
+
+    Returns ``(id_col, token, score)``.
+    """
+    import pandas as pd
+    import ray
+
+    n_docs = ds.count()
+    dfp = token_doc_freq(ds, text_col=text_col, min_df=min_df).to_pandas()
+    idf = (
+        np.log((1.0 + n_docs) / (1.0 + dfp["df"].to_numpy(np.float64)))
+        + 1.0
+    )
+    lut_ref = ray.put(dict(zip(dfp["token"], idf)))
+
+    def score(batch: pa.Table) -> "pd.DataFrame":
+        lut = ray.get(lut_ref)
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten()
+        uniq = pc.unique(flat)
+        v = np.int64(len(uniq))
+        if not v:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype=object),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        codes = pc.index_in(flat, uniq).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        didx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        ukey, counts = np.unique(didx * v + codes, return_counts=True)
+        uv = uniq.to_pandas().to_numpy()
+        tokens = uv[ukey % v]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[ukey // v]
+        idfv = pd.Series(tokens).map(lut).to_numpy(np.float64)
+        sc = np.round(counts.astype(np.float64) * idfv, 6)
+        out = pd.DataFrame(
+            {id_col: ids.astype(np.int64), "token": tokens, "score": sc}
+        )
+        out = out.sort_values(
+            [id_col, "score", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return out.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pyarrow")

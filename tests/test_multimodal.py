@@ -114,3 +114,34 @@ def test_resize_media(ray_session):
     a = out.sort_values("media_id")["payload"].tolist()
     b = out2.sort_values("media_id")["payload"].tolist()
     assert a == b
+
+
+def test_real_codec_optional_import():
+    """Codec resolution is an optional import: in a container without
+    PIL the real-codec branch raises a clear NotImplementedError; on a
+    cluster image WITH PIL it decodes a real PNG through the same
+    stage signature."""
+    import numpy as np
+    import pytest
+
+    from biocypher_metta_ray.stages import multimodal as mm
+
+    real = mm.available_real_codec()
+    if real is None:
+        with pytest.raises(NotImplementedError):
+            mm.MediaDecoder(use_real_codec=True)
+        with pytest.raises(NotImplementedError):
+            mm.MediaResizer(4, 4, use_real_codec=True)
+        return
+    # PIL present: round-trip a real PNG through the real codec
+    from io import BytesIO
+
+    from PIL import Image
+
+    arr = (np.arange(64, dtype=np.uint8)).reshape(8, 8)
+    buf = BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    kind, w, h, n, frames = real(buf.getvalue())
+    assert (kind, w, h, n) == ("image", 8, 8, 1)
+    np.testing.assert_array_equal(frames[0], arr)
+    assert real(b"not an image") is None
