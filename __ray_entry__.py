@@ -45,11 +45,24 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None,
     pinned to 8 giant blocks."""
     import os as _os
 
+    import pyarrow.parquet as _pq
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
     if blocks is not None and _os.path.getsize(path) > 64 * 2**20:
         blocks = None
+    if blocks is None:
+        # Clamp auto-splitting for TINY tables: Ray splits a 10-row
+        # dim file into ~CPU read tasks, and the zero-row tasks emit
+        # SCHEMA-LESS empty Arrow blocks (``Table []``) that
+        # map_batches skips and acero's native join rejects ("No match
+        # for key field reference ... on right side"). One footer read
+        # (metadata only) sizes the split so every block holds rows;
+        # big tables keep Ray's size-based default untouched.
+        rows = _pq.ParquetFile(path).metadata.num_rows
+        auto = max(1, rows // 2048 + (1 if rows % 2048 else 0))
+        if auto < 16:
+            blocks = auto
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
 
@@ -2660,6 +2673,151 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs word-bigram Jaccard join at t=0.6 — the
+    prefix-filtered (AllPairs/PPJoin) member of the dedup family
+    (stages/setsim.py::ngram_jaccard_join): LSH families answer
+    "find near-dups cheaply", this answers "find ALL pairs >= t"
+    with zero recall loss (the contract decontamination needs)."""
+    from biocypher_metta_ray.stages.setsim import ngram_jaccard_join
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
+    out = ngram_jaccard_join(ds, threshold=0.6, ngram=2)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64"),
+             "doc_b": df["doc_b"].astype("int64"),
+             "jaccard": df["jaccard"].round(6)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_skyline(sf_dir: str):
+    """2-D Pareto frontier over part (cheapest price for each size
+    tier): local per-block frontiers -> one exact coalesced pass
+    (stages/relational.py::skyline)."""
+    from biocypher_metta_ray.stages.relational import skyline
+
+    ds = _rp(sf_dir, "part",
+             columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline(ds, min_col="p_retailprice", max_col="p_size")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"p_partkey": df["p_partkey"].astype("int64"),
+             "p_retailprice": df["p_retailprice"].astype("float64"),
+             "p_size": df["p_size"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 6-table composition: 1996 revenue by ASIA
+    nation where the supplier and customer share the nation.
+    Dim tables (region/nation) broadcast; customer and supplier
+    attach through distributed hash joins (both are fact-scale at
+    real TPC-H SFs — broadcasting them would be the toy-scale trap);
+    partial-combine grouped sum finishes."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import hash_join
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia_key = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == asia_key]
+    nation_name = dict(zip(nat["n_nationkey"].astype(int),
+                           nat["n_name"]))
+    asia_nations = set(nation_name)
+
+    cust = _rp(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df[df["c_nationkey"].isin(asia_nations)].rename(
+            columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey",
+                          "o_orderdate"]).map_batches(
+        lambda df: df.loc[(df["o_orderdate"] >= lo)
+                          & (df["o_orderdate"] < hi),
+                          ["o_orderkey", "o_custkey"]],
+        batch_format="pandas",
+    )
+    orders = hash_join(orders, cust, on="o_custkey",
+                       num_partitions=16).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "c_nationkey"]],
+        batch_format="pandas",
+    )
+    supp = _rp(sf_dir, "supplier",
+               columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df[df["s_nationkey"].isin(asia_nations)].rename(
+            columns={"s_suppkey": "l_suppkey"}),
+        batch_format="pandas",
+    )
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"],
+             "l_suppkey": df["l_suppkey"],
+             "rev": df["l_extendedprice"] * (1.0 - df["l_discount"])}
+        ),
+        batch_format="pandas",
+    )
+    li = hash_join(li, supp, on="l_suppkey", num_partitions=16)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       num_partitions=16).map_batches(
+        lambda df: df.loc[df["c_nationkey"] == df["s_nationkey"],
+                          ["s_nationkey", "rev"]],
+        batch_format="pandas",
+    )
+    sums = grouped_agg(joined, ["s_nationkey"], sums=["rev"])
+    return sums.map_batches(
+        lambda df: pd.DataFrame(
+            {"n_name": df["s_nationkey"].astype(int).map(nation_name),
+             "revenue": df["rev"].round(2)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_markov_transitions(sf_dir: str):
+    """First-order event-type transition counts per user stream
+    (lag window over (ts, event_id) order -> partial-combine count):
+    the Markov-chain statistic behind session modeling, composed
+    entirely from existing operators (windows.lag_lead +
+    relational.grouped_agg)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.windows import lag_lead
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    lagged = lag_lead(ds, "user_id", ["ts", "event_id"], "event_type")
+    pairs = lagged.map_batches(
+        lambda df: df.loc[df["lag_event_type"].notna(),
+                          ["lag_event_type", "event_type"]].rename(
+            columns={"lag_event_type": "prev_type",
+                     "event_type": "next_type"}),
+        batch_format="pandas",
+    )
+    out = grouped_agg(pairs, ["prev_type", "next_type"], count_as="n")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"prev_type": df["prev_type"],
+             "next_type": df["next_type"],
+             "n": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2809,6 +2967,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_mentions": _q_co_mentions,
         "degree_histogram": _q_degree_histogram,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "skyline": _q_skyline,
+        "regional_revenue": _q_regional_revenue,
+        "markov_transitions": _q_markov_transitions,
     }
 
 
@@ -4445,5 +4607,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, score FROM s
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, token) <= 3
+        """,
+        # exact bigram-set Jaccard over single-space tokenization;
+        # the Ray side computes it over 64-bit md5 gram hashes
+        # (stages/setsim.py) — identical up to astronomically
+        # unlikely collisions
+        "ngram_jaccard_pairs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         ws[i] || ' ' || ws[i + 1] AS gram
+                  FROM w, unnest(generate_series(1, nw - 1)) AS t(i)),
+            s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS isect
+                  FROM g a JOIN g b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(isect * 1.0 / (sa.sz + sb.sz - isect), 6)
+                       AS jaccard
+            FROM i
+            JOIN s sa ON sa.doc_id = doc_a
+            JOIN s sb ON sb.doc_id = doc_b
+            WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6
+        """,
+        "skyline": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "markov_transitions": """
+            WITH t AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS prev_type, event_type AS next_type,
+                   count(*) AS n
+            FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
     }

@@ -862,3 +862,47 @@ def global_rank(
         return g
 
     return partitioned_group_map(ds, [order_col], body, num_partitions)
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    min_col: str,
+    max_col: str,
+) -> ray.data.Dataset:
+    """2-D Pareto frontier (skyline): rows where no other row has
+    ``min_col`` <= theirs AND ``max_col`` >= theirs with at least one
+    strict inequality. Equal (min,max) points never dominate each
+    other, so exact duplicates all survive together.
+
+    Distributed shape: the dominance test depends only on the value
+    PAIR, and skyline(union) == skyline(union of local skylines), so
+    each block reduces to its local frontier first (a block can only
+    SHRINK: the partial pass never adds rows), then the surviving
+    rows — bounded by the frontier's size times the block count, tiny
+    on any realistic value distribution — coalesce into one final
+    exact pass. The only scale assumption is that the GLOBAL frontier
+    plus per-block false-positives fit one task's memory; for
+    adversarial anti-correlated data (frontier ~ input size) a
+    skyline is the wrong query at 100 TB no matter the engine.
+
+    Local kernel (vectorized, exact): among DISTINCT value pairs,
+    per ``min_col`` value only the max ``max_col`` survives (same
+    cost, strictly better benefit); with min values then strictly
+    increasing, a pair survives iff its ``max_col`` exceeds the
+    running max over all strictly-cheaper pairs (equal benefit at
+    lower cost dominates). Rows re-attach by value-pair merge.
+    """
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        best = (df.groupby(min_col, sort=True)[max_col].max()
+                .reset_index())
+        cm = best[max_col].cummax().shift(1)
+        keep = best[cm.isna() | (best[max_col] > cm)]
+        return df.merge(keep, on=[min_col, max_col])
+
+    partial = ds.map_batches(frontier, batch_format="pandas")
+    return partial.repartition(1).map_batches(
+        frontier, batch_format="pandas"
+    )

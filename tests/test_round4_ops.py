@@ -1,0 +1,162 @@
+"""Round-4 operator additions: exact set-similarity join (prefix
+filter), 2-D skyline, and the tiny-table read clamp that keeps
+schema-less empty blocks out of the native join."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# setsim: prefix-filtered exact n-gram Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(texts: dict, ngram: int, t: float) -> set:
+    def grams(s):
+        toks = s.split(" ")
+        return {
+            " ".join(toks[i:i + ngram])
+            for i in range(len(toks) - ngram + 1)
+        } if len(toks) >= ngram else set()
+
+    g = {k: grams(v) for k, v in texts.items()}
+    out = set()
+    for a in sorted(g):
+        for b in sorted(g):
+            if a >= b or not g[a] or not g[b]:
+                continue
+            inter = len(g[a] & g[b])
+            union = len(g[a] | g[b])
+            if union and inter / union >= t:
+                out.add((a, b, round(inter / union, 6)))
+    return out
+
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "the quick brown fox jumps over the lazy cat",
+    3: "the quick brown fox jumps over the lazy dog",          # dup of 1
+    4: "a completely different document about ray data engines",
+    5: "a completely different document about ray data pipelines",
+    6: "the quick brown fox leaps over the lazy dog",
+    7: "one",                                                   # < ngram tokens
+    8: "",                                                      # empty
+    9: "of the of the of the of the boilerplate of the",        # hot grams
+    10: "of the of the of the of the boilerplate of the",       # dup of 9
+}
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.6, 0.9])
+@pytest.mark.parametrize("demote_top", [0, 4])
+def test_ngram_jaccard_join_exact(ray_session, threshold, demote_top):
+    """The prefix filter is candidate-lossless under ANY total order
+    (with and without heavy-gram demotion): output == brute force."""
+    from biocypher_metta_ray.stages.setsim import ngram_jaccard_join
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(CORPUS), "text": list(CORPUS.values())})
+    ).repartition(4)
+    got = ngram_jaccard_join(ds, threshold=threshold, ngram=2,
+                             num_partitions=4, demote_top=demote_top
+                             ).to_pandas()
+    got_set = {
+        (int(r.doc_a), int(r.doc_b), round(float(r.jaccard), 6))
+        for r in got.itertuples()
+    }
+    assert got_set == _brute_pairs(CORPUS, 2, threshold)
+
+
+def test_prefix_len_safe_direction():
+    from biocypher_metta_ray.stages.setsim import _prefix_len
+
+    # p = s - ceil(t*s) + 1, and float fuzz may only LENGTHEN it
+    for s in range(1, 200):
+        for t in (0.25, 0.5, 0.6, 0.75, 0.8, 0.9, 1.0):
+            p = _prefix_len(s, t)
+            exact = s - math.ceil(round(t * s, 9)) + 1
+            assert p >= exact
+            assert p <= exact + 1
+            assert 1 <= p <= s
+
+
+def test_prefix_rows_skips_short_docs(ray_session):
+    from biocypher_metta_ray.stages.setsim import prefix_rows
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["only", "", "two tokens here"]}
+    ))
+    out = prefix_rows(ds, threshold=0.5, ngram=2).to_pandas()
+    assert set(out["doc_id"]) == {3}
+    assert (out["sz"] == 2).all()  # "two tokens", "tokens here"
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(df, min_col, max_col):
+    keep = []
+    for i, r in df.iterrows():
+        dominated = (
+            (df[min_col] <= r[min_col]) & (df[max_col] >= r[max_col])
+            & ((df[min_col] < r[min_col]) | (df[max_col] > r[max_col]))
+        ).any()
+        if not dominated:
+            keep.append(i)
+    return df.loc[keep]
+
+
+def test_skyline_matches_brute_force(ray_session):
+    from biocypher_metta_ray.stages.relational import skyline
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(300),
+        "cost": rng.integers(0, 40, 300).astype("float64"),
+        "benefit": rng.integers(0, 40, 300),
+    })
+    got = (skyline(ray.data.from_pandas(df).repartition(8),
+                   "cost", "benefit")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = (_brute_skyline(df, "cost", "benefit")
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_skyline_keeps_equal_points(ray_session):
+    """Exact duplicate (min,max) points never dominate each other —
+    all copies survive."""
+    from biocypher_metta_ray.stages.relational import skyline
+
+    df = pd.DataFrame({"id": [1, 2, 3], "cost": [5.0, 5.0, 9.0],
+                       "benefit": [7, 7, 1]})
+    got = skyline(ray.data.from_pandas(df).repartition(3),
+                  "cost", "benefit").to_pandas()
+    assert sorted(got["id"]) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# tiny-table read clamp (schema-less empty block regression)
+# ---------------------------------------------------------------------------
+
+
+def test_rp_tiny_table_no_schemaless_blocks(ray_session):
+    """A 10-row dim table must not split into zero-row read tasks:
+    Ray emits those as schema-less ``Table []`` blocks, which
+    map_batches skips and acero's native join rejects."""
+    import __ray_entry__ as m
+
+    ds = m._rp("/root/testdata/sf0.001", "supplier",
+               columns=["s_suppkey", "s_nationkey"])
+    mat = ds.materialize()
+    for ref in mat.get_internal_block_refs():
+        blk = ray.get(ref)
+        ncols = (len(blk.columns) if hasattr(blk, "columns")
+                 else blk.num_columns)
+        assert ncols == 2
