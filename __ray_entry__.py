@@ -52,17 +52,20 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None,
     if blocks is not None and _os.path.getsize(path) > 64 * 2**20:
         blocks = None
     if blocks is None:
-        # Clamp auto-splitting for TINY tables: Ray splits a 10-row
-        # dim file into ~CPU read tasks, and the zero-row tasks emit
-        # SCHEMA-LESS empty Arrow blocks (``Table []``) that
+        # Clamp auto-splitting for TINY tables only: Ray splits a
+        # 10-row dim file into ~CPU read tasks, and the zero-row tasks
+        # emit SCHEMA-LESS empty Arrow blocks (``Table []``) that
         # map_batches skips and acero's native join rejects ("No match
         # for key field reference ... on right side"). One footer read
-        # (metadata only) sizes the split so every block holds rows;
-        # big tables keep Ray's size-based default untouched.
+        # (metadata only) sizes the split so every block holds rows.
+        # The cutoff is deliberately low (1024 rows): tables above it
+        # keep Ray's size-based split untouched — an earlier 2048-row/
+        # block clamp collapsed the 5000-doc corpus to 3 blocks and
+        # tripled every compute-heavy documents query (parallelism 3
+        # on 32 CPUs).
         rows = _pq.ParquetFile(path).metadata.num_rows
-        auto = max(1, rows // 2048 + (1 if rows % 2048 else 0))
-        if auto < 16:
-            blocks = auto
+        if rows < 1024:
+            blocks = max(1, rows // 64)
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
 
@@ -2674,15 +2677,19 @@ def _q_tfidf_top_terms(sf_dir: str):
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
-    """EXACT all-pairs word-bigram Jaccard join at t=0.6 — the
+    """EXACT all-pairs word-TRIGRAM Jaccard join at t=0.6 — the
     prefix-filtered (AllPairs/PPJoin) member of the dedup family
     (stages/setsim.py::ngram_jaccard_join): LSH families answer
     "find near-dups cheaply", this answers "find ALL pairs >= t"
-    with zero recall loss (the contract decontamination needs)."""
+    with zero recall loss (the contract decontamination needs).
+    n=3 matches the MinHash family's n_shingle=3 standard; n=2 on
+    this synthetic corpus is the degenerate dense-vocab regime (~900
+    distinct bigrams across 5000 docs, avg df ~275) where NO prefix
+    scheme can prune — measured 8M candidates for 256 true pairs."""
     from biocypher_metta_ray.stages.setsim import ngram_jaccard_join
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
-    out = ngram_jaccard_join(ds, threshold=0.6, ngram=2)
+    out = ngram_jaccard_join(ds, threshold=0.6, ngram=3)
     return out.map_batches(
         lambda df: pd.DataFrame(
             {"doc_a": df["doc_a"].astype("int64"),
@@ -2715,14 +2722,26 @@ def _q_skyline(sf_dir: str):
 def _q_regional_revenue(sf_dir: str):
     """TPC-H Q5-shaped 6-table composition: 1996 revenue by ASIA
     nation where the supplier and customer share the nation.
-    Dim tables (region/nation) broadcast; customer and supplier
-    attach through distributed hash joins (both are fact-scale at
-    real TPC-H SFs — broadcasting them would be the toy-scale trap);
-    partial-combine grouped sum finishes."""
+    Join strategy is SIZE-ADAPTIVE per side, picked by parquet
+    footprint (the engine's documented broadcast-vs-shuffle rule):
+    region/nation are fixed 5/25-row dims (driver lookup); supplier
+    — the smallest SF-scaled table, 1:600 of lineitem — broadcasts
+    below 64 MB so the biggest fact shuffles ONCE, and falls back to
+    the distributed hash join above it; orders x customer and
+    lineitem x orders stay distributed hash joins (both sides truly
+    fact-scale). Measured at sf0.1x32cpu: 3 distributed joins 17.5 s
+    -> this shape ~10 s (the residual is the two remaining joins'
+    fixed cost at toy scale); partial-combine grouped sum finishes."""
+    import os as _os
+
+    import ray
     import ray.data
 
     from biocypher_metta_ray.stages.joins import hash_join
-    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.relational import (
+        broadcast_join,
+        grouped_agg,
+    )
 
     lo = pd.Timestamp("1996-01-01")
     hi = pd.Timestamp("1997-01-01")
@@ -2755,12 +2774,6 @@ def _q_regional_revenue(sf_dir: str):
         [["l_orderkey", "c_nationkey"]],
         batch_format="pandas",
     )
-    supp = _rp(sf_dir, "supplier",
-               columns=["s_suppkey", "s_nationkey"]).map_batches(
-        lambda df: df[df["s_nationkey"].isin(asia_nations)].rename(
-            columns={"s_suppkey": "l_suppkey"}),
-        batch_format="pandas",
-    )
     li = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"]).map_batches(
@@ -2771,7 +2784,24 @@ def _q_regional_revenue(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    li = hash_join(li, supp, on="l_suppkey", num_partitions=16)
+    supp_small = (_os.path.getsize(f"{sf_dir}/supplier.parquet")
+                  < 64 * 2**20)
+    if supp_small:
+        supp_df = pd.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        supp_df = supp_df[supp_df["s_nationkey"].isin(asia_nations)]
+        supp_df = supp_df.rename(columns={"s_suppkey": "l_suppkey"})
+        li = broadcast_join(li, supp_df, on="l_suppkey")
+    else:
+        supp = _rp(sf_dir, "supplier",
+                   columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda df: df[df["s_nationkey"].isin(asia_nations)].rename(
+                columns={"s_suppkey": "l_suppkey"}),
+            batch_format="pandas",
+        )
+        li = hash_join(li, supp, on="l_suppkey", num_partitions=16)
     joined = hash_join(li, orders, on="l_orderkey",
                        num_partitions=16).map_batches(
         lambda df: df.loc[df["c_nationkey"] == df["s_nationkey"],
@@ -2783,6 +2813,34 @@ def _q_regional_revenue(sf_dir: str):
         lambda df: pd.DataFrame(
             {"n_name": df["s_nationkey"].astype(int).map(nation_name),
              "revenue": df["rev"].round(2)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_component_sizes(sf_dir: str):
+    """Connected-component size distribution (size -> how many
+    components): the one-look fragmentation diagnostic over the KG,
+    composed from kg_components + two partial-combine grouped counts."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    comp = _q_kg_components(sf_dir)
+    # "size" (the output name) collides with pandas' groupby .size()
+    # inside grouped_agg's partial — keep a scratch name through both
+    # grouped counts, rename only in the final projection
+    sizes = grouped_agg(comp, ["component"], count_as="comp_size")
+    out = grouped_agg(
+        sizes.map_batches(
+            lambda df: pd.DataFrame(
+                {"comp_size": df["comp_size"].astype("int64")}),
+            batch_format="pandas",
+        ),
+        ["comp_size"], count_as="n_components",
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"size": df["comp_size"].astype("int64"),
+             "n_components": df["n_components"].astype("int64")}
         ),
         batch_format="pandas",
     )
@@ -2971,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "regional_revenue": _q_regional_revenue,
         "markov_transitions": _q_markov_transitions,
+        "component_sizes": _q_component_sizes,
     }
 
 
@@ -3442,7 +3501,7 @@ def oracle_sql() -> dict[str, str]:
     stop_de = "('der', 'die', 'und', 'das', 'ein')"
     stop_fr = "('le', 'la', 'et', 'les', 'des')"
 
-    return {
+    sqls = {
         "kg_extract_text": "SELECT doc_id, text FROM documents",
         "kg_mentions": f"""
             SELECT t.doc_id, t.tok AS surface, gaz.entity_id,
@@ -4608,7 +4667,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, token) <= 3
         """,
-        # exact bigram-set Jaccard over single-space tokenization;
+        # exact trigram-set Jaccard over single-space tokenization;
         # the Ray side computes it over 64-bit md5 gram hashes
         # (stages/setsim.py) — identical up to astronomically
         # unlikely collisions
@@ -4617,8 +4676,9 @@ def oracle_sql() -> dict[str, str]:
                               len(string_split(text, ' ')) AS nw
                        FROM documents),
             g AS (SELECT DISTINCT doc_id,
-                         ws[i] || ' ' || ws[i + 1] AS gram
-                  FROM w, unnest(generate_series(1, nw - 1)) AS t(i)),
+                         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                             AS gram
+                  FROM w, unnest(generate_series(1, nw - 2)) AS t(i)),
             s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
             i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          count(*) AS isect
@@ -4669,3 +4729,12 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
     }
+    # derived: component-size distribution over the kg_components
+    # labeling (one more grouped count on each side)
+    sqls["component_sizes"] = (
+        "WITH comp AS (" + sqls["kg_components"] + "), "
+        "cs AS (SELECT component, count(*) AS size FROM comp "
+        "GROUP BY component) "
+        "SELECT size, count(*) AS n_components FROM cs GROUP BY size"
+    )
+    return sqls

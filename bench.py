@@ -144,6 +144,9 @@ def timed_queries() -> dict:
         "hll_registers", "grouped_quantiles", "interval_join", "lm_score",
         "fuzzy_join", "kg_bfs", "kmeans",
         "semantic_dedup", "bloom_semi_join", "heavy_hitters",
+        # round-4 additions
+        "ngram_jaccard_pairs", "regional_revenue", "global_rank",
+        "skyline",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

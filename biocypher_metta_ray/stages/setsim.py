@@ -15,31 +15,34 @@ WWW'07; Xiao et al. PPJoin, WWW'08 — public papers):
    hashes == Jaccard over literal n-grams up to md5-64 collisions).
    Docs with fewer than ``ngram`` tokens have no n-gram windows and
    are excluded — mirroring the SQL oracle's window construction.
-2. PREFIX FILTER: order every doc's grams by one global total order
+2. PREFIX FILTER: order every doc's grams by ONE global total order
    and keep only the first ``p = s - ceil(t*s) + 1`` (s = set size).
-   Lemma: J(a,b) >= t implies the two prefixes share a gram under ANY
+   Lemma: J(a,b) >= t implies the two prefixes share a gram under any
    shared total order — so grouping prefix rows by gram yields a
    candidate superset; exactness comes from the verify pass, the
    order only controls candidate COUNT.
-3. Candidate pairs per gram group (hash-partitioned co-location),
-   with the size-ratio pre-filter ``min(sa,sb) >= t * max(sa,sb)``
-   (a necessary condition for J >= t).
+3. Candidate pairs per prefix-gram group (hash-partitioned
+   co-location) with the size-ratio pre-filter
+   ``min(sa,sb) >= t * max(sa,sb)`` (necessary for J >= t).
 4. Exact verify through the existing distributed pair-payload join +
    packed-set Jaccard (stages/dedup.py::verify_jaccard).
 
-Scale note (the hot-gram problem): under a pure hash order a
-stop-phrase gram ("of the") lands in ~(1-t) of the prefixes that
-contain it, and its candidate group goes O(corpus^2). The classic fix
-is ascending-document-frequency order (rare grams first -> hot grams
-fall OUT of prefixes). Computing the full df order needs either a
-vocab-scale broadcast (not 100 TB-safe) or two extra fact-scale
-shuffles, so this implementation takes the bounded middle path:
-``demote_top`` approximate heavy-hitter grams (stages/skew.py::
-top_frequencies — driver payload bounded by k) are demoted to the END
-of the order, hash order elsewhere. The head of the Zipf curve — the
-only place group sizes explode — gets the exact-df treatment; the
-tail's df is bounded by the k-th frequency. Any total order keeps the
-result exact, so this is purely a candidate-count knob.
+The order is ASCENDING DOCUMENT FREQUENCY (ties by gram hash) — the
+part of AllPairs that actually controls the blow-up: each prefix then
+holds the doc's RAREST grams, so two docs collide only when they
+share a rare gram. (A first cut used hash order with only the top-64
+grams demoted; on a 5k-doc template-generated corpus that emitted
+8.45M candidates — nearly all-pairs — because mid-frequency template
+grams stayed in prefixes. df order collapses it to 201k.) Computed
+scale-honestly, no vocab broadcast and no separate aggregate: the df
+attach is ONE gram-keyed co-location whose body counts each gram's
+rows with a vectorized transform — co-location is global per gram, so
+the per-partition count IS the global df. (A first cut ran a
+grouped_agg + hash join instead: the native sort-aggregate cost 53 s
+at 27k distinct grams where the fused co-location costs ~3 s.)
+
+All fact-scale co-locations ride partitioned_group_map's autoscaled
+partition counts.
 """
 
 from __future__ import annotations
@@ -53,7 +56,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .dedup import MinHasher, verify_jaccard
-from .skew import partitioned_group_map, top_frequencies
+from .skew import partitioned_group_map
 
 
 def _prefix_len(size: int, threshold: float) -> int:
@@ -63,22 +66,17 @@ def _prefix_len(size: int, threshold: float) -> int:
     return size - int(math.ceil(threshold * size - 1e-9)) + 1
 
 
-def prefix_rows(
+def gram_rows(
     ds: ray.data.Dataset,
-    threshold: float,
     ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    demote: np.ndarray | None = None,
 ) -> ray.data.Dataset:
-    """(gram:int64, doc_id, sz:int64) prefix-token rows per document.
-
-    ``demote``: sorted uint64 gram hashes to order AFTER all others
-    (the heavy-hitter demotion described in the module docstring).
-    """
+    """DISTINCT (gram:int64, doc_id, sz:int64) rows per document —
+    sz is the doc's distinct-gram-set size. Docs with < ``ngram``
+    tokens contribute nothing (no n-gram window exists)."""
     hasher = MinHasher(num_perms=1, num_bands=1, n_shingle=ngram,
                        id_col=id_col, text_col=text_col)
-    demote_sorted = np.sort(demote) if demote is not None and len(demote) else None
 
     def body(batch: pa.Table) -> pd.DataFrame:
         sh, starts = hasher._doc_shingles(batch)
@@ -88,24 +86,18 @@ def prefix_rows(
         out_gram, out_doc, out_sz = [], [], []
         for d in range(len(batch)):
             if lengths[d] < ngram:
-                # no n-gram window exists; the doc has no set
                 continue
             u = np.unique(sh[starts[d]:starts[d + 1]])
             s = len(u)
             if s == 0:
                 continue
-            if demote_sorted is not None:
-                hot = np.isin(u, demote_sorted, assume_unique=True)
-                u = np.concatenate([u[~hot], u[hot]])
-            p = _prefix_len(s, threshold)
-            out_gram.append(u[:p])
-            out_doc.append(np.full(p, ids[d], dtype=np.int64))
-            out_sz.append(np.full(p, s, dtype=np.int64))
+            out_gram.append(u)
+            out_doc.append(np.full(s, ids[d], dtype=np.int64))
+            out_sz.append(np.full(s, s, dtype=np.int64))
         if not out_gram:
             return pd.DataFrame({
                 "gram": pd.Series([], dtype="int64"),
-                id_col: pd.Series([], dtype=np.asarray(ids).dtype
-                                  if len(ids) else "int64"),
+                id_col: pd.Series([], dtype="int64"),
                 "sz": pd.Series([], dtype="int64"),
             })
         return pd.DataFrame({
@@ -117,29 +109,6 @@ def prefix_rows(
     return ds.map_batches(body, batch_format="pyarrow")
 
 
-def _gram_stream(
-    ds: ray.data.Dataset, ngram: int, id_col: str, text_col: str
-) -> ray.data.Dataset:
-    """Distinct (doc, gram) stream for the heavy-hitter pre-pass —
-    one int64 column, payload-light."""
-    hasher = MinHasher(num_perms=1, num_bands=1, n_shingle=ngram,
-                       id_col=id_col, text_col=text_col)
-
-    def body(batch: pa.Table) -> pd.DataFrame:
-        sh, starts = hasher._doc_shingles(batch)
-        toks = pc.split_pattern(batch[text_col], " ")
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        parts = [
-            np.unique(sh[starts[d]:starts[d + 1]])
-            for d in range(len(batch)) if lengths[d] >= ngram
-        ]
-        flat = (np.concatenate(parts) if parts
-                else np.empty(0, dtype=np.uint64))
-        return pd.DataFrame({"gram": flat.view(np.int64)})
-
-    return ds.map_batches(body, batch_format="pyarrow")
-
-
 def ngram_jaccard_join(
     ds: ray.data.Dataset,
     threshold: float = 0.6,
@@ -147,7 +116,6 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 16,
-    demote_top: int = 64,
 ) -> ray.data.Dataset:
     """Exact all-pairs n-gram Jaccard join: every unordered pair with
     J(gram-set_a, gram-set_b) >= ``threshold`` plus the exact score.
@@ -155,15 +123,28 @@ def ngram_jaccard_join(
     Output columns: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     See the module docstring for the algorithm and scale analysis.
     """
-    demote = None
-    if demote_top and demote_top > 0:
-        hot = top_frequencies(_gram_stream(ds, ngram, id_col, text_col),
-                              ["gram"], k=demote_top)
-        if len(hot):
-            demote = hot["gram"].to_numpy().astype(np.int64).view(np.uint64)
+    rows = gram_rows(ds, ngram=ngram, id_col=id_col, text_col=text_col)
 
-    pref = prefix_rows(ds, threshold, ngram=ngram, id_col=id_col,
-                       text_col=text_col, demote=demote)
+    # rows are distinct per (doc, gram) and the co-location puts ALL
+    # of a gram's rows in one partition, so the per-partition group
+    # size IS the global document frequency — no aggregate, no join.
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("gram", sort=False)["gram"].transform("size")
+        return g
+
+    joined = partitioned_group_map(rows, ["gram"], attach_df,
+                                   num_partitions=num_partitions)
+
+    def prefix_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "df", "gram"], kind="mergesort")
+        k = g.groupby(id_col, sort=False).cumcount().to_numpy()
+        sz = g["sz"].to_numpy()
+        p = sz - np.ceil(threshold * sz - 1e-9).astype(np.int64) + 1
+        return g.loc[k < p, ["gram", id_col, "sz"]]
+
+    pref = partitioned_group_map(joined, [id_col], prefix_body,
+                                 num_partitions=num_partitions)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         idt = g[id_col].dtype

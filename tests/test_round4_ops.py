@@ -52,18 +52,16 @@ CORPUS = {
 
 
 @pytest.mark.parametrize("threshold", [0.4, 0.6, 0.9])
-@pytest.mark.parametrize("demote_top", [0, 4])
-def test_ngram_jaccard_join_exact(ray_session, threshold, demote_top):
-    """The prefix filter is candidate-lossless under ANY total order
-    (with and without heavy-gram demotion): output == brute force."""
+def test_ngram_jaccard_join_exact(ray_session, threshold):
+    """The df-ordered prefix filter is candidate-lossless: output ==
+    brute force (including duplicate docs and hot boilerplate grams)."""
     from biocypher_metta_ray.stages.setsim import ngram_jaccard_join
 
     ds = ray.data.from_pandas(
         pd.DataFrame({"doc_id": list(CORPUS), "text": list(CORPUS.values())})
     ).repartition(4)
     got = ngram_jaccard_join(ds, threshold=threshold, ngram=2,
-                             num_partitions=4, demote_top=demote_top
-                             ).to_pandas()
+                             num_partitions=4).to_pandas()
     got_set = {
         (int(r.doc_a), int(r.doc_b), round(float(r.jaccard), 6))
         for r in got.itertuples()
@@ -84,15 +82,16 @@ def test_prefix_len_safe_direction():
             assert 1 <= p <= s
 
 
-def test_prefix_rows_skips_short_docs(ray_session):
-    from biocypher_metta_ray.stages.setsim import prefix_rows
+def test_gram_rows_skips_short_docs(ray_session):
+    from biocypher_metta_ray.stages.setsim import gram_rows
 
     ds = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": [1, 2, 3], "text": ["only", "", "two tokens here"]}
     ))
-    out = prefix_rows(ds, threshold=0.5, ngram=2).to_pandas()
+    out = gram_rows(ds, ngram=2).to_pandas()
     assert set(out["doc_id"]) == {3}
     assert (out["sz"] == 2).all()  # "two tokens", "tokens here"
+    assert len(out) == 2
 
 
 # ---------------------------------------------------------------------------
