@@ -85,7 +85,16 @@ def staged_corpus_path(sf_dir: str, factor: int) -> str:
         import ray.data  # noqa: F401
 
         tmp = path + ".tmp"
-        replicated_corpus(sf_dir, factor).repartition(192).write_parquet(tmp)
+        # STREAMING stage — write blocks as they are produced, capped
+        # rows per file. (The earlier ``repartition(192)`` here is an
+        # all-to-all that materializes the whole replicated corpus
+        # through the object store before a single file lands: at
+        # x8000 = 40M docs it spilled ~40 GB at this disk's 35 MiB/s
+        # and nearly filled the volume. write_parquet alone streams
+        # with backpressure and the row cap still yields enough files
+        # for parallel reads.)
+        replicated_corpus(sf_dir, factor).write_parquet(
+            tmp, max_rows_per_file=25_000)
         os.replace(tmp, path)
     return path
 

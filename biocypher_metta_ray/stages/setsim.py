@@ -41,12 +41,30 @@ the per-partition count IS the global df. (A first cut ran a
 grouped_agg + hash join instead: the native sort-aggregate cost 53 s
 at 27k distinct grams where the fused co-location costs ~3 s.)
 
+IDENTICAL-SET COLLAPSE (default on): web corpora are full of EXACT
+duplicates, and they are AllPairs' pathological input — every copy
+shares every prefix gram, so a duplicate group of size k appears in
+each of its ~p prefix-gram groups and emits O(p * k^2) candidate rows
+for O(k^2) true pairs (measured at 10x-replicated sf0.1: 22.6M
+candidates for 250,600 true pairs; verify then shuffles all of them —
+347 s total). Jaccard depends only on the gram SET, so docs with
+byte-identical sorted gram arrays (md5-128 fingerprint — same
+collision caveat as the shingle hash) are collapsed to their min-id
+representative, the join runs on representatives only, and pairs
+expand back to members afterwards: intra-group pairs are exactly
+J = 1.0 >= t, cross-group pairs inherit the representative score
+verbatim (identical sets -> identical floats, oracle parity holds).
+The expansion output is the true pair list — inherently quadratic in
+duplicate-group size; callers who only need groups should use
+dedup.exact_dedup / near_dup_groups instead.
+
 All fact-scale co-locations ride partitioned_group_map's autoscaled
 partition counts.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -109,6 +127,86 @@ def gram_rows(
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def doc_fingerprints(
+    ds: ray.data.Dataset,
+    ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per eligible doc (>= ``ngram`` tokens, non-empty gram set):
+    (id, fp1:int64, fp2:int64) — the md5-128 of the SORTED distinct
+    gram-hash array bytes, split into two int64 key columns so the
+    identical-set co-location hash-partitions on fixed-width ints.
+    Same eligibility rule as :func:`gram_rows` by construction."""
+    hasher = MinHasher(num_perms=1, num_bands=1, n_shingle=ngram,
+                       id_col=id_col, text_col=text_col)
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        sh, starts = hasher._doc_shingles(batch)
+        toks = pc.split_pattern(batch[text_col], " ")
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_f1, out_f2 = [], [], []
+        for d in range(len(batch)):
+            if lengths[d] < ngram:
+                continue
+            u = np.unique(sh[starts[d]:starts[d + 1]])
+            if len(u) == 0:
+                continue
+            dig = hashlib.md5(u.tobytes()).digest()
+            out_id.append(ids[d])
+            out_f1.append(int.from_bytes(dig[:8], "little", signed=True))
+            out_f2.append(int.from_bytes(dig[8:], "little", signed=True))
+        return pd.DataFrame({
+            id_col: pd.Series(out_id, dtype="int64"),
+            "fp1": pd.Series(out_f1, dtype="int64"),
+            "fp2": pd.Series(out_f2, dtype="int64"),
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _expand_side(
+    pairs: ray.data.Dataset,
+    members: ray.data.Dataset,
+    side_col: str,
+    id_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Replace the representative in ``side_col`` with EVERY member of
+    its identical-set group (one-to-many, tagged-union co-location on
+    the rep key — the same two-pass shape as joins.pair_payload_join
+    but many-to-many)."""
+
+    def tag_p(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = "P"
+        df["rep"] = df[side_col]
+        return df
+
+    def tag_m(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={id_col: "member"})
+        out = out[["rep", "member"]].copy()
+        out["__side"] = "M"
+        return out
+
+    u = pairs.map_batches(tag_p, batch_format="pandas").union(
+        members.map_batches(tag_m, batch_format="pandas"))
+    other = "doc_b" if side_col == "doc_a" else "doc_a"
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "P"].reindex(
+            columns=["rep", other, "jaccard"])
+        m = g[g["__side"] == "M"].reindex(columns=["rep", "member"])
+        out = p.merge(m, on="rep", how="inner")
+        out = out.rename(columns={"member": side_col})
+        out = out[["doc_a", "doc_b", "jaccard"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "jaccard": "float64"})
+
+    return partitioned_group_map(u, ["rep"], body, num_partitions)
+
+
 def ngram_jaccard_join(
     ds: ray.data.Dataset,
     threshold: float = 0.6,
@@ -116,13 +214,97 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 16,
+    collapse_identical: bool = True,
 ) -> ray.data.Dataset:
     """Exact all-pairs n-gram Jaccard join: every unordered pair with
     J(gram-set_a, gram-set_b) >= ``threshold`` plus the exact score.
 
     Output columns: (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    See the module docstring for the algorithm and scale analysis.
+    ``collapse_identical`` routes byte-identical gram sets through one
+    representative (see module docstring — the duplicate-heavy-corpus
+    fast path; exactness preserved). See the module docstring for the
+    algorithm and scale analysis.
     """
+    if not collapse_identical:
+        return _ngram_jaccard_core(ds, threshold, ngram, id_col,
+                                   text_col, num_partitions)
+    from .joins import semi_join
+
+    fps = doc_fingerprints(ds, ngram=ngram, id_col=id_col,
+                           text_col=text_col)
+
+    def member_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rep"] = g.groupby(["fp1", "fp2"], sort=False)[id_col] \
+                    .transform("min")
+        return g[[id_col, "rep"]].astype({id_col: "int64",
+                                          "rep": "int64"})
+
+    members = partitioned_group_map(fps, ["fp1", "fp2"], member_body,
+                                    num_partitions).materialize()
+
+    def only_reps(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df[id_col] == df["rep"], [id_col]]
+
+    reps = members.map_batches(only_reps, batch_format="pandas")
+    rep_docs = semi_join(
+        ds.select_columns([id_col, text_col]), reps, on=id_col,
+        num_partitions=num_partitions)
+    rep_pairs = _ngram_jaccard_core(
+        rep_docs, threshold, ngram, id_col, text_col, num_partitions)
+
+    # intra-group pairs: identical sets, J = 1.0 exactly (>= any t<=1)
+    def intra_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["rep"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            })
+        m = g.merge(g, on="rep", suffixes=("_x", "_y"))
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = pd.DataFrame({
+            "doc_a": m[f"{id_col}_x"].to_numpy(dtype=np.int64),
+            "doc_b": m[f"{id_col}_y"].to_numpy(dtype=np.int64),
+        })
+        out["jaccard"] = 1.0
+        return out
+
+    intra = partitioned_group_map(members, ["rep"], intra_body,
+                                  num_partitions)
+
+    expanded = _expand_side(
+        _expand_side(rep_pairs, members, "doc_a", id_col,
+                     num_partitions),
+        members, "doc_b", id_col, num_partitions)
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.astype({"doc_a": "int64", "doc_b": "int64",
+                              "jaccard": "float64"})
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        return pd.DataFrame({
+            "doc_a": np.minimum(a, b),
+            "doc_b": np.maximum(a, b),
+            "jaccard": df["jaccard"].to_numpy(),
+        })
+
+    return expanded.map_batches(normalize,
+                                batch_format="pandas").union(intra)
+
+
+def _ngram_jaccard_core(
+    ds: ray.data.Dataset,
+    threshold: float,
+    ngram: int,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """The AllPairs prefix-filter join proper (docs assumed free of
+    identical gram sets when called via the collapse path)."""
     rows = gram_rows(ds, ngram=ngram, id_col=id_col, text_col=text_col)
 
     # rows are distinct per (doc, gram) and the co-location puts ALL

@@ -69,6 +69,48 @@ def test_ngram_jaccard_join_exact(ray_session, threshold):
     assert got_set == _brute_pairs(CORPUS, 2, threshold)
 
 
+def test_ngram_jaccard_collapse_matches_core(ray_session):
+    """The identical-set collapse path (fingerprint -> representative
+    join -> member expansion) returns EXACTLY the direct AllPairs
+    output on a duplicate-heavy corpus — pairs AND float scores."""
+    from biocypher_metta_ray.stages.setsim import ngram_jaccard_join
+
+    # 4x-replicated corpus: every doc has 3 exact copies (disjoint ids)
+    rows = []
+    for k in range(4):
+        for i, t in CORPUS.items():
+            rows.append({"doc_id": i + 100 * k, "text": t})
+    df = pd.DataFrame(rows)
+    texts = dict(zip(df.doc_id, df.text))
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    outs = {}
+    for collapse in (True, False):
+        got = ngram_jaccard_join(
+            ds, threshold=0.6, ngram=2, num_partitions=4,
+            collapse_identical=collapse).to_pandas()
+        outs[collapse] = {
+            (int(r.doc_a), int(r.doc_b), round(float(r.jaccard), 6))
+            for r in got.itertuples()
+        }
+    assert outs[True] == outs[False] == _brute_pairs(texts, 2, 0.6)
+    # exact duplicates pair at exactly 1.0 through the intra branch
+    assert any(j == 1.0 for (_, _, j) in outs[True])
+
+
+def test_doc_fingerprints_identity(ray_session):
+    from biocypher_metta_ray.stages.setsim import doc_fingerprints
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c d", "a b c d", "a b c x", "one", ""],
+    }))
+    fp = doc_fingerprints(ds, ngram=2).to_pandas().set_index("doc_id")
+    assert set(fp.index) == {1, 2, 3}  # short/empty excluded
+    assert tuple(fp.loc[1]) == tuple(fp.loc[2])
+    assert tuple(fp.loc[1]) != tuple(fp.loc[3])
+
+
 def test_prefix_len_safe_direction():
     from biocypher_metta_ray.stages.setsim import _prefix_len
 
