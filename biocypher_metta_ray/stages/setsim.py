@@ -207,6 +207,115 @@ def _expand_side(
     return partitioned_group_map(u, ["rep"], body, num_partitions)
 
 
+# driver-side intra-pair generation cap: above this the C(k,2)
+# expansion of identical-set groups runs distributed instead
+INTRA_DRIVER_CAP = 4_000_000
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+    })
+
+
+def _intra_pairs_df(members: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All C(k,2) pairs inside identical-set groups at exactly
+    J = 1.0 (vectorized self-merge; input is group-member rows)."""
+    g = members[members.duplicated(subset=["rep"], keep=False)]
+    if g.empty:
+        return _empty_pairs()
+    m = g.merge(g, on="rep", suffixes=("_x", "_y"))
+    m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+    out = pd.DataFrame({
+        "doc_a": m[f"{id_col}_x"].to_numpy(dtype=np.int64),
+        "doc_b": m[f"{id_col}_y"].to_numpy(dtype=np.int64),
+    })
+    out["jaccard"] = 1.0
+    return out
+
+
+def _collapse_broadcast(
+    ds: ray.data.Dataset,
+    fps: ray.data.Dataset,
+    threshold: float,
+    ngram: int,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Identical-set collapse when the fingerprint table fits the
+    broadcast budget: grouping driver-side, rep filter + pair
+    expansion map-side — ZERO extra shuffles over the core join. A
+    dup-free corpus short-circuits to the core join after one
+    fingerprint scan."""
+    import ray
+
+    from .relational import semi_join_filter
+
+    pdf = fps.to_pandas()
+    pdf["rep"] = pdf.groupby(["fp1", "fp2"], sort=False)[id_col] \
+                    .transform("min")
+    members = pdf[[id_col, "rep"]]
+    multi = members[members.duplicated(subset=["rep"], keep=False)]
+    if multi.empty:
+        return _ngram_jaccard_core(ds, threshold, ngram, id_col,
+                                   text_col, num_partitions)
+
+    reps = members.loc[members[id_col] == members["rep"], id_col]
+    rep_docs = semi_join_filter(
+        ds.select_columns([id_col, text_col]), reps.to_numpy(), id_col)
+    rep_pairs = _ngram_jaccard_core(
+        rep_docs, threshold, ngram, id_col, text_col, num_partitions)
+
+    # member arrays only for groups with k > 1; singleton reps expand
+    # to themselves without a dict entry
+    by_rep = {
+        int(r): grp.to_numpy(dtype=np.int64)
+        for r, grp in multi.groupby("rep", sort=False)[id_col]
+    }
+    mem_ref = ray.put(by_rep)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_pairs()
+        m = ray.get(mem_ref)
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        j = df["jaccard"].to_numpy(dtype=np.float64)
+        keys = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        plain = ~np.isin(a, keys) & ~np.isin(b, keys)
+        outs = [pd.DataFrame({"doc_a": a[plain], "doc_b": b[plain],
+                              "jaccard": j[plain]})]
+        for i in np.flatnonzero(~plain):
+            ma = m.get(int(a[i]), a[i:i + 1])
+            mb = m.get(int(b[i]), b[i:i + 1])
+            xa = np.repeat(ma, len(mb))
+            xb = np.tile(mb, len(ma))
+            outs.append(pd.DataFrame({
+                "doc_a": np.minimum(xa, xb),
+                "doc_b": np.maximum(xa, xb),
+                "jaccard": np.full(len(xa), j[i]),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    expanded = rep_pairs.map_batches(expand, batch_format="pandas")
+
+    sizes = multi.groupby("rep", sort=False).size().to_numpy()
+    n_intra = int((sizes * (sizes - 1) // 2).sum())
+    if n_intra <= INTRA_DRIVER_CAP:
+        intra = ray.data.from_pandas(_intra_pairs_df(multi, id_col))
+    else:
+        intra = partitioned_group_map(
+            ray.data.from_pandas(multi),
+            ["rep"],
+            lambda g: _intra_pairs_df(g, id_col),
+            num_partitions,
+        )
+    return expanded.union(intra)
+
+
 def ngram_jaccard_join(
     ds: ray.data.Dataset,
     threshold: float = 0.6,
@@ -215,6 +324,7 @@ def ngram_jaccard_join(
     text_col: str = "text",
     num_partitions: int = 16,
     collapse_identical: bool = True,
+    broadcast_bytes: int = 64 << 20,
 ) -> ray.data.Dataset:
     """Exact all-pairs n-gram Jaccard join: every unordered pair with
     J(gram-set_a, gram-set_b) >= ``threshold`` plus the exact score.
@@ -231,7 +341,22 @@ def ngram_jaccard_join(
     from .joins import semi_join
 
     fps = doc_fingerprints(ds, ngram=ngram, id_col=id_col,
-                           text_col=text_col)
+                           text_col=text_col).materialize()
+
+    # SIZE-ADAPTIVE: the fingerprint table is 24 B/doc — up to ~2.7M
+    # docs it fits the repo's 64 MB broadcast budget (same rule as the
+    # Q5 join planner), and the grouping + expansion run driver-side /
+    # map-side with ZERO extra shuffles. Above it, the fully
+    # distributed co-location path below. Without this, a dup-free
+    # bench corpus paid ~8 s of fixed shuffle cost for nothing.
+    try:
+        fp_bytes = fps.size_bytes()
+    except Exception:
+        fp_bytes = None
+    if fp_bytes is not None and fp_bytes < broadcast_bytes:
+        return _collapse_broadcast(
+            ds, fps, threshold, ngram, id_col, text_col,
+            num_partitions)
 
     def member_body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()

@@ -85,17 +85,24 @@ def test_ngram_jaccard_collapse_matches_core(ray_session):
     ds = ray.data.from_pandas(df).repartition(4)
 
     outs = {}
-    for collapse in (True, False):
+    # broadcast collapse (fp table under budget), forced-distributed
+    # collapse (budget 0), and the direct core join
+    for mode, kw in {
+        "broadcast": dict(collapse_identical=True),
+        "distributed": dict(collapse_identical=True, broadcast_bytes=0),
+        "core": dict(collapse_identical=False),
+    }.items():
         got = ngram_jaccard_join(
             ds, threshold=0.6, ngram=2, num_partitions=4,
-            collapse_identical=collapse).to_pandas()
-        outs[collapse] = {
+            **kw).to_pandas()
+        outs[mode] = {
             (int(r.doc_a), int(r.doc_b), round(float(r.jaccard), 6))
             for r in got.itertuples()
         }
-    assert outs[True] == outs[False] == _brute_pairs(texts, 2, 0.6)
+    brute = _brute_pairs(texts, 2, 0.6)
+    assert outs["broadcast"] == outs["distributed"] == outs["core"] == brute
     # exact duplicates pair at exactly 1.0 through the intra branch
-    assert any(j == 1.0 for (_, _, j) in outs[True])
+    assert any(j == 1.0 for (_, _, j) in outs["broadcast"])
 
 
 def test_doc_fingerprints_identity(ray_session):
