@@ -84,12 +84,19 @@ def grouped_agg(
     sums: list[str] | None = None,
     count_as: str | None = None,
     shuffle_partitions: int = 16,
+    driver_finish_bytes: int = 16 << 20,
 ) -> ray.data.Dataset:
     """Grouped sum/count with map-side combining.
 
     Each batch first collapses to one row per key (partial sums +
-    partial count), then a single ``groupby().aggregate(Sum(...))``
-    runs over the partials — the shuffle carries |keys| rows per
+    partial count). The combined partials are SIZE-ADAPTIVE: under
+    ``driver_finish_bytes`` (the partials are materialized anyway, so
+    the size is exact metadata) the final sum runs driver-side — a
+    low-cardinality aggregate (TPC-H Q1: 4 groups) skips the ~2 s
+    sort-shuffle fixed cost AND the empty sort ranges it produces
+    (blocks > distinct keys -> schema-less empty blocks, the RefBundle
+    executor warnings). Above it, a ``groupby().aggregate(Sum(...))``
+    shuffle over the partials — the shuffle carries |keys| rows per
     batch, not every input row.
     """
     sums = sums or []
@@ -101,14 +108,27 @@ def grouped_agg(
             agg["__n"] = g.size()["size"].values
         return agg
 
-    # coalesce the (small) partials before the sort-based shuffle —
-    # per-block overhead dominates otherwise (see BASELINE.md notes).
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    try:
+        nbytes = partials.size_bytes()
+    except Exception:
+        nbytes = None
+    if nbytes is not None and nbytes < driver_finish_bytes:
+        pdf = partials.to_pandas()
+        out = pdf.groupby(keys, sort=False, as_index=False)[
+            sums + ["__n"]].sum()
+        if count_as is None:
+            out = out.drop(columns=["__n"])
+        else:
+            out = out.rename(columns={"__n": count_as})
+        return ray.data.from_pandas(out)
+
+    # coalesce the (fact-scale) partials before the sort-based shuffle
+    # — per-block overhead dominates otherwise (see BASELINE.md notes).
     # For HIGH-CARDINALITY keys the partials barely shrink: raise
     # shuffle_partitions so blocks stay memory-sized and the shuffle
     # keeps parallelism.
-    partials = ds.map_batches(partial, batch_format="pandas").repartition(
-        shuffle_partitions
-    )
+    partials = partials.repartition(shuffle_partitions)
     from ray.data.aggregate import Sum
 
     aggs = [Sum(c, alias_name=c) for c in sums]
