@@ -2676,6 +2676,28 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
+def _q_ngram_containment_pairs(sf_dir: str):
+    """Exact DIRECTED trigram containment join at t=0.7
+    (stages/setsim.py::ngram_containment_join) — the asymmetric
+    dedup-family member: |A ∩ B| / |A| finds near-SUBSET duplicates
+    (embedded pages, quoted passages, truncated mirrors) that
+    symmetric Jaccard misses when the containing doc is much larger.
+    Probe side prefix-pruned (overlap-constraint AllPairs), index
+    side unpruned by necessity; both directions reported."""
+    from biocypher_metta_ray.stages.setsim import ngram_containment_join
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
+    out = ngram_containment_join(ds, threshold=0.7, ngram=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64"),
+             "doc_b": df["doc_b"].astype("int64"),
+             "containment": df["containment"].round(6)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     """EXACT all-pairs word-TRIGRAM Jaccard join at t=0.6 — the
     prefix-filtered (AllPairs/PPJoin) member of the dedup family
@@ -2928,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "fuzzy_join": _q_fuzzy_join,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "regional_revenue": _q_regional_revenue,
         "global_rank": _q_global_rank,
         "component_sizes": _q_component_sizes,
@@ -4696,6 +4719,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.doc_id = doc_a
             JOIN s sb ON sb.doc_id = doc_b
             WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6
+        """,
+        # directed containment over the same trigram construction:
+        # isect / |A| >= t, both directions, self-pairs excluded
+        "ngram_containment_pairs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                             AS gram
+                  FROM w, unnest(generate_series(1, nw - 2)) AS t(i)),
+            s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS isect
+                  FROM g a JOIN g b
+                    ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(isect * 1.0 / sa.sz, 6) AS containment
+            FROM i
+            JOIN s sa ON sa.doc_id = doc_a
+            WHERE isect * 1.0 / sa.sz >= 0.7
         """,
         "skyline": """
             SELECT p_partkey, p_retailprice, p_size FROM part p

@@ -140,7 +140,7 @@ def partitioned_group_map(
     key_cols: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 32,
-    coalesce: int | None = None,
+    coalesce: int | None | str = "auto",
     autoscale: bool = True,
 ) -> ray.data.Dataset:
     """Run ``fn`` once per hash partition (NOT per group). ``fn``
@@ -156,31 +156,48 @@ def partitioned_group_map(
     whose input is provably bounded, e.g. register-scale sketches).
 
     ``coalesce``: block count to repartition to BEFORE the sort-based
-    groupby — for a stage whose input is a SMALL intermediate spread
-    over many tiny blocks (union outputs, per-band rows); leave None
-    for corpus-scale inputs where the extra pass isn't worth it.
-    The effective count is capped at ``num_partitions // 2``: the
-    groupby's range sort emits one output partition per INPUT BLOCK,
-    and ``__part`` has exactly ``num_partitions`` distinct values, so
-    any pre-sort block count above that guarantees empty ranges —
-    which Ray materializes as schema-less zero-column pandas blocks
-    (the "RefBundle with a different schema" executor warnings; the
-    same class of untyped empty silently dropped pairs in round 2
-    when it came from a group body). Half the distinct-value count
-    keeps every range populated under quantile boundary sampling;
-    per-key work is unchanged (the body still runs once per key's
-    partition), only the merge stage's task count halves — irrelevant
-    at the small-intermediate scale ``coalesce`` is for. Scales up
-    alongside ``num_partitions`` so an autoscaled run never funnels a
-    fact-scale intermediate through a toy block count.
+    groupby. The groupby's range sort emits one output partition per
+    INPUT BLOCK, and ``__part`` has exactly ``num_partitions`` distinct
+    values, so any pre-sort block count above that guarantees empty
+    ranges — which Ray materializes as schema-less zero-column pandas
+    blocks (the "RefBundle with a different schema" executor warnings;
+    the same class of untyped empty silently dropped pairs in round 2
+    when it came from a group body) and as no-op merge tasks. The
+    default ``"auto"`` coalesces to ``num_partitions // 2`` blocks:
+    half the distinct-value count keeps every range populated under
+    quantile boundary sampling, per-key work is unchanged (the body
+    still runs once per key's partition), and the pre-sort pass is a
+    split/merge (no shuffle) whose cost is repaid by the sort not
+    sampling/splitting hundreds of tiny blocks (measured: small
+    intermediates 9 s -> <1 s; corpus-scale bench queries within
+    noise, see BASELINE.md). Explicit ints are capped the same way;
+    ``None`` skips the pass (callers that KNOW their block count is
+    already <= the partition count). Scales up alongside autoscaled
+    ``num_partitions`` so a fact-scale run never funnels through a toy
+    block count: ~2x TARGET_PARTITION_BYTES per merged block.
+
+    Residual executor warnings that are DELIBERATE, not bugs: (a) when
+    the key cardinality itself is below the coalesced block count
+    (e.g. 3-group partials), some sort ranges are empty whatever the
+    block count — the distinct ``__part`` values, not
+    ``num_partitions``, bound the populated ranges, and key
+    cardinality is unknowable pre-execution; (b) the tagged-union join
+    bodies (stages/joins.py) union two sides with different column
+    sets so each side ships only its OWN columns through the shuffle —
+    aligning the schemas to silence the warning would widen every
+    shuffled row with dtype-correct filler for the other side's
+    columns, a real volume cost at scale; the merge-time NaN-fill is
+    restored per partition by ``joins._safe_astype``.
     """
     if autoscale:
         scaled = autoscale_partitions(ds, default=num_partitions)
         if scaled > num_partitions:
-            if coalesce is not None:
+            if coalesce is not None and coalesce != "auto":
                 coalesce = max(coalesce, 2 * scaled)
             num_partitions = scaled
     parted = add_hash_partition(ds, key_cols, num_partitions)
+    if coalesce == "auto":
+        coalesce = num_partitions // 2
     if coalesce:
         parted = parted.repartition(max(1, min(coalesce, num_partitions // 2)))
 

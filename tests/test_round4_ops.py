@@ -51,6 +51,52 @@ CORPUS = {
 }
 
 
+def _brute_containment(texts: dict, ngram: int, t: float) -> set:
+    def grams(s):
+        toks = s.split(" ")
+        return {
+            " ".join(toks[i:i + ngram])
+            for i in range(len(toks) - ngram + 1)
+        } if len(toks) >= ngram else set()
+
+    g = {k: grams(v) for k, v in texts.items()}
+    out = set()
+    for a in sorted(g):
+        for b in sorted(g):
+            if a == b or not g[a] or not g[b]:
+                continue
+            c = len(g[a] & g[b]) / len(g[a])
+            if c >= t:
+                out.add((a, b, round(c, 6)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 1.0])
+def test_ngram_containment_join_exact(ray_session, threshold):
+    """Directed containment output == brute force, including strict
+    subsets (the asymmetric case Jaccard misses), duplicates and hot
+    boilerplate grams."""
+    from biocypher_metta_ray.stages.setsim import ngram_containment_join
+
+    corpus = dict(CORPUS)
+    corpus[11] = "the quick brown fox"           # subset of 1/3/6
+    corpus[12] = "over the lazy dog"             # subset of 1/3/6
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(corpus),
+                      "text": list(corpus.values())})
+    ).repartition(4)
+    got = ngram_containment_join(ds, threshold=threshold, ngram=2,
+                                 num_partitions=4).to_pandas()
+    got_set = {
+        (int(r.doc_a), int(r.doc_b), round(float(r.containment), 6))
+        for r in got.itertuples()
+    }
+    assert got_set == _brute_containment(corpus, 2, threshold)
+    if threshold <= 1.0:
+        # the asymmetric contract: the strict subsets are found
+        assert (11, 1, 1.0) in got_set and (12, 1, 1.0) in got_set
+
+
 @pytest.mark.parametrize("threshold", [0.4, 0.6, 0.9])
 def test_ngram_jaccard_join_exact(ray_session, threshold):
     """The df-ordered prefix filter is candidate-lossless: output ==
