@@ -2757,15 +2757,20 @@ def _q_regional_revenue(sf_dir: str):
     """TPC-H Q5-shaped 6-table composition: 1996 revenue by ASIA
     nation where the supplier and customer share the nation.
     Join strategy is SIZE-ADAPTIVE per side, picked by parquet
-    footprint (the engine's documented broadcast-vs-shuffle rule):
-    region/nation are fixed 5/25-row dims (driver lookup); supplier
-    — the smallest SF-scaled table, 1:600 of lineitem — broadcasts
-    below 64 MB so the biggest fact shuffles ONCE, and falls back to
-    the distributed hash join above it; orders x customer and
-    lineitem x orders stay distributed hash joins (both sides truly
-    fact-scale). Measured at sf0.1x32cpu: 3 distributed joins 17.5 s
-    -> this shape ~10 s (the residual is the two remaining joins'
-    fixed cost at toy scale); partial-combine grouped sum finishes."""
+    footprint or exact materialized bytes (the engine's documented
+    broadcast-vs-shuffle rule, 64 MB budget): region/nation are fixed
+    5/25-row dims (driver lookup); supplier and customer broadcast
+    below the budget; the orders x customer RESULT — 1996 ASIA
+    orders, ~1.5% of orders — is materialized (it feeds the fact
+    join either way), its EXACT size read from metadata, and
+    broadcast into the lineitem map when it fits, so at bench scale
+    the biggest fact never shuffles at all; each side independently
+    falls back to the distributed hash join above budget. Measured
+    at sf0.1x32cpu: 3 distributed joins 17.5 s -> supplier broadcast
+    ~10 s -> all-sides-adaptive ~6.3 s warm (the residual is two
+    serialized small materializations' fixed cost: the orders
+    intermediate and the grouped partials); partial-combine grouped
+    sum finishes."""
     import os as _os
 
     import ray
@@ -2788,12 +2793,7 @@ def _q_regional_revenue(sf_dir: str):
                            nat["n_name"]))
     asia_nations = set(nation_name)
 
-    cust = _rp(sf_dir, "customer",
-               columns=["c_custkey", "c_nationkey"]).map_batches(
-        lambda df: df[df["c_nationkey"].isin(asia_nations)].rename(
-            columns={"c_custkey": "o_custkey"}),
-        batch_format="pandas",
-    )
+    budget = 64 * 2**20
     orders = _rp(sf_dir, "orders",
                  columns=["o_orderkey", "o_custkey",
                           "o_orderdate"]).map_batches(
@@ -2802,8 +2802,25 @@ def _q_regional_revenue(sf_dir: str):
                           ["o_orderkey", "o_custkey"]],
         batch_format="pandas",
     )
-    orders = hash_join(orders, cust, on="o_custkey",
-                       num_partitions=16).map_batches(
+    cust_small = (_os.path.getsize(f"{sf_dir}/customer.parquet")
+                  < budget)
+    if cust_small:
+        cust_df = pd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"])
+        cust_df = cust_df[cust_df["c_nationkey"].isin(asia_nations)]
+        cust_df = cust_df.rename(columns={"c_custkey": "o_custkey"})
+        orders = broadcast_join(orders, cust_df, on="o_custkey")
+    else:
+        cust = _rp(sf_dir, "customer",
+                   columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda df: df[df["c_nationkey"].isin(asia_nations)].rename(
+                columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas",
+        )
+        orders = hash_join(orders, cust, on="o_custkey",
+                           num_partitions=16)
+    orders = orders.map_batches(
         lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})
         [["l_orderkey", "c_nationkey"]],
         batch_format="pandas",
@@ -2836,8 +2853,23 @@ def _q_regional_revenue(sf_dir: str):
             batch_format="pandas",
         )
         li = hash_join(li, supp, on="l_suppkey", num_partitions=16)
-    joined = hash_join(li, orders, on="l_orderkey",
-                       num_partitions=16).map_batches(
+    # the filtered orders x customer result feeds the fact join either
+    # way — materialize it, read its EXACT bytes from block metadata,
+    # and broadcast when it fits (1996 ASIA orders are ~1.5% of the
+    # orders table, so this holds far past bench scale; above budget
+    # the fact-scale distributed join runs instead)
+    orders = orders.materialize()
+    try:
+        o_bytes = orders.size_bytes()
+    except Exception:
+        o_bytes = None
+    if o_bytes is not None and o_bytes < budget:
+        joined = broadcast_join(li, orders.to_pandas(),
+                                on="l_orderkey")
+    else:
+        joined = hash_join(li, orders, on="l_orderkey",
+                           num_partitions=16)
+    joined = joined.map_batches(
         lambda df: df.loc[df["c_nationkey"] == df["s_nationkey"],
                           ["s_nationkey", "rev"]],
         batch_format="pandas",
