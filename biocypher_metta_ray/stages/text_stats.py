@@ -152,12 +152,25 @@ def token_doc_freq(
     Scale shape: a doc is one row, so per-doc DISTINCT tokens are
     exact within the batch (token codes + per-doc segment unique — no
     global distinct pass); per-batch partial df counts then ONE small
-    groupby-sum over the vocabulary. The corpus never shuffles; the
-    vocab table does (bounded by vocab size, not corpus size).
+    merge over the vocabulary via relational.grouped_agg — size-
+    adaptive: a vocab-scale partial table finishes driver-side, a
+    huge vocabulary goes through the coalesced shuffle. (The first
+    cut used the native ``groupby().aggregate(Sum)`` here: fine at 8
+    bench blocks, but at a 40M-doc / 2560-block rehearsal the sort
+    aggregate ground through 2560 x vocab tiny partial rows for
+    20+ minutes — the same many-small-blocks fixed-cost cliff the
+    HLL tree merge fixed in round 3.) The corpus never shuffles;
+    the vocab partials do (bounded by vocab size, not corpus size).
+
+    NOTE: ``ds.count()`` (for idf's N) plus the partial pass execute
+    the input lineage twice — pass a materialized or parquet-backed
+    dataset when the upstream chain is expensive (e.g. html text
+    extraction), as the bench rehearsal does.
     """
     import pandas as pd
     import ray.data  # noqa: F401  (ds is a ray.data.Dataset)
-    from ray.data.aggregate import Sum
+
+    from .relational import grouped_agg
 
     n_docs = ds.count()
 
@@ -182,10 +195,9 @@ def token_doc_freq(
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], sums=["df"],
     )
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
