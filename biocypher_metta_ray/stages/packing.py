@@ -67,12 +67,17 @@ def pack_sequences(
             {"bucket": df[id_col].to_numpy(np.int64) // bw, "n": n}
         )
 
-    from ray.data.aggregate import Sum
+    from .relational import grouped_agg
 
+    # grouped_agg combines map-side (one row per bucket per batch, not
+    # one per DOC) and finishes size-adaptively — the raw native
+    # aggregate here was the same per-row-partials sort cliff that
+    # cost token_doc_freq 25 minutes at the 40M-doc rehearsal
     totals = (
-        ds.map_batches(counts, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_agg(
+            ds.map_batches(counts, batch_format="pandas"),
+            ["bucket"], sums=["n"],
+        )
         .to_pandas()
         .sort_values("bucket")
     )
