@@ -375,6 +375,24 @@ def _q_top_k(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_global_row_number(sf_dir: str):
+    """Global ORDER BY with rank assignment over the whole table —
+    the distributed full-sort query the reference lacks entirely
+    (SURVEY §2.3.7). Sample-sort bucketing + bucketed prefix-sum
+    offsets (stages/relational.py::global_row_number); driver state
+    is O(buckets)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import global_row_number
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_row_number(
+        ds, by=["o_totalprice", "o_orderkey"], ascending=[False, True]
+    )
+
+
 def _q_semi_join(sf_dir: str):
     """Semi join with a FACT-scale key side: the filtered orders keys
     stay a distributed dataset end-to-end (hash-partitioned semi join,
@@ -3102,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "skyline": _q_skyline,
         "markov_transitions": _q_markov_transitions,
+        "global_row_number": _q_global_row_number,
     }
 
 
@@ -4833,6 +4852,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev AS prev_type, event_type AS next_type,
                    count(*) AS n
             FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "global_row_number": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS BIGINT) AS rn
+            FROM orders
         """,
     }
     # derived: component-size distribution over the kg_components

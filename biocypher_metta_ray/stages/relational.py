@@ -970,3 +970,86 @@ def skyline(
     return partial.repartition(1).map_batches(
         frontier, batch_format="pandas"
     )
+
+
+def global_row_number(
+    ds: ray.data.Dataset,
+    by: list[str],
+    ascending: list[bool] | None = None,
+    rn_col: str = "rn",
+    num_buckets: int = 32,
+    sample_per_block: int = 16,
+) -> ray.data.Dataset:
+    """Global ``row_number() OVER (ORDER BY by...)`` — a distributed
+    full ORDER BY with rank assignment (the reference has no global
+    sort at all, SURVEY §2.3.7; this is the engine-side closure).
+
+    Ray-Data-first sample sort with bucketed prefix sums (the
+    stages/packing.py offset pattern, applied to ranks):
+
+    1. probe each block for ``sample_per_block`` positional quantiles
+       of the LEADING key (bounded: blocks x probes rows ever reach
+       the driver, works for any orderable dtype incl. strings),
+    2. bucket every row with ``np.searchsorted(boundaries, v)`` —
+       equal leading-key values always share a bucket, so composite
+       tiebreaks never straddle a boundary,
+    3. per-bucket counts through :func:`grouped_agg` (map-side
+       combine; the shuffle carries bucket-scale rows),
+    4. the driver prefix-sums the <= ``num_buckets`` totals in sort
+       direction — O(buckets) driver state, broadcast in the closure,
+    5. one :func:`~..skew.partitioned_group_map` co-locates each
+       bucket, sorts it by the FULL composite, and adds its offset.
+
+    ``by`` must be a unique composite (add a tiebreak column) for the
+    numbering to be deterministic. Skew bound: a bucket holds at
+    least every duplicate of one leading value — the same caveat as
+    any range-partitioned sort.
+    """
+    from .skew import autoscale_partitions, partitioned_group_map
+
+    ascending = ascending if ascending is not None else [True] * len(by)
+    lead, lead_asc = by[0], bool(ascending[0])
+    num_buckets = autoscale_partitions(ds, num_buckets)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[lead].dropna().to_numpy()
+        if v.size == 0:
+            return pd.DataFrame({lead: batch[lead].iloc[:0]})
+        v = np.sort(v)
+        idx = np.linspace(0, v.size - 1, sample_per_block).astype(np.int64)
+        return pd.DataFrame({lead: v[idx]})
+
+    samp = ds.map_batches(probe, batch_format="pandas").take_all()
+    vals = np.sort(np.unique(np.array([r[lead] for r in samp])))
+    if vals.size > num_buckets - 1 > 0:
+        pick = np.linspace(0, vals.size - 1, num_buckets - 1).astype(np.int64)
+        vals = np.unique(vals[pick])
+    boundaries = vals
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bkt"] = np.searchsorted(
+            boundaries, batch[lead].to_numpy(), side="right"
+        ).astype(np.int64)
+        return batch
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    counts = grouped_agg(tagged, ["__bkt"], count_as="__n").to_pandas()
+    counts = counts.sort_values("__bkt", ascending=lead_asc)
+    offs = counts["__n"].cumsum().shift(1, fill_value=0).to_numpy()
+    offsets = dict(zip(counts["__bkt"].to_numpy(), offs))
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.drop(columns=["__bkt"])
+            out[rn_col] = pd.Series([], dtype="int64")
+            return out
+        parts = []
+        for bkt, g in df.groupby("__bkt", sort=False):
+            g = g.sort_values(by, ascending=ascending, kind="mergesort")
+            g = g.drop(columns=["__bkt"])
+            g[rn_col] = np.arange(1, len(g) + 1) + int(offsets[bkt])
+            parts.append(g)
+        return pd.concat(parts, ignore_index=True)
+
+    return partitioned_group_map(tagged, ["__bkt"], body, num_buckets)

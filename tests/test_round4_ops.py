@@ -287,3 +287,47 @@ def test_grouped_mad_matches_pandas(ray_session):
     np.testing.assert_allclose(got["mad"], exp_mad.loc[got["k"]], atol=0)
     # the outlier group: mad is robust (not dragged by the 1000)
     assert got.loc[got["k"] == "c", "mad"].iloc[0] <= 3.0
+
+
+# ---------------------------------------------------------------------------
+# global_row_number: distributed full ORDER BY with rank assignment
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_pandas(ray_session):
+    from biocypher_metta_ray.stages.relational import global_row_number
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": np.arange(5000, dtype=np.int64),
+        # heavy duplication in the leading key: forces composite
+        # tiebreaks and equal-value bucket co-location
+        "v": rng.integers(0, 40, 5000).astype(np.float64),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        global_row_number(ds, by=["v", "k"], ascending=[False, True],
+                          num_buckets=6)
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    exp = df.sort_values(["v", "k"], ascending=[False, True]).reset_index(
+        drop=True)
+    assert out["rn"].tolist() == list(range(1, 5001))
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert out["rn"].dtype == np.int64
+
+
+def test_global_row_number_string_key(ray_session):
+    from biocypher_metta_ray.stages.relational import global_row_number
+
+    df = pd.DataFrame({
+        "name": [f"user_{i % 17:02d}" for i in range(300)],
+        "uid": np.arange(300, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        global_row_number(ds, by=["name", "uid"], num_buckets=5)
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    exp = df.sort_values(["name", "uid"]).reset_index(drop=True)
+    assert out["uid"].tolist() == exp["uid"].tolist()
