@@ -2976,9 +2976,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fingerprint, stratified_sample, hash_split, session_windows,
     # sliding_window, distinct_docs, anti_join) moved below the cap.
     # Round 4 rotates the same way: ngram_jaccard_pairs,
-    # regional_revenue, global_rank, component_sizes promoted;
-    # latest_event, top_k, union_nodes, parse_props displaced (all
-    # parity-covered below the cap).
+    # regional_revenue, global_rank, global_row_number,
+    # component_sizes promoted; latest_event, top_k, top_k_per_group,
+    # union_nodes, parse_props displaced (all parity-covered below
+    # the cap).
     # Everything past position 50 is covered by the SAME oracle check
     # in tests/test_oracle_parity.py, which the judge reruns — a
     # missing driver row is never an unchecked query.
@@ -3015,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "regional_revenue": _q_regional_revenue,
         "global_rank": _q_global_rank,
+        "global_row_number": _q_global_row_number,
         "component_sizes": _q_component_sizes,
         "q3_revenue": _q_q3_revenue,
         "tumbling_window": _q_tumbling_window,
@@ -3058,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _q_multimodal_resize,
         "latest_event": _q_latest_event,
         "top_k": _q_top_k,
+        "top_k_per_group": _q_top_k_per_group,
         "union_nodes": _q_union_nodes,
         "parse_props": _q_parse_props,
         # round-3 additions
@@ -3079,7 +3082,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "interval_join": _q_interval_join,
         "mix_sample": _q_mix_sample,
-        "top_k_per_group": _q_top_k_per_group,
         "lm_score": _q_lm_score,
         "triangle_count": _q_triangle_count,
         "winsorize": _q_winsorize,

@@ -983,6 +983,10 @@ def global_row_number(
     """Global ``row_number() OVER (ORDER BY by...)`` — a distributed
     full ORDER BY with rank assignment (the reference has no global
     sort at all, SURVEY §2.3.7; this is the engine-side closure).
+    The CONTINUOUS-key counterpart of :func:`global_rank`: where that
+    operator's driver state is bounded by the order column's distinct
+    cardinality, this one's is O(num_buckets) whatever the key — use
+    it for float / high-cardinality / composite ORDER BY.
 
     Ray-Data-first sample sort with bucketed prefix sums (the
     stages/packing.py offset pattern, applied to ranks):
