@@ -268,8 +268,14 @@ def semantic_dedup(
             )
         return pd.concat(outs, ignore_index=True)
 
+    # The group key has exactly k distinct values, so any partition
+    # count above k is provably empty ranges (the schema-less
+    # RefBundle warnings); autoscale can't help for the same reason.
+    # Per-partition memory is bounded by the largest cluster either
+    # way — that bound is the SemDedup contract (pick k ~ n / target).
     return partitioned_group_map(
-        carried, ["cluster"], prune, num_partitions
+        carried, ["cluster"], prune,
+        num_partitions=min(num_partitions, k), autoscale=False,
     )
 
 
