@@ -2610,6 +2610,21 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(edges, src="subj", dst="obj")
 
 
+def _q_neighbor_similarity(sf_dir: str):
+    """Per-edge link-prediction scores (common neighbors, neighbor
+    Jaccard, Adamic-Adar) over the canonical KG edge list
+    (stages/graph.py::neighbor_similarity — triangle-credit wedge
+    join on the same O(m^1.5) oriented machinery as
+    triangle_count)."""
+    from biocypher_metta_ray.stages.graph import neighbor_similarity
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    return neighbor_similarity(edges, src="subj", dst="obj")
+
+
 def _q_lm_score(sf_dir: str):
     """Self-trained add-alpha bigram LM perplexity scoring over the
     documents corpus (stages/lm.py — the CCNet-style quality filter:
@@ -3123,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "markov_transitions": _q_markov_transitions,
         "global_row_number": _q_global_row_number,
+        "neighbor_similarity": _q_neighbor_similarity,
     }
 
 
@@ -4215,6 +4231,45 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.v
             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # a common neighbor of an edge is a triangle through it;
+        # jaccard denominator by inclusion-exclusion on a simple
+        # graph; AA log never vanishes (a common neighbor has
+        # degree >= 2). round-6 = the repo float-parity convention
+        "neighbor_similarity": f"""
+            WITH t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            e AS (SELECT DISTINCT least(subj, obj) AS u,
+                                  greatest(subj, obj) AS v
+                  FROM ce WHERE subj <> obj),
+            adj AS (SELECT u AS node, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM adj GROUP BY 1),
+            cn AS (SELECT e.u, e.v, a1.nbr AS w
+                   FROM e
+                   JOIN adj a1 ON a1.node = e.u
+                   JOIN adj a2 ON a2.node = e.v AND a2.nbr = a1.nbr),
+            cns AS (SELECT cn.u, cn.v,
+                           CAST(count(*) AS BIGINT) AS common,
+                           sum(1.0 / ln(dw.d)) AS aa
+                    FROM cn JOIN deg dw ON dw.node = cn.w
+                    GROUP BY 1, 2)
+            SELECT e.u, e.v,
+                   CAST(coalesce(cns.common, 0) AS BIGINT)
+                       AS common_neighbors,
+                   round(CAST(coalesce(cns.common, 0) AS DOUBLE)
+                         / (du.d + dv.d - coalesce(cns.common, 0)), 6)
+                       AS jaccard,
+                   round(coalesce(cns.aa, 0.0), 6) AS adamic_adar
+            FROM e
+            JOIN deg du ON du.node = e.u
+            JOIN deg dv ON dv.node = e.v
+            LEFT JOIN cns ON cns.u = e.u AND cns.v = e.v
         """,
         # quantile_cont == numpy/pandas linear interpolation (the
         # grouped_quantiles parity contract)

@@ -206,26 +206,25 @@ def pagerank(
     )
 
 
-def triangle_count(
+def _oriented_graph(
     edges: ray.data.Dataset,
-    src: str = "src",
-    dst: str = "dst",
-    num_partitions: int = 16,
-) -> pd.DataFrame:
-    """Exact triangle count of the UNDIRECTED simple graph underlying
-    an edge Dataset (direction and multiplicity collapsed, self-loops
-    dropped). Returns a one-row frame ``(n_triangles)``.
+    src: str,
+    dst: str,
+    num_partitions: int,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, object]:
+    """Shared front half of the wedge-join family (triangle count,
+    per-edge neighbor similarity): collapse an edge Dataset to the
+    canonical UNDIRECTED simple graph, attach both endpoint degrees,
+    and orient every edge from its lower-``(degree, node)`` endpoint
+    to the higher — each node's oriented out-degree is O(sqrt(m)), so
+    downstream wedge emission is bounded at O(m^1.5) even on a
+    power-law graph whose raw hub degrees would make naive
+    neighbor-pairing quadratic.
 
-    Degree-oriented wedge join (the standard distributed shape): every
-    edge is oriented from its lower-``(degree, node)`` endpoint to the
-    higher, so each triangle is counted exactly once from its
-    smallest-key vertex and — the scale property — every node's
-    oriented out-degree is O(sqrt(m)), bounding wedge emission at
-    O(m^1.5) total even on a power-law graph whose raw hub degrees
-    would make naive neighbor-pairing quadratic. Three bounded
-    shuffles (attach degree to each endpoint, co-locate wedges with
-    closing edges); per-partition counts sum on the driver (one int
-    per partition).
+    Returns ``(oriented, with_deg, ntype)``: ``oriented`` rows are
+    ``(s, d, ds, dd)`` (both degrees carried so callers can credit
+    third-vertex weights), ``with_deg`` is the canonical edge list
+    ``(u, v, du, dv)`` with ``u < v``, and ``ntype`` the node dtype.
     """
     from .joins import _pd_dtypes
 
@@ -259,7 +258,7 @@ def triangle_count(
         coalesce=2 * num_partitions,
     )
 
-    def attach(col, out):
+    def attach(col, out, ecols):
         def tag_e(df):
             df = df.copy()
             df["__side"] = "E"
@@ -271,9 +270,12 @@ def triangle_count(
             )
 
         def body(g):
-            e = g[g["__side"] == "E"].drop(columns=["__side", out],
-                                           errors="ignore")
-            d = g[g["__side"] == "D"][[col, out]]
+            # reindex, not column-select: a group whose range block
+            # came entirely from the degree side (a node that only
+            # ever appears on the OTHER endpoint) lacks the edge
+            # columns outright
+            e = g[g["__side"] == "E"].reindex(columns=ecols)
+            d = g[g["__side"] == "D"].reindex(columns=[col, out])
             d = d.dropna(subset=[col])
             d[out] = d[out].astype("int64")
             m = e.merge(d, on=col)
@@ -288,14 +290,14 @@ def triangle_count(
 
         return tag_e, tag_d, body
 
-    e1t, d1t, b1 = attach("u", "du")
+    e1t, d1t, b1 = attach("u", "du", ["u", "v"])
     with_du = partitioned_group_map(
         und.map_batches(e1t, batch_format="pandas").union(
             deg.map_batches(d1t, batch_format="pandas")
         ),
         ["u"], b1, num_partitions, coalesce=2 * num_partitions,
     )
-    e2t, d2t, b2 = attach("v", "dv")
+    e2t, d2t, b2 = attach("v", "dv", ["u", "v", "du"])
     with_deg = partitioned_group_map(
         with_du.map_batches(e2t, batch_format="pandas").union(
             deg.map_batches(d2t, batch_format="pandas")
@@ -314,11 +316,39 @@ def triangle_count(
             {
                 "s": np.where(u_first, df["u"], df["v"]),
                 "d": np.where(u_first, df["v"], df["u"]),
+                "ds": np.where(u_first, df["du"], df["dv"]).astype("int64"),
                 "dd": np.where(u_first, df["dv"], df["du"]).astype("int64"),
             }
         )
 
     oriented = with_deg.map_batches(orient, batch_format="pandas")
+    return oriented, with_deg, ntype
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    an edge Dataset (direction and multiplicity collapsed, self-loops
+    dropped). Returns a one-row frame ``(n_triangles)``.
+
+    Degree-oriented wedge join (the standard distributed shape): every
+    edge is oriented from its lower-``(degree, node)`` endpoint to the
+    higher, so each triangle is counted exactly once from its
+    smallest-key vertex and — the scale property — every node's
+    oriented out-degree is O(sqrt(m)), bounding wedge emission at
+    O(m^1.5) total even on a power-law graph whose raw hub degrees
+    would make naive neighbor-pairing quadratic. Three bounded
+    shuffles (attach degree to each endpoint, co-locate wedges with
+    closing edges); per-partition counts sum on the driver (one int
+    per partition).
+    """
+    oriented, _with_deg, _ntype = _oriented_graph(
+        edges, src, dst, num_partitions
+    )
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -365,6 +395,158 @@ def triangle_count(
         ["w1", "w2"], close, num_partitions,
     ).to_pandas()
     return pd.DataFrame({"n_triangles": [np.int64(parts["n"].sum())]})
+
+
+def neighbor_similarity(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-edge link-prediction scores over the undirected simple
+    graph: for every canonical edge ``(u < v)`` the common-neighbor
+    count, neighbor-set Jaccard ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|``
+    (``= common / (deg(u) + deg(v) - common)`` by inclusion-exclusion
+    on a simple graph) and Adamic-Adar ``Σ_w 1 / ln(deg(w))`` over the
+    common neighbors ``w`` (every such ``w`` touches both endpoints,
+    so ``deg(w) >= 2`` and the log never vanishes). The standard KG
+    entity-dedup / missing-edge prior (Liben-Nowell & Kleinberg 2003).
+
+    Scale shape: a common neighbor of an EDGE is exactly a triangle
+    through it, so this rides :func:`_oriented_graph`'s degree-
+    oriented wedge join — O(m^1.5) wedge bound, no hub blowup. Each
+    closed triangle emits three credit rows (each edge credited with
+    the third vertex's ``1/ln(deg)``); credits aggregate per edge in
+    one bounded co-location and left-join back onto the degree-
+    carrying edge list, so triangle-free edges score zeros. Floats
+    round to 6 (the repo's oracle-parity convention).
+    """
+    oriented, with_deg, ntype = _oriented_graph(
+        edges, src, dst, num_partitions
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, grp in g.groupby("s", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            grp = grp.sort_values(["dd", "d"], kind="mergesort")
+            nb = grp["d"].to_numpy()
+            nd = grp["dd"].to_numpy()
+            dc = np.int64(grp["ds"].iloc[0])
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({
+                "w1": nb[i], "w2": nb[j],
+                "dw1": nd[i], "dw2": nd[j],
+                "c": s, "dc": dc,
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "w1": g["d"].iloc[:0], "w2": g["d"].iloc[:0],
+                "dw1": pd.Series([], dtype="int64"),
+                "dw2": pd.Series([], dtype="int64"),
+                "c": g["s"].iloc[:0],
+                "dc": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    w = partitioned_group_map(oriented, ["s"], wedges, num_partitions)
+
+    def tag_w(df):
+        df = df.copy()
+        df["__side"] = "W"
+        return df
+
+    def tag_close(df):
+        return df.rename(columns={"s": "w1", "d": "w2"})[["w1", "w2"]].assign(
+            __side="C"
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        closing = g[g["__side"] == "C"].reindex(
+            columns=["w1", "w2"]).dropna(subset=["w1"]).drop_duplicates()
+        ww = g[g["__side"] == "W"].reindex(
+            columns=["w1", "w2", "dw1", "dw2", "c", "dc"])
+        # undo the union-concat NaN-fill upcast on the one-sided
+        # center column: a float64 node id would poison the credit
+        # keys' hash partitioning downstream (joins._pd_dtypes class)
+        ww["c"] = ww["c"].astype(ntype)
+        tri = ww.merge(closing, on=["w1", "w2"])
+        if tri.empty:
+            return pd.DataFrame({
+                "u": g["w1"].iloc[:0].astype(ntype),
+                "v": g["w1"].iloc[:0].astype(ntype),
+                "inv": pd.Series([], dtype="float64"),
+            })
+        w1 = tri["w1"].to_numpy()
+        w2 = tri["w2"].to_numpy()
+        c = tri["c"].to_numpy()
+        dw1 = tri["dw1"].to_numpy(dtype=np.float64)
+        dw2 = tri["dw2"].to_numpy(dtype=np.float64)
+        dc = tri["dc"].to_numpy(dtype=np.float64)
+        # one triangle (c, w1, w2) credits all three of its edges
+        # with the THIRD vertex's inverse-log degree
+        return pd.DataFrame({
+            "u": np.concatenate([np.minimum(w1, w2), np.minimum(c, w1),
+                                 np.minimum(c, w2)]),
+            "v": np.concatenate([np.maximum(w1, w2), np.maximum(c, w1),
+                                 np.maximum(c, w2)]),
+            "inv": np.concatenate([1.0 / np.log(dc), 1.0 / np.log(dw2),
+                                   1.0 / np.log(dw1)]),
+        })
+
+    credits = partitioned_group_map(
+        w.map_batches(tag_w, batch_format="pandas").union(
+            oriented.map_batches(tag_close, batch_format="pandas")
+        ),
+        ["w1", "w2"], close, num_partitions,
+    )
+
+    def agg_body(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["u", "v"], sort=False).agg(
+            common=("inv", "size"), aa=("inv", "sum")
+        ).reset_index()
+        a["common"] = a["common"].astype("int64")
+        return a
+
+    creds = partitioned_group_map(credits, ["u", "v"], agg_body,
+                                  num_partitions)
+
+    def tag_e(df):
+        df = df.copy()
+        df["__side"] = "E"
+        return df
+
+    def tag_s(df):
+        df = df.copy()
+        df["__side"] = "S"
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__side"] == "E"].reindex(columns=["u", "v", "du", "dv"])
+        for col, dt in (("u", ntype), ("v", ntype),
+                        ("du", "int64"), ("dv", "int64")):
+            e[col] = e[col].astype(dt)
+        s = g[g["__side"] == "S"].reindex(columns=["u", "v", "common", "aa"])
+        for col in ("u", "v"):
+            s[col] = s[col].astype(ntype)
+        m = e.merge(s, on=["u", "v"], how="left")
+        common = m["common"].fillna(0).astype("int64")
+        denom = (m["du"] + m["dv"] - common).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "u": m["u"], "v": m["v"],
+            "common_neighbors": common,
+            "jaccard": np.round(common.to_numpy(np.float64) / denom, 6),
+            "adamic_adar": m["aa"].fillna(0.0).round(6).astype("float64"),
+        })
+
+    return partitioned_group_map(
+        with_deg.map_batches(tag_e, batch_format="pandas").union(
+            creds.map_batches(tag_s, batch_format="pandas")
+        ),
+        ["u", "v"], final, num_partitions,
+    )
 
 
 def bfs_distances(

@@ -331,3 +331,46 @@ def test_global_row_number_string_key(ray_session):
     )
     exp = df.sort_values(["name", "uid"]).reset_index(drop=True)
     assert out["uid"].tolist() == exp["uid"].tolist()
+
+
+def test_neighbor_similarity_known_graph(ray_session):
+    """Square 1-2-3-4 plus diagonal 1-3 (duplicate + reversed input
+    rows must collapse). Hand-computed: edge (1,3) has common
+    neighbors {2,4}, jaccard 2/(3+3-2)=0.5, AA=2/ln2; every other
+    edge has one common neighbor of degree 3 -> AA=1/ln3."""
+    from biocypher_metta_ray.stages.graph import neighbor_similarity
+
+    edges = pd.DataFrame({"src": [1, 2, 3, 4, 1, 3, 1],
+                          "dst": [2, 3, 4, 1, 3, 1, 2]})
+    out = (
+        neighbor_similarity(ray.data.from_pandas(edges),
+                            src="src", dst="dst")
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    assert out["u"].tolist() == [1, 1, 1, 2, 3]
+    assert out["v"].tolist() == [2, 3, 4, 3, 4]
+    assert out["common_neighbors"].tolist() == [1, 2, 1, 1, 1]
+    assert out["jaccard"].tolist() == [0.25, 0.5, 0.25, 0.25, 0.25]
+    aa3 = round(1 / math.log(3), 6)
+    aa2 = round(2 / math.log(2), 6)
+    assert out["adamic_adar"].tolist() == [aa3, aa2, aa3, aa3, aa3]
+    # int node ids must survive the tagged unions (the NaN-upcast
+    # silent-drop class)
+    assert out["u"].dtype == np.int64
+
+
+def test_neighbor_similarity_triangle_free(ray_session):
+    """A path graph has edges but zero triangles: every edge scores
+    zeros (the left-join-back contract), nothing is dropped."""
+    from biocypher_metta_ray.stages.graph import neighbor_similarity
+
+    edges = pd.DataFrame({"src": [10, 20, 30], "dst": [20, 30, 40]})
+    out = (
+        neighbor_similarity(ray.data.from_pandas(edges),
+                            src="src", dst="dst")
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["common_neighbors"].tolist() == [0, 0, 0]
+    assert out["jaccard"].tolist() == [0.0, 0.0, 0.0]
+    assert out["adamic_adar"].tolist() == [0.0, 0.0, 0.0]
