@@ -2625,6 +2625,19 @@ def _q_neighbor_similarity(sf_dir: str):
     return neighbor_similarity(edges, src="subj", dst="obj")
 
 
+def _q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient of the canonical KG
+    (stages/graph.py::clustering_coefficient — vertex-credit wedge
+    join; separates tight co-mention cliques from star hubs)."""
+    from biocypher_metta_ray.stages.graph import clustering_coefficient
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    return clustering_coefficient(edges, src="subj", dst="obj")
+
+
 def _q_lm_score(sf_dir: str):
     """Self-trained add-alpha bigram LM perplexity scoring over the
     documents corpus (stages/lm.py — the CCNet-style quality filter:
@@ -3139,6 +3152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": _q_markov_transitions,
         "global_row_number": _q_global_row_number,
         "neighbor_similarity": _q_neighbor_similarity,
+        "clustering_coefficient": _q_clustering_coefficient,
     }
 
 
@@ -4270,6 +4284,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg du ON du.node = e.u
             JOIN deg dv ON dv.node = e.v
             LEFT JOIN cns ON cns.u = e.u AND cns.v = e.v
+        """,
+        # each triangle credits its three vertices once;
+        # coeff = 2t / (d(d-1)), 0 below degree 2
+        "clustering_coefficient": f"""
+            WITH t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            e AS (SELECT DISTINCT least(subj, obj) AS u,
+                                  greatest(subj, obj) AS v
+                  FROM ce WHERE subj <> obj),
+            adj AS (SELECT u AS node, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM adj GROUP BY 1),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS tt
+                     FROM (SELECT a AS node FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY 1)
+            SELECT deg.node, deg.d AS degree,
+                   CAST(coalesce(ntri.tt, 0) AS BIGINT) AS triangles,
+                   round(CASE WHEN deg.d >= 2
+                              THEN 2.0 * coalesce(ntri.tt, 0)
+                                   / (deg.d * (deg.d - 1))
+                              ELSE 0.0 END, 6) AS coeff
+            FROM deg LEFT JOIN ntri USING (node)
         """,
         # quantile_cont == numpy/pandas linear interpolation (the
         # grouped_quantiles parity contract)

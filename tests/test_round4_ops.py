@@ -374,3 +374,31 @@ def test_neighbor_similarity_triangle_free(ray_session):
     assert out["common_neighbors"].tolist() == [0, 0, 0]
     assert out["jaccard"].tolist() == [0.0, 0.0, 0.0]
     assert out["adamic_adar"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_clustering_coefficient_known_graph(ray_session):
+    """Square + diagonal: the diagonal endpoints (degree 3, 2
+    triangles) score 2*2/(3*2)=2/3; the off-diagonal corners
+    (degree 2, 1 triangle) are fully clustered at 1.0."""
+    from biocypher_metta_ray.stages.graph import clustering_coefficient
+
+    edges = pd.DataFrame({"src": [1, 2, 3, 4, 1],
+                          "dst": [2, 3, 4, 1, 3]})
+    out = (
+        clustering_coefficient(ray.data.from_pandas(edges),
+                               src="src", dst="dst")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [1, 2, 3, 4]
+    assert out["degree"].tolist() == [3, 2, 3, 2]
+    assert out["triangles"].tolist() == [2, 1, 2, 1]
+    assert out["coeff"].tolist() == [0.666667, 1.0, 0.666667, 1.0]
+    # a star has edges but no triangles: centre and leaves all zero
+    star = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+    s = (
+        clustering_coefficient(ray.data.from_pandas(star),
+                               src="src", dst="dst")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert s["triangles"].tolist() == [0, 0, 0, 0]
+    assert s["coeff"].tolist() == [0.0, 0.0, 0.0, 0.0]
