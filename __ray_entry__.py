@@ -2638,6 +2638,51 @@ def _q_clustering_coefficient(sf_dir: str):
     return clustering_coefficient(edges, src="subj", dst="obj")
 
 
+def _q_kg_proximity(sf_dir: str):
+    """Association proximity from the lexicographic-min entity:
+    weighted bounded-sweep shortest paths where edge cost =
+    1 / total co-occurrence count (stages/graph.py::sssp_distances —
+    Bellman-Ford sweeps on the pagerank materialize-once edge
+    contract). Strongly co-mentioned chains beat short weak ones."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.graph import sssp_distances
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    raw = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df.rename(columns={"subj": "src", "obj": "dst"})
+        [["src", "dst", "n_mentions"]],
+        batch_format="pandas",
+    )
+    # total co-occurrence per directed pair (summed over predicates),
+    # cost = 1/total — same weight base as pagerank_weighted
+    cost = grouped_agg(raw, ["src", "dst"], sums=["n_mentions"]).map_batches(
+        lambda df: pd.DataFrame({
+            "src": df["src"], "dst": df["dst"],
+            "w": 1.0 / df["n_mentions"].to_numpy(dtype=np.float64),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    # seed = global min node id: per-block partial min, driver reduce
+    mins = cost.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [min(df["src"].min(), df["dst"].min())]}
+        )
+        if len(df)
+        else pd.DataFrame({"m": pd.Series([], dtype="object")}),
+        batch_format="pandas",
+    ).to_pandas()
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": [mins["m"].min()]})
+    )
+    out = sssp_distances(cost, seeds, weight_col="w", sweeps=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].astype(str),
+                                 "dist": df["dist"]}),
+        batch_format="pandas",
+    )
+
+
 def _q_lm_score(sf_dir: str):
     """Self-trained add-alpha bigram LM perplexity scoring over the
     documents corpus (stages/lm.py — the CCNet-style quality filter:
@@ -3153,6 +3198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_row_number": _q_global_row_number,
         "neighbor_similarity": _q_neighbor_similarity,
         "clustering_coefficient": _q_clustering_coefficient,
+        "kg_proximity": _q_kg_proximity,
     }
 
 
@@ -4317,6 +4363,50 @@ def oracle_sql() -> dict[str, str]:
                                    / (deg.d * (deg.d - 1))
                               ELSE 0.0 END, 6) AS coeff
             FROM deg LEFT JOIN ntri USING (node)
+        """,
+        # weighted bounded-sweep shortest paths, cost = 1 / total
+        # co-occurrence per directed pair (pagerank_weighted's weight
+        # base), undirected min-cost collapse; d_k = min(d_{k-1},
+        # min over edges(d_{k-1}(u) + w)) unrolled 4 sweeps — the
+        # exact recurrence sssp_distances runs, so float folds agree
+        "kg_proximity": f"""
+            WITH t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj,
+                          CAST(count(*) AS DOUBLE) AS w
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            ew AS (SELECT u, v, min(c) AS w FROM (
+                       SELECT subj AS u, obj AS v, 1.0 / w AS c FROM ce
+                       UNION ALL
+                       SELECT obj, subj, 1.0 / w FROM ce)
+                   GROUP BY 1, 2),
+            seed AS (SELECT min(node) AS s FROM
+                     (SELECT subj AS node FROM ce
+                      UNION SELECT obj FROM ce)),
+            d0 AS (SELECT s AS node, 0.0 AS dist FROM seed),
+            d1 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d0
+                       UNION ALL
+                       SELECT ew.v, d0.dist + ew.w FROM ew
+                       JOIN d0 ON ew.u = d0.node) GROUP BY 1),
+            d2 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d1
+                       UNION ALL
+                       SELECT ew.v, d1.dist + ew.w FROM ew
+                       JOIN d1 ON ew.u = d1.node) GROUP BY 1),
+            d3 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d2
+                       UNION ALL
+                       SELECT ew.v, d2.dist + ew.w FROM ew
+                       JOIN d2 ON ew.u = d2.node) GROUP BY 1),
+            d4 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d3
+                       UNION ALL
+                       SELECT ew.v, d3.dist + ew.w FROM ew
+                       JOIN d3 ON ew.u = d3.node) GROUP BY 1)
+            SELECT node, round(dist, 6) AS dist FROM d4
         """,
         # quantile_cont == numpy/pandas linear interpolation (the
         # grouped_quantiles parity contract)

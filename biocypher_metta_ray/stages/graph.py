@@ -667,6 +667,119 @@ def clustering_coefficient(
     )
 
 
+def sssp_distances(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    weight_col: str | None = None,
+    sweeps: int = 4,
+    directed: bool = False,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """WEIGHTED bounded-sweep shortest paths (Bellman-Ford): distance
+    of every node reachable from the seed set within ``sweeps`` edges,
+    minimizing summed edge cost (``weight_col``; 1.0 per edge when
+    None, which degrades to hop-count BFS). On a mention-weighted KG
+    with cost = 1/co-occurrence this is association proximity — the
+    "how tightly is X tied to the seed entity" query hop-count BFS
+    cannot answer. Parallel edges collapse to their MINIMUM cost.
+
+    Scale shape per sweep (the pagerank contract): the cost-collapsed
+    edge table is built ONCE and materialized; each sweep is one
+    edge-keyed bounded co-location (edges x current distances on the
+    source) emitting per-partition MIN partials, then one node-scale
+    min-merge against the previous distances, materialized so sweep k
+    never recomputes sweeps 1..k-1. Fixed ``sweeps`` (no early exit)
+    so the SQL oracle is the same unrolled chain. min() is
+    order-independent and each path's cost folds left along the
+    sweep, so results are float-deterministic; rounded to 6 on
+    output by convention. Returns ``(node, dist)`` — nodes beyond
+    ``sweeps`` edges are absent.
+    """
+    from .joins import _pd_dtypes
+
+    ntype = _pd_dtypes(edges.select_columns([src]))[src]
+
+    def to_cost(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df[weight_col].to_numpy(dtype=np.float64) if weight_col
+             else np.ones(len(df), dtype=np.float64))
+        out = pd.DataFrame({"u": df[src], "v": df[dst], "w": w})
+        if not directed:
+            out = pd.concat(
+                [out, pd.DataFrame({"u": df[dst], "v": df[src], "w": w})],
+                ignore_index=True,
+            )
+        return out
+
+    ew = partitioned_group_map(
+        edges.map_batches(to_cost, batch_format="pandas"),
+        ["u"],
+        lambda g: g.groupby(["u", "v"], sort=False)["w"].min().reset_index(),
+        num_partitions,
+    ).materialize()
+
+    dists = seeds.map_batches(
+        lambda df: pd.DataFrame({"node": df[seed_col],
+                                 "dist": np.float64(0.0)}),
+        batch_format="pandas",
+    ).materialize()
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+
+        return fn
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__side"] == "E"].reindex(columns=["u", "v", "w"])
+        r = g[g["__side"] == "R"].reindex(columns=["u", "dist"]).dropna(
+            subset=["u"])
+        m = e.merge(r, on="u")
+        if m.empty:
+            return pd.DataFrame({
+                "node": e["v"].iloc[:0].astype(ntype),
+                "dist": pd.Series([], dtype="float64"),
+            })
+        cand = m["dist"].to_numpy(np.float64) + m["w"].to_numpy(np.float64)
+        # per-partition min partial before the node-scale merge
+        out = (
+            pd.DataFrame({"node": m["v"], "dist": cand})
+            .groupby("node", sort=False)["dist"].min().reset_index()
+        )
+        out["node"] = out["node"].astype(ntype)
+        return out
+
+    def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reindex(columns=["node", "dist"])
+        out = g.groupby("node", sort=False)["dist"].min().reset_index()
+        out["node"] = out["node"].astype(ntype)
+        return out
+
+    for _ in range(sweeps):
+        both = ew.map_batches(tag("E"), batch_format="pandas").union(
+            dists.map_batches(
+                lambda df: df.rename(columns={"node": "u"})[["u", "dist"]]
+                .assign(__side="R"),
+                batch_format="pandas",
+            )
+        )
+        cands = partitioned_group_map(both, ["u"], relax, num_partitions)
+        dists = partitioned_group_map(
+            dists.union(cands), ["node"], min_merge, num_partitions,
+            coalesce=2 * num_partitions,
+        ).materialize()
+
+    return dists.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "dist": df["dist"].round(6)}),
+        batch_format="pandas",
+    )
+
+
 def bfs_distances(
     edges: ray.data.Dataset,
     seeds: ray.data.Dataset,

@@ -402,3 +402,29 @@ def test_clustering_coefficient_known_graph(ray_session):
     )
     assert s["triangles"].tolist() == [0, 0, 0, 0]
     assert s["coeff"].tolist() == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_sssp_weighted_vs_unweighted(ray_session):
+    """Weighted diamond: the 3-edge cheap chain (cost 3) must beat
+    the direct heavy edge (cost 5); unweighted the same node is one
+    hop away. Bounded sweeps: with sweeps=1 the 3-edge path is not
+    yet found and the heavy edge wins."""
+    from biocypher_metta_ray.stages.graph import sssp_distances
+
+    edges = pd.DataFrame({"src": [1, 2, 1, 3], "dst": [2, 4, 3, 4],
+                          "w": [1.0, 1.0, 5.0, 1.0]})
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [1]}))
+    ds = ray.data.from_pandas(edges)
+
+    out = (sssp_distances(ds, seeds, weight_col="w", sweeps=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [1, 2, 3, 4]
+    assert out["dist"].tolist() == [0.0, 1.0, 3.0, 2.0]
+
+    hop = (sssp_distances(ds, seeds, sweeps=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert hop["dist"].tolist() == [0.0, 1.0, 1.0, 2.0]
+
+    one = (sssp_distances(ds, seeds, weight_col="w", sweeps=1)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert one["dist"].tolist() == [0.0, 1.0, 5.0]
