@@ -244,7 +244,7 @@ def _oriented_graph(
         ["u"],
         lambda g: g.drop_duplicates(),
         num_partitions,
-    )
+    ).materialize()
 
     deg = partitioned_group_map(
         und.map_batches(
@@ -257,7 +257,7 @@ def _oriented_graph(
         lambda g: g.groupby("node", sort=False).size().reset_index(name="deg"),
         num_partitions,
         coalesce=2 * num_partitions,
-    )
+    ).materialize()
 
     def attach(col, out, ecols):
         def tag_e(df):
@@ -304,7 +304,7 @@ def _oriented_graph(
             deg.map_batches(d2t, batch_format="pandas")
         ),
         ["v"], b2, num_partitions, coalesce=2 * num_partitions,
-    )
+    ).materialize()
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
         # orientation key (deg, node): ties broken by node id, so the
@@ -322,7 +322,15 @@ def _oriented_graph(
             }
         )
 
-    oriented = with_deg.map_batches(orient, batch_format="pandas")
+    # every output is consumed by MULTIPLE downstream co-locations
+    # (wedges + closing edges + final join): materialize each once —
+    # the pagerank static-edge-table contract — or every consumer
+    # re-executes the whole upstream extraction pipeline through
+    # Ray's lazy recomputation (measured 90 s -> seconds on the KG
+    # graph queries at bench scale)
+    oriented = with_deg.map_batches(
+        orient, batch_format="pandas"
+    ).materialize()
     return oriented, with_deg, deg, ntype
 
 
