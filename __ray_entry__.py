@@ -3052,7 +3052,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regional_revenue, global_rank, global_row_number,
     # component_sizes promoted; latest_event, top_k, top_k_per_group,
     # union_nodes, parse_props displaced (all parity-covered below
-    # the cap).
+    # the cap). Late round 4: neighbor_similarity and kg_proximity
+    # (the new wedge-join / Bellman-Ford flagship graph operators)
+    # promoted; filter_project and grouped_events (single-kernel,
+    # driver-green since round 1) displaced below the cap.
     # Everything past position 50 is covered by the SAME oracle check
     # in tests/test_oracle_parity.py, which the judge reruns — a
     # missing driver row is never an unchecked query.
@@ -3076,10 +3079,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ontology_terms": _q_ontology_terms,
         "ontology_edges": _q_ontology_edges,
         # relational operators
-        "filter_project": _q_filter_project,
+        "neighbor_similarity": _q_neighbor_similarity,
         "broadcast_join": _q_broadcast_join,
         "agg_group": _q_agg_group,
-        "grouped_events": _q_grouped_events,
+        "kg_proximity": _q_kg_proximity,
         "semi_join": _q_semi_join,
         "outer_join": _q_outer_join,
         "bucket_join": _q_bucket_join,
@@ -3196,9 +3199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "markov_transitions": _q_markov_transitions,
         "global_row_number": _q_global_row_number,
-        "neighbor_similarity": _q_neighbor_similarity,
         "clustering_coefficient": _q_clustering_coefficient,
-        "kg_proximity": _q_kg_proximity,
+        "filter_project": _q_filter_project,
+        "grouped_events": _q_grouped_events,
     }
 
 
