@@ -2683,6 +2683,20 @@ def _q_kg_proximity(sf_dir: str):
     )
 
 
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the canonical KG — the one-scalar
+    hubs-to-hubs vs hubs-to-leaves topology fingerprint
+    (stages/graph.py::degree_assortativity — five float partials per
+    block on the degree-carrying edge list, zero extra shuffles)."""
+    from biocypher_metta_ray.stages.graph import degree_assortativity
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    return degree_assortativity(edges, src="subj", dst="obj")
+
+
 def _q_lm_score(sf_dir: str):
     """Self-trained add-alpha bigram LM perplexity scoring over the
     documents corpus (stages/lm.py — the CCNet-style quality filter:
@@ -3200,6 +3214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": _q_markov_transitions,
         "global_row_number": _q_global_row_number,
         "clustering_coefficient": _q_clustering_coefficient,
+        "assortativity": _q_assortativity,
         "filter_project": _q_filter_project,
         "grouped_events": _q_grouped_events,
     }
@@ -4410,6 +4425,31 @@ def oracle_sql() -> dict[str, str]:
                        SELECT ew.v, d3.dist + ew.w FROM ew
                        JOIN d3 ON ew.u = d3.node) GROUP BY 1)
             SELECT node, round(dist, 6) AS dist FROM d4
+        """,
+        # Pearson corr of endpoint degrees over the symmetrized edge
+        # list (Newman 2002); sample-vs-population factors cancel in
+        # the ratio, so SQL corr == the partial-sum formula
+        "assortativity": f"""
+            WITH t AS ({p['triples']}),
+            ce AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   GROUP BY 1, 2),
+            e AS (SELECT DISTINCT least(subj, obj) AS u,
+                                  greatest(subj, obj) AS v
+                  FROM ce WHERE subj <> obj),
+            adj AS (SELECT u AS node, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM adj GROUP BY 1),
+            ed AS (SELECT CAST(du.d AS DOUBLE) AS x,
+                          CAST(dv.d AS DOUBLE) AS y
+                   FROM e
+                   JOIN deg du ON du.node = e.u
+                   JOIN deg dv ON dv.node = e.v),
+            sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed)
+            SELECT round(corr(x, y), 6) AS assortativity FROM sym
         """,
         # quantile_cont == numpy/pandas linear interpolation (the
         # grouped_quantiles parity contract)

@@ -788,6 +788,56 @@ def sssp_distances(
     )
 
 
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Degree assortativity of the undirected simple graph: Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (each undirected edge contributes both ``(du, dv)`` and
+    ``(dv, du)`` — Newman 2002). Positive = hubs attach to hubs
+    (social-network shape); negative = hubs attach to leaves
+    (star/biological shape) — the one-scalar topology fingerprint.
+
+    Scale shape: rides :func:`_oriented_graph`'s degree-carrying edge
+    list; the correlation is five float partial sums per block
+    (n, Σx, Σy, Σxx(==Σyy by symmetry), Σxy) reduced on the driver —
+    zero additional shuffles beyond the degree attach. Returns a
+    one-row frame ``(assortativity)`` rounded to 6 (NaN-safe: 0-variance
+    degenerate graphs return NULL/NaN like SQL ``corr``).
+    """
+    _oriented, with_deg, _deg, _ntype = _oriented_graph(
+        edges, src, dst, num_partitions
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["du"].to_numpy(dtype=np.float64)
+        y = df["dv"].to_numpy(dtype=np.float64)
+        # symmetrize: each edge counted in both directions
+        xs = np.concatenate([x, y])
+        ys = np.concatenate([y, x])
+        return pd.DataFrame({
+            "n": [np.float64(xs.size)],
+            "sx": [xs.sum()], "sy": [ys.sum()],
+            "sxx": [(xs * xs).sum()], "syy": [(ys * ys).sum()],
+            "sxy": [(xs * ys).sum()],
+        })
+
+    p = with_deg.map_batches(partial, batch_format="pandas").to_pandas()
+    n = p["n"].sum()
+    if n == 0:
+        return pd.DataFrame({"assortativity": [np.nan]})
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    cov = p["sxy"].sum() - sx * sy / n
+    vx = p["sxx"].sum() - sx * sx / n
+    vy = p["syy"].sum() - sy * sy / n
+    denom = np.sqrt(vx * vy)
+    r = cov / denom if denom > 0 else np.nan
+    return pd.DataFrame({"assortativity": [np.round(r, 6)]})
+
+
 def bfs_distances(
     edges: ray.data.Dataset,
     seeds: ray.data.Dataset,

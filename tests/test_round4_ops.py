@@ -428,3 +428,21 @@ def test_sssp_weighted_vs_unweighted(ray_session):
     one = (sssp_distances(ds, seeds, weight_col="w", sweeps=1)
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert one["dist"].tolist() == [0.0, 1.0, 5.0]
+
+
+def test_degree_assortativity_signs(ray_session):
+    """A star is maximally disassortative... but with only two degree
+    values on every edge (centre d=3, leaf d=1) the symmetrized
+    correlation is exactly -1. A clique has zero degree variance ->
+    NaN (the SQL corr convention)."""
+    from biocypher_metta_ray.stages.graph import degree_assortativity
+
+    star = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+    r = degree_assortativity(ray.data.from_pandas(star),
+                             src="src", dst="dst")
+    assert r["assortativity"].iloc[0] == -1.0
+
+    k3 = pd.DataFrame({"src": [1, 2, 1], "dst": [2, 3, 3]})
+    r2 = degree_assortativity(ray.data.from_pandas(k3),
+                              src="src", dst="dst")
+    assert math.isnan(r2["assortativity"].iloc[0])
