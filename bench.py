@@ -162,7 +162,7 @@ def timed_queries() -> dict:
         "semantic_dedup", "bloom_semi_join", "heavy_hitters",
         # round-4 additions
         "ngram_jaccard_pairs", "regional_revenue", "global_rank",
-        "skyline",
+        "skyline", "neighbor_similarity", "kg_proximity",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the
