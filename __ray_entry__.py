@@ -1831,6 +1831,35 @@ def _q_grouped_corr(sf_dir: str):
     )
 
 
+def _q_grouped_regression(sf_dir: str):
+    """Per-(returnflag, linestatus) OLS fit of extended price against
+    quantity (stages/relational.py::grouped_regression — six partial
+    sums per batch, one group-cardinality shuffle, O(groups) finish).
+    The classic distributed-ML primitive: sufficient statistics
+    combine associatively, so the fact table is never co-located."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.relational import grouped_regression
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    )
+    out = grouped_regression(ds, ["l_returnflag", "l_linestatus"],
+                             "l_quantity", "l_extendedprice")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "l_linestatus": df["l_linestatus"],
+             "slope": df["slope"],
+             "intercept": df["intercept"],
+             "r2": df["r2"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_window_ranks(sf_dir: str):
     """row_number / rank / dense_rank / cume_dist of event value
     within its event type (stages/relational.py::window_ranks)."""
@@ -3217,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "filter_project": _q_filter_project,
         "grouped_events": _q_grouped_events,
+        "grouped_regression": _q_grouped_regression,
     }
 
 
@@ -4804,6 +4834,30 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((n * sxx - sx * sx)
                                 * (n * syy - sy * sy)), 6) AS corr
             FROM s
+        """,
+        # same six-sums formulas as the Ray kernel, NOT regr_*():
+        # engine-internal regression recurrences differ in fp path
+        "grouped_regression": """
+            WITH s AS (SELECT l_returnflag, l_linestatus,
+                              count(*)::DOUBLE AS n,
+                              sum(l_quantity) AS sx,
+                              sum(l_extendedprice) AS sy,
+                              sum(l_quantity * l_quantity) AS sxx,
+                              sum(l_extendedprice * l_extendedprice)
+                                  AS syy,
+                              sum(l_quantity * l_extendedprice) AS sxy
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n, 6)
+                       AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 6) AS r2
+            FROM s
+            WHERE n * sxx - sx * sx <> 0
         """,
         "ntile": """
             SELECT event_id, event_type,

@@ -708,6 +708,71 @@ def grouped_corr(
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def grouped_regression(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x: str,
+    y: str,
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group simple OLS fit ``y = slope*x + intercept`` plus
+    ``r2``, from the same six sufficient statistics as
+    :func:`grouped_corr` (n, sx, sy, sxx, syy, sxy) — each batch
+    collapses to one row per key before the shuffle, so the wide
+    stage carries |keys| rows per batch no matter the fact size, and
+    the finish is O(groups). Formulas are stated explicitly so the
+    SQL oracle computes the SAME expressions from SQL sums (DuckDB's
+    regr_* builtins use a different recurrence):
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy - slope*sx) / n
+        r2        = (n*sxy - sx*sy)^2
+                    / ((n*sxx - sx^2) * (n*syy - sy^2))
+
+    Groups with zero x-variance are dropped (stated; SQL emits NULL
+    slope there and the oracle filters the same way). Rounded to 6.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].copy()
+        xv = batch[x].to_numpy(dtype=np.float64)
+        yv = batch[y].to_numpy(dtype=np.float64)
+        b["sx"], b["sy"] = xv, yv
+        b["sxx"], b["syy"], b["sxy"] = xv * xv, yv * yv, xv * yv
+        b["n"] = np.int64(1)
+        return b.groupby(keys, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas").repartition(
+        shuffle_partitions
+    )
+    sums = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("sx", "sy", "sxx", "syy", "sxy", "n")]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx = df["sx"].to_numpy(dtype=np.float64)
+        sy = df["sy"].to_numpy(dtype=np.float64)
+        sxx = df["sxx"].to_numpy(dtype=np.float64)
+        syy = df["syy"].to_numpy(dtype=np.float64)
+        sxy = df["sxy"].to_numpy(dtype=np.float64)
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        out = df[keys].copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / den_x
+            out["slope"] = np.round(slope, 6)
+            out["intercept"] = np.round((sy - slope * sx) / n, 6)
+            out["r2"] = np.round(num * num / (den_x * den_y), 6)
+        return out[np.isfinite(out["slope"])]
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def ntile(
     ds: ray.data.Dataset,
     keys: list[str],

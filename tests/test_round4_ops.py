@@ -446,3 +446,33 @@ def test_degree_assortativity_signs(ray_session):
     r2 = degree_assortativity(ray.data.from_pandas(k3),
                               src="src", dst="dst")
     assert math.isnan(r2["assortativity"].iloc[0])
+
+
+def test_grouped_regression_matches_numpy(ray_session):
+    from biocypher_metta_ray.stages.relational import grouped_regression
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(0, 10, 300)
+    df = pd.DataFrame(
+        {"g": (["a"] * 150) + (["b"] * 150),
+         "x": x,
+         "y": np.concatenate([3 * x[:150] + 7 + rng.normal(0, 1, 150),
+                              -2 * x[150:] + rng.normal(0, 4, 150)])}
+    )
+    got = grouped_regression(
+        ray.data.from_pandas(list(np.array_split(df, 4))), ["g"],
+        "x", "y",
+    ).to_pandas().set_index("g")
+    for g, grp in df.groupby("g"):
+        slope, intercept = np.polyfit(grp["x"], grp["y"], 1)
+        r = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got.loc[g, "slope"] - slope) < 1e-5
+        assert abs(got.loc[g, "intercept"] - intercept) < 1e-5
+        assert abs(got.loc[g, "r2"] - r * r) < 1e-5
+    # zero x-variance group -> dropped (stated contract), not NaN/crash
+    cdf = pd.DataFrame({"g": ["c"] * 5, "x": np.ones(5),
+                        "y": np.arange(5.0)})
+    out = grouped_regression(
+        ray.data.from_pandas(cdf), ["g"], "x", "y"
+    ).to_pandas()
+    assert len(out) == 0
