@@ -2052,6 +2052,30 @@ def _q_pagerank_weighted(sf_dir: str):
     return pagerank(edges, weight_col="n_mentions")
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities over the canonical KG edge list
+    (stages/graph.py::hits — Kleinberg 1999, 3 sweeps, L2
+    normalization per half-sweep). The complement of PageRank for
+    entity-link priors: enhancers that point at many well-cited genes
+    score as hubs, the genes as authorities. Rounded to 6 — the
+    stable contract under nondeterministic float summation order."""
+    from biocypher_metta_ray.stages.graph import hits
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = hits(edges, src="subj", dst="obj", iterations=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "hub": df["hub"].astype("float64"),
+             "auth": df["auth"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_zscore(sf_dir: str):
     """Per-event-type z-score of value (stages/relational.py::zscore
     — small stats shuffle, broadcast transform, stated-formula
@@ -3143,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
         "pagerank_personalized": _q_pagerank_personalized,
+        "hits": _q_hits,
         "kg_components": _q_kg_components,
         "kg_bfs": _q_kg_bfs,
         # text / dedup / similarity / sketches
@@ -3613,6 +3638,56 @@ def _pagerank_sql(p: dict, weighted: bool = False,
                FROM nodes),
         {chain}
         SELECT node, round(pr, 6) AS pr FROM r5
+    """
+
+
+def _hits_sql(p: dict, iterations: int = 3) -> str:
+    """Unrolled HITS recurrence (hub_0 = 1, auth then hub per sweep,
+    L2 normalization via a window-function sum of squares — the same
+    fixed-sweep CTE-chain trick as the pagerank oracle). Rounded to 6
+    like the Python side."""
+    chain = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        chain.append(f"""
+            a{i}r AS (
+                SELECT nd.node, coalesce(s.v, 0) AS v
+                FROM nodes nd
+                LEFT JOIN (SELECT e.obj AS node, sum({prev_h}.v) AS v
+                           FROM e JOIN {prev_h}
+                             ON e.subj = {prev_h}.node
+                           GROUP BY e.obj) s
+                ON nd.node = s.node),
+            a{i} AS (SELECT node,
+                            v / sqrt(sum(v * v) OVER ()) AS v
+                     FROM a{i}r),
+            h{i}r AS (
+                SELECT nd.node, coalesce(s.v, 0) AS v
+                FROM nodes nd
+                LEFT JOIN (SELECT e.subj AS node, sum(a{i}.v) AS v
+                           FROM e JOIN a{i} ON e.obj = a{i}.node
+                           GROUP BY e.subj) s
+                ON nd.node = s.node),
+            h{i} AS (SELECT node,
+                            v / sqrt(sum(v * v) OVER ()) AS v
+                     FROM h{i}r)""")
+        prev_h = f"h{i}"
+    body = ",".join(chain)
+    k = iterations
+    return f"""
+        WITH t AS ({p['triples']}),
+        e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+              FROM t
+              JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+              JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+              GROUP BY 1, 2),
+        nodes AS (SELECT subj AS node FROM e
+                  UNION SELECT obj FROM e),
+        h0 AS (SELECT node, 1.0 AS v FROM nodes),
+        {body}
+        SELECT h{k}.node, round(h{k}.v, 6) AS hub,
+               round(a{k}.v, 6) AS auth
+        FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node
     """
 
 
@@ -4277,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(p),
         "pagerank_weighted": _pagerank_sql(p, weighted=True),
         "pagerank_personalized": _pagerank_sql(p, seed="ENTG0001"),
+        "hits": _hits_sql(p),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -1009,3 +1009,142 @@ def bfs_distances(
         frontier = new.select_columns(["node"])
 
     return dist
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-iteration HITS (Kleinberg 1999, the *other* classic link
+    analysis next to PageRank — hubs point at good authorities,
+    authorities are pointed at by good hubs) over a directed
+    ``(src, dst)`` edge Dataset. Duplicate edges collapse first, same
+    convention as :func:`pagerank`.
+
+    Recurrence, stated so the SQL oracle unrolls the SAME chain:
+    ``hub_0 = 1`` on every node; per sweep ``auth_k(v) =
+    sum(hub_{k-1}(u) for u->v)`` L2-normalized over all nodes, then
+    ``hub_k(u) = sum(auth_k(v) for u->v)`` L2-normalized. Nodes
+    missing a contribution hold 0 (kept in the frontier, unlike the
+    dangling-mass drop in PageRank, because normalization needs the
+    full vector).
+
+    Scale shape: the distinct edge table is materialized ONCE and
+    re-joined each half-sweep (the pagerank static-edge-table
+    contract); each half-sweep is one bounded co-location join with
+    per-partition partial sums before the node-scale reduce, plus ONE
+    O(1) driver scalar (the squared norm, itself a partial-sum
+    aggregate). Returns ``(node, hub, auth)`` rounded to 6 — the
+    stable contract under nondeterministic float summation order.
+    """
+    e = (
+        edges.select_columns([src, dst])
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas")
+    )
+    e = partitioned_group_map(
+        e, [src, dst], lambda g: g.drop_duplicates(), num_partitions,
+    ).materialize()
+
+    nodes = partitioned_group_map(
+        e.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": pd.concat([df[src], df[dst]]).drop_duplicates()}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.drop_duplicates(),
+        num_partitions,
+        coalesce=2 * num_partitions,
+    ).materialize()
+
+    def _half(scores: ray.data.Dataset, join_col: str,
+              emit_col: str) -> ray.data.Dataset:
+        """One half-sweep: propagate ``scores.v`` across the edge
+        table joined on ``join_col``, emitting to ``emit_col``'s
+        endpoint, L2-normalized over the full node list."""
+        both = e.map_batches(
+            lambda df: df[[src, dst]].assign(__side="E"),
+            batch_format="pandas",
+        ).union(
+            scores.map_batches(
+                lambda df: df.rename(columns={"node": join_col})[
+                    [join_col, "v"]
+                ].assign(__side="S"),
+                batch_format="pandas",
+            )
+        )
+
+        def contrib(g: pd.DataFrame) -> pd.DataFrame:
+            ew = g[g["__side"] == "E"][[src, dst]]
+            s = g[g["__side"] == "S"][[join_col, "v"]]
+            m = ew.merge(s, on=join_col)
+            if not len(m):
+                return pd.DataFrame(
+                    {"node": ew[emit_col].iloc[:0],
+                     "c": pd.Series([], dtype="float64")}
+                )
+            return (
+                pd.DataFrame({"node": m[emit_col],
+                              "c": m["v"].to_numpy(dtype=np.float64)})
+                .groupby("node", sort=False)["c"].sum().reset_index()
+            )
+
+        contribs = partitioned_group_map(both, [join_col], contrib,
+                                         num_partitions)
+        nboth = nodes.map_batches(
+            lambda df: df.assign(c=np.float64(0.0)),
+            batch_format="pandas",
+        ).union(contribs)
+        raw = partitioned_group_map(
+            nboth, ["node"],
+            lambda g: g.groupby("node", sort=False, as_index=False)[
+                "c"].sum().rename(columns={"c": "v"}),
+            num_partitions, coalesce=2 * num_partitions,
+        ).materialize()
+        ss = raw.map_batches(
+            lambda df: pd.DataFrame(
+                {"ss": [np.square(df["v"].to_numpy(
+                    dtype=np.float64)).sum()]}
+            ),
+            batch_format="pandas",
+        ).sum("ss")
+        norm = float(np.sqrt(ss)) if ss and ss > 0 else 1.0
+        return raw.map_batches(
+            lambda df: df.assign(v=df["v"].to_numpy(
+                dtype=np.float64) / norm),
+            batch_format="pandas",
+        ).materialize()
+
+    hub = nodes.map_batches(
+        lambda df: df.assign(v=np.float64(1.0)), batch_format="pandas"
+    ).materialize()
+    auth = hub
+    for _ in range(iterations):
+        auth = _half(hub, src, dst)   # auth(v) <- sum hub(u), u->v
+        hub = _half(auth, dst, src)   # hub(u) <- sum auth(v), u->v
+
+    both = hub.map_batches(
+        lambda df: df.assign(__side="H"), batch_format="pandas"
+    ).union(
+        auth.map_batches(
+            lambda df: df.assign(__side="A"), batch_format="pandas"
+        )
+    )
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["__side"] == "H"][["node", "v"]].rename(
+            columns={"v": "hub"})
+        a = g[g["__side"] == "A"][["node", "v"]].rename(
+            columns={"v": "auth"})
+        out = h.merge(a, on="node", how="outer")
+        out["hub"] = out["hub"].fillna(0.0).round(6)
+        out["auth"] = out["auth"].fillna(0.0).round(6)
+        return out
+
+    return partitioned_group_map(both, ["node"], pivot, num_partitions,
+                                 coalesce=2 * num_partitions)

@@ -476,3 +476,32 @@ def test_grouped_regression_matches_numpy(ray_session):
         ray.data.from_pandas(cdf), ["g"], "x", "y"
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_hits_matches_numpy(ray_session):
+    """3-sweep HITS on a small directed graph vs the dense
+    numpy recurrence (auth from old hub, hub from new auth, L2
+    normalization each half-sweep)."""
+    from biocypher_metta_ray.stages.graph import hits
+
+    E = pd.DataFrame({"src": ["a", "a", "b", "c", "d", "d", "a"],
+                      "dst": ["b", "c", "c", "b", "c", "b", "b"]})
+    got = (hits(ray.data.from_pandas(E), iterations=3,
+                num_partitions=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    nodes = sorted(set(E["src"]) | set(E["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in E.drop_duplicates().itertuples(index=False):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    assert got["node"].tolist() == nodes
+    np.testing.assert_allclose(got["hub"], np.round(h, 6), atol=2e-6)
+    np.testing.assert_allclose(got["auth"], np.round(a, 6), atol=2e-6)
+    # pure sources have auth 0; pure sinks have hub 0
+    assert got.set_index("node").loc["a", "auth"] == 0.0
