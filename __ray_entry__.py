@@ -2076,6 +2076,28 @@ def _q_hits(sf_dir: str):
     )
 
 
+def _q_k_core(sf_dir: str):
+    """2-core of the canonical KG (stages/graph.py::k_core —
+    iterative peeling of degree<2 nodes, 6 bounded rounds with
+    early-exit at the fixpoint; the oracle unrolls the same chain).
+    Surviving nodes with their within-core degree: the dense backbone
+    of the graph, pendant mention chains peeled away."""
+    from biocypher_metta_ray.stages.graph import k_core
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = k_core(edges, k=2, src="subj", dst="obj", max_rounds=6)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "deg": df["deg"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_zscore(sf_dir: str):
     """Per-event-type z-score of value (stages/relational.py::zscore
     — small stats shuffle, broadcast transform, stated-formula
@@ -3168,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "pagerank_personalized": _q_pagerank_personalized,
         "hits": _q_hits,
+        "k_core": _q_k_core,
         "kg_components": _q_kg_components,
         "kg_bfs": _q_kg_bfs,
         # text / dedup / similarity / sketches
@@ -3688,6 +3711,40 @@ def _hits_sql(p: dict, iterations: int = 3) -> str:
         SELECT h{k}.node, round(h{k}.v, 6) AS hub,
                round(a{k}.v, 6) AS auth
         FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node
+    """
+
+
+def _k_core_sql(p: dict, k: int = 2, rounds: int = 6) -> str:
+    """Unrolled k-core peeling (symmetrized simple graph, ``rounds``
+    simultaneous peels, final within-core degree with one more
+    ``>= k`` filter — the exact bounded semantics stated in
+    stages/graph.py::k_core; extra rounds past the fixpoint are
+    no-ops, so this is the true k-core on any graph that converges
+    within the cap)."""
+    chain = []
+    for i in range(1, rounds + 1):
+        chain.append(f"""
+            d{i} AS (SELECT s, count(*) AS c FROM e{i - 1} GROUP BY s),
+            s{i} AS (SELECT s AS node FROM d{i} WHERE c >= {k}),
+            e{i} AS (SELECT e.s, e.d FROM e{i - 1} e
+                     JOIN s{i} a ON e.s = a.node
+                     JOIN s{i} b ON e.d = b.node)""")
+    body = ",".join(chain)
+    return f"""
+        WITH t AS ({p['triples']}),
+        e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+              FROM t
+              JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+              JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+              GROUP BY 1, 2),
+        e0 AS (SELECT s, d FROM (
+                   SELECT subj AS s, obj AS d FROM e
+                   UNION
+                   SELECT obj, subj FROM e)
+               WHERE s <> d),
+        {body}
+        SELECT s AS node, count(*) AS deg
+        FROM e{rounds} GROUP BY s HAVING count(*) >= {k}
     """
 
 
@@ -4353,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_sql(p, weighted=True),
         "pagerank_personalized": _pagerank_sql(p, seed="ENTG0001"),
         "hits": _hits_sql(p),
+        "k_core": _k_core_sql(p),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

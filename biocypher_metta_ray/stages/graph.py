@@ -1148,3 +1148,93 @@ def hits(
 
     return partitioned_group_map(both, ["node"], pivot, num_partitions,
                                  coalesce=2 * num_partitions)
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 6,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """k-core of the undirected simple graph by iterative peeling:
+    repeatedly drop nodes of degree < ``k`` (and their edges) until a
+    fixpoint or ``max_rounds`` peels. Semantics are stated as "the
+    graph after ``max_rounds`` peeling rounds" so the SQL oracle can
+    unroll the SAME bounded chain — on any graph where peeling
+    converges within ``max_rounds`` (checked: the loop exits early at
+    the fixpoint, and extra unrolled SQL rounds are no-ops there) this
+    IS the exact k-core. Returns ``(node, deg)`` — surviving nodes
+    with their within-core degree (one final ``>= k`` filter applied
+    identically on both sides).
+
+    Scale shape: the symmetrized edge table is materialized once per
+    round (it SHRINKS monotonically — each round's table feeds both
+    the degree count and the next filter, the lazy-recompute lesson);
+    each round is one degree co-location + one survivor semi-join per
+    endpoint via the tagged-union pattern, all bounded-partition. The
+    round count is the documented cap, not a convergence guess: real
+    peeling cascades longer than ``max_rounds`` need the cap raised —
+    the early-exit makes extra headroom free on converged graphs.
+    """
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[[src, dst]].rename(columns={src: "s", dst: "d"})
+        rev = df[[dst, src]].rename(columns={dst: "s", src: "d"})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    e0 = edges.select_columns([src, dst]).map_batches(
+        sym, batch_format="pandas"
+    )
+    # canonical symmetric simple graph (self-loops dropped: a loop is
+    # its own reverse and would double-count degree)
+    e = partitioned_group_map(
+        e0, ["s", "d"],
+        lambda g: g[g["s"] != g["d"]].drop_duplicates(),
+        num_partitions,
+    ).materialize()
+
+    def degs(t: ray.data.Dataset) -> ray.data.Dataset:
+        return partitioned_group_map(
+            t, ["s"],
+            lambda g: g.groupby("s", sort=False, as_index=False)
+            .size().rename(columns={"s": "node", "size": "deg"}),
+            num_partitions, coalesce=2 * num_partitions,
+        )
+
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        # materialized: feeds BOTH endpoint semi-joins (the
+        # lazy-recompute lesson — two consumers re-execute upstream)
+        survivors = degs(e).map_batches(
+            lambda df: df[df["deg"] >= k], batch_format="pandas"
+        ).materialize()
+
+        def semi(t: ray.data.Dataset, col: str) -> ray.data.Dataset:
+            both = t.map_batches(
+                lambda df: df.assign(__side="E"), batch_format="pandas"
+            ).union(survivors.map_batches(
+                lambda df, c=col: pd.DataFrame(
+                    {c: df["node"]}).assign(__side="S"),
+                batch_format="pandas",
+            ))
+
+            def body(g: pd.DataFrame, c=col) -> pd.DataFrame:
+                ew = g[g["__side"] == "E"][["s", "d"]]
+                keep = g[g["__side"] == "S"][c]
+                out = ew[ew[c].isin(set(keep))]
+                return out if len(out) else pd.DataFrame(
+                    {"s": ew["s"].iloc[:0], "d": ew["d"].iloc[:0]})
+
+            return partitioned_group_map(both, [col], body,
+                                         num_partitions)
+
+        e = semi(semi(e, "s"), "d").materialize()
+        m = e.count()
+        if m == n_edges:
+            break
+        n_edges = m
+
+    return degs(e).map_batches(
+        lambda df: df[df["deg"] >= k], batch_format="pandas"
+    )

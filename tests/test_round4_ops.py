@@ -505,3 +505,23 @@ def test_hits_matches_numpy(ray_session):
     np.testing.assert_allclose(got["auth"], np.round(a, 6), atol=2e-6)
     # pure sources have auth 0; pure sinks have hub 0
     assert got.set_index("node").loc["a", "auth"] == 0.0
+
+
+def test_k_core_peels_pendant_chain(ray_session):
+    """Triangle (the 2-core) + pendant chain + stray edge: peeling
+    must cascade down the chain (d drops only after e goes), which a
+    single-round degree filter would get wrong."""
+    from biocypher_metta_ray.stages.graph import k_core
+
+    E = pd.DataFrame({"src": ["a", "b", "c", "c", "d", "f"],
+                      "dst": ["b", "c", "a", "d", "e", "g"]})
+    got = (k_core(ray.data.from_pandas(E), k=2, num_partitions=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == ["a", "b", "c"]
+    assert got["deg"].tolist() == [2, 2, 2]
+    # k=1 on a simple graph keeps every non-isolated node
+    assert len(k_core(ray.data.from_pandas(E), k=1,
+                      num_partitions=2).to_pandas()) == 7
+    # a triangle has no 3-core
+    assert len(k_core(ray.data.from_pandas(E), k=3,
+                      num_partitions=2).to_pandas()) == 0
