@@ -3144,7 +3144,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the cap). Late round 4: neighbor_similarity and kg_proximity
     # (the new wedge-join / Bellman-Ford flagship graph operators)
     # promoted; filter_project and grouped_events (single-kernel,
-    # driver-green since round 1) displaced below the cap.
+    # driver-green since round 1) displaced below the cap. Then hits
+    # and k_core (the new iterative link-analysis / peeling
+    # operators) promoted in the graph block; knn and ivf_knn
+    # (driver-green r2+r3, trivially parity-covered) displaced.
     # Everything past position 50 is covered by the SAME oracle check
     # in tests/test_oracle_parity.py, which the judge reruns — a
     # missing driver row is never an unchecked query.
