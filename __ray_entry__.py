@@ -2098,6 +2098,27 @@ def _q_k_core(sf_dir: str):
     )
 
 
+def _q_label_propagation(sf_dir: str):
+    """Community detection on the canonical KG by 4 synchronous
+    label-propagation sweeps (stages/graph.py::label_propagation —
+    most-frequent neighbor label, ties to the minimum; all-integer
+    recurrence, exact oracle equality)."""
+    from biocypher_metta_ray.stages.graph import label_propagation
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = label_propagation(edges, src="subj", dst="obj", sweeps=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "label": df["lab"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_zscore(sf_dir: str):
     """Per-event-type z-score of value (stages/relational.py::zscore
     — small stats shuffle, broadcast transform, stated-formula
@@ -3194,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "hits": _q_hits,
         "k_core": _q_k_core,
+        "label_propagation": _q_label_propagation,
         "kg_components": _q_kg_components,
         "kg_bfs": _q_kg_bfs,
         # text / dedup / similarity / sketches
@@ -3748,6 +3770,44 @@ def _k_core_sql(p: dict, k: int = 2, rounds: int = 6) -> str:
         {body}
         SELECT s AS node, count(*) AS deg
         FROM e{rounds} GROUP BY s HAVING count(*) >= {k}
+    """
+
+
+def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
+    """Unrolled synchronous label propagation (same fixed-sweep
+    CTE-chain trick; argmax = row_number over (count DESC, label
+    ASC) — the exact deterministic tie-break stated in
+    stages/graph.py::label_propagation). All-integer: exact
+    equality, no rounding."""
+    chain = []
+    for i in range(1, sweeps + 1):
+        chain.append(f"""
+            c{i} AS (SELECT e0.d AS node, l.lab, count(*) AS c
+                     FROM e0 JOIN l{i - 1} l ON e0.s = l.node
+                     GROUP BY 1, 2),
+            l{i} AS (SELECT node, lab FROM (
+                         SELECT node, lab,
+                                row_number() OVER (
+                                    PARTITION BY node
+                                    ORDER BY c DESC, lab) AS rn
+                         FROM c{i})
+                     WHERE rn = 1)""")
+    body = ",".join(chain)
+    return f"""
+        WITH t AS ({p['triples']}),
+        e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
+              FROM t
+              JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+              JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+              GROUP BY 1, 2),
+        e0 AS (SELECT s, d FROM (
+                   SELECT subj AS s, obj AS d FROM e
+                   UNION
+                   SELECT obj, subj FROM e)
+               WHERE s <> d),
+        l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e0),
+        {body}
+        SELECT node, lab AS label FROM l{sweeps}
     """
 
 
@@ -4414,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _pagerank_sql(p, seed="ENTG0001"),
         "hits": _hits_sql(p),
         "k_core": _k_core_sql(p),
+        "label_propagation": _label_propagation_sql(p),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -1238,3 +1238,90 @@ def k_core(
     return degs(e).map_batches(
         lambda df: df[df["deg"] >= k], batch_format="pandas"
     )
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    sweeps: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007, made deterministic): every node starts
+    labeled with its own id; each sweep it adopts the most frequent
+    label among its neighbors, ties broken by MINIMUM label. A fixed
+    ``sweeps`` count (not run-to-convergence — synchronous LPA can
+    oscillate on bipartite structure) with the whole recurrence in
+    integers, so the SQL oracle unrolls the SAME chain with exact
+    equality, no float rounding contract needed.
+
+    Scale shape: the symmetrized simple edge table is materialized
+    once (static across sweeps); each sweep is one bounded
+    co-location join on the label-donor endpoint with per-partition
+    ``(node, label)`` partial counts before the node-scale argmax
+    reduce. Returns ``(node, label)``.
+    """
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[[src, dst]].rename(columns={src: "s", dst: "d"})
+        rev = df[[dst, src]].rename(columns={dst: "s", src: "d"})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    e = partitioned_group_map(
+        edges.select_columns([src, dst]).map_batches(
+            sym, batch_format="pandas"),
+        ["s", "d"],
+        lambda g: g[g["s"] != g["d"]].drop_duplicates(),
+        num_partitions,
+    ).materialize()
+
+    labels = partitioned_group_map(
+        e.map_batches(
+            lambda df: pd.DataFrame({"node": df["s"].drop_duplicates()}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.drop_duplicates().assign(lab=lambda x: x["node"]),
+        num_partitions, coalesce=2 * num_partitions,
+    ).materialize()
+
+    for _ in range(sweeps):
+        both = e.map_batches(
+            lambda df: df.assign(__side="E"), batch_format="pandas"
+        ).union(labels.map_batches(
+            lambda df: df.rename(columns={"node": "s"})[["s", "lab"]]
+            .assign(__side="L"),
+            batch_format="pandas",
+        ))
+
+        def counts(g: pd.DataFrame) -> pd.DataFrame:
+            ew = g[g["__side"] == "E"][["s", "d"]]
+            lb = g[g["__side"] == "L"][["s", "lab"]]
+            m = ew.merge(lb, on="s")
+            if not len(m):
+                return pd.DataFrame(
+                    {"node": ew["d"].iloc[:0], "lab": ew["d"].iloc[:0],
+                     "c": pd.Series([], dtype="int64")}
+                )
+            return (
+                m.groupby(["d", "lab"], sort=False).size()
+                .rename("c").reset_index()
+                .rename(columns={"d": "node"})
+            )
+
+        partial = partitioned_group_map(both, ["s"], counts,
+                                        num_partitions)
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            t = g.groupby(["node", "lab"], sort=False,
+                          as_index=False)["c"].sum()
+            t = t.sort_values(["c", "lab"],
+                              ascending=[False, True], kind="stable")
+            return t.drop_duplicates("node")[["node", "lab"]]
+
+        labels = partitioned_group_map(
+            partial, ["node"], argmax, num_partitions,
+            coalesce=2 * num_partitions,
+        ).materialize()
+
+    return labels

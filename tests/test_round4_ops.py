@@ -525,3 +525,19 @@ def test_k_core_peels_pendant_chain(ray_session):
     # a triangle has no 3-core
     assert len(k_core(ray.data.from_pandas(E), k=3,
                       num_partitions=2).to_pandas()) == 0
+
+
+def test_label_propagation_two_communities(ray_session):
+    """Two triangles joined by a single bridge edge: after 4
+    deterministic sweeps each triangle shares one label and the two
+    labels differ (the bridge is not enough to merge them)."""
+    from biocypher_metta_ray.stages.graph import label_propagation
+
+    E = pd.DataFrame({"src": ["a", "b", "c", "x", "y", "z", "c"],
+                      "dst": ["b", "c", "a", "y", "z", "x", "x"]})
+    got = (label_propagation(ray.data.from_pandas(E), sweeps=4,
+                             num_partitions=2)
+           .to_pandas().set_index("node")["lab"])
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
