@@ -163,7 +163,7 @@ def timed_queries() -> dict:
         # round-4 additions
         "ngram_jaccard_pairs", "regional_revenue", "global_rank",
         "skyline", "neighbor_similarity", "kg_proximity",
-        "hits", "k_core",
+        "hits", "k_core", "label_propagation",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the
