@@ -1955,6 +1955,81 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_q10_returns(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns in a two-quarter order window — two
+    fact-x-fact hash joins (lineitem x orders on orderkey, then the
+    customer-keyed revenue onto customer) + one 25-row broadcast
+    (nation) + partial-combine grouped sum + driver-merged partial
+    top-k. Like q3_revenue, every stage is an existing operator; this
+    one adds the post-aggregation dimension-enrichment pattern
+    (aggregate FIRST, then join the per-customer attributes, so the
+    wide name/acctbal columns never enter the fact shuffle)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.joins import hash_join
+    from biocypher_metta_ray.stages.relational import (
+        broadcast_join, grouped_agg, top_k)
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1997-07-01")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df.loc[(df["o_orderdate"] >= lo)
+                          & (df["o_orderdate"] < hi),
+                          ["o_orderkey", "o_custkey"]]
+        .rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df.loc[df["l_returnflag"] == "R",
+                                  "l_orderkey"],
+             "rev": df.loc[df["l_returnflag"] == "R",
+                           "l_extendedprice"]
+             * (1.0 - df.loc[df["l_returnflag"] == "R",
+                             "l_discount"])}
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on="l_orderkey", num_partitions=16)
+    sums = grouped_agg(joined, ["o_custkey"], sums=["rev"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df["o_custkey"].astype("int64"),
+             "revenue": df["rev"].round(2)}
+        ),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    enriched = hash_join(sums, cust, on="c_custkey", num_partitions=16)
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"],
+    ).rename(columns={"n_nationkey": "c_nationkey"})
+    out = broadcast_join(enriched, nation, on="c_nationkey").map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df["c_custkey"].astype("int64"),
+             "c_name": df["c_name"].astype(str),
+             "c_acctbal": df["c_acctbal"].astype("float64"),
+             "n_name": df["n_name"].astype(str),
+             "revenue": df["revenue"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+    return top_k(out, 20, by=["revenue", "c_custkey"],
+                 ascending=[False, True])
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3208,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_row_number": _q_global_row_number,
         "component_sizes": _q_component_sizes,
         "q3_revenue": _q_q3_revenue,
+        "q10_returns": _q_q10_returns,
         "tumbling_window": _q_tumbling_window,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
@@ -4973,6 +5049,24 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "q10_returns": """
+            SELECT c.c_custkey,
+                   CAST(c.c_name AS VARCHAR) AS c_name,
+                   c.c_acctbal,
+                   CAST(n.n_name AS VARCHAR) AS n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
         "q3_revenue": """
             SELECT l_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)
