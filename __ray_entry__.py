@@ -1955,6 +1955,20 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_profile_table(sf_dir: str):
+    """Numeric column profile of orders (n_rows / n_null / min / max
+    / mean per column) — the pre-flight data-quality pass
+    (stages/relational.py::profile_columns: one tiny partial row per
+    block per column, column-cardinality co-location, the fact table
+    is never shuffled)."""
+    from biocypher_metta_ray.stages.relational import profile_columns
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return profile_columns(
+        ds, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def _q_q10_returns(sf_dir: str):
     """TPC-H Q10-shaped returned-item report: top-20 customers by
     revenue lost to returns in a two-quarter order window — two
@@ -3284,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "q3_revenue": _q_q3_revenue,
         "q10_returns": _q_q10_returns,
+        "profile_table": _q_profile_table,
         "tumbling_window": _q_tumbling_window,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
@@ -5049,6 +5064,28 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "profile_table": """
+            SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_null,
+                   round(CAST(min(o_orderkey) AS DOUBLE), 2) AS min,
+                   round(CAST(max(o_orderkey) AS DOUBLE), 2) AS max,
+                   round(avg(CAST(o_orderkey AS DOUBLE)), 2) AS mean
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   count(*) - count(o_custkey),
+                   round(CAST(min(o_custkey) AS DOUBLE), 2),
+                   round(CAST(max(o_custkey) AS DOUBLE), 2),
+                   round(avg(CAST(o_custkey AS DOUBLE)), 2)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   round(CAST(min(o_totalprice) AS DOUBLE), 2),
+                   round(CAST(max(o_totalprice) AS DOUBLE), 2),
+                   round(avg(CAST(o_totalprice AS DOUBLE)), 2)
+            FROM orders
+        """,
         "q10_returns": """
             SELECT c.c_custkey,
                    CAST(c.c_name AS VARCHAR) AS c_name,

@@ -541,3 +541,23 @@ def test_label_propagation_two_communities(ray_session):
     assert got["a"] == got["b"] == got["c"]
     assert got["x"] == got["y"] == got["z"]
     assert got["a"] != got["x"]
+
+
+def test_profile_columns_nulls_and_merge(ray_session):
+    """Partials from separate blocks merge to exact global stats;
+    nulls are counted, excluded from min/max/mean; an all-null
+    column yields NaN min/max/mean with the right null count."""
+    from biocypher_metta_ray.stages.relational import profile_columns
+
+    a = pd.DataFrame({"x": [1.0, None, 3.0], "y": [None] * 3})
+    b = pd.DataFrame({"x": [10.0, -2.0, None], "y": [None] * 3})
+    ds = ray.data.from_pandas([a, b])
+    got = (profile_columns(ds, ["x", "y"], num_partitions=2)
+           .to_pandas().set_index("col"))
+    assert int(got.loc["x", "n_rows"]) == 6
+    assert int(got.loc["x", "n_null"]) == 2
+    assert got.loc["x", "min"] == -2.0
+    assert got.loc["x", "max"] == 10.0
+    assert got.loc["x", "mean"] == 3.0
+    assert int(got.loc["y", "n_null"]) == 6
+    assert pd.isna(got.loc["y", "mean"])
