@@ -2208,6 +2208,23 @@ def _q_label_propagation(sf_dir: str):
     )
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity Q of the 4-sweep label-propagation
+    partition of the canonical KG (stages/graph.py::modularity —
+    integer within-edge / degree-sum partials per community, one
+    float division at the end; scores the SAME partition the
+    label_propagation query emits)."""
+    from biocypher_metta_ray.stages.graph import (
+        label_propagation, modularity)
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    labels = label_propagation(edges, src="subj", dst="obj", sweeps=4)
+    return modularity(edges, labels, src="subj", dst="obj")
+
+
 def _q_zscore(sf_dir: str):
     """Per-event-type z-score of value (stages/relational.py::zscore
     — small stats shuffle, broadcast transform, stated-formula
@@ -3307,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "k_core": _q_k_core,
         "label_propagation": _q_label_propagation,
+        "modularity": _q_modularity,
         "kg_components": _q_kg_components,
         "kg_bfs": _q_kg_bfs,
         # text / dedup / similarity / sketches
@@ -3864,12 +3882,14 @@ def _k_core_sql(p: dict, k: int = 2, rounds: int = 6) -> str:
     """
 
 
-def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
-    """Unrolled synchronous label propagation (same fixed-sweep
-    CTE-chain trick; argmax = row_number over (count DESC, label
-    ASC) — the exact deterministic tie-break stated in
-    stages/graph.py::label_propagation). All-integer: exact
-    equality, no rounding."""
+def _lpa_chain(p: dict, sweeps: int = 4) -> str:
+    """Shared WITH-prefix (no leading ``WITH``): canonical KG edges
+    ``e0`` (symmetrized simple graph) + the unrolled synchronous
+    label-propagation chain ``l0 .. l{sweeps}`` (argmax = row_number
+    over (count DESC, label ASC) — the exact deterministic tie-break
+    stated in stages/graph.py::label_propagation). All-integer:
+    exact equality, no rounding. Used by the label_propagation and
+    modularity oracles so both score the SAME partition."""
     chain = []
     for i in range(1, sweeps + 1):
         chain.append(f"""
@@ -3884,8 +3904,7 @@ def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
                          FROM c{i})
                      WHERE rn = 1)""")
     body = ",".join(chain)
-    return f"""
-        WITH t AS ({p['triples']}),
+    return f"""t AS ({p['triples']}),
         e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
               FROM t
               JOIN {p['gaz']} ON t.subj_surface = gaz.surface
@@ -3897,8 +3916,40 @@ def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
                    SELECT obj, subj FROM e)
                WHERE s <> d),
         l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e0),
-        {body}
+        {body}"""
+
+
+def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
+    return f"""
+        WITH {_lpa_chain(p, sweeps)}
         SELECT node, lab AS label FROM l{sweeps}
+    """
+
+
+def _modularity_sql(p: dict, sweeps: int = 4) -> str:
+    """Newman Q of the LPA partition over the same e0
+    (stages/graph.py::modularity — within-community ordered-pair
+    count w_c = 2*e_c and degree sums d_c over 2m ordered edges:
+    Q = sum_c (w_c/2m - (d_c/2m)^2); one float division at the end,
+    rounded to 6 in both engines)."""
+    return f"""
+        WITH {_lpa_chain(p, sweeps)},
+        lp AS (SELECT node, lab FROM l{sweeps}),
+        m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e0),
+        w AS (SELECT ls.lab, count(*) AS w
+              FROM e0
+              JOIN lp ls ON e0.s = ls.node
+              JOIN lp ld ON e0.d = ld.node
+              WHERE ls.lab = ld.lab
+              GROUP BY 1),
+        deg AS (SELECT s AS node, count(*) AS k FROM e0 GROUP BY 1),
+        dc AS (SELECT lp.lab, sum(deg.k) AS d
+               FROM deg JOIN lp ON deg.node = lp.node
+               GROUP BY 1)
+        SELECT round(sum(COALESCE(w.w, 0) / m2.m2
+                         - (dc.d / m2.m2) * (dc.d / m2.m2)), 6)
+                   AS modularity
+        FROM dc LEFT JOIN w ON dc.lab = w.lab, m2
     """
 
 
@@ -4566,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(p),
         "k_core": _k_core_sql(p),
         "label_propagation": _label_propagation_sql(p),
+        "modularity": _modularity_sql(p),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -1325,3 +1325,110 @@ def label_propagation(
         ).materialize()
 
     return labels
+
+
+def modularity(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "lab",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Newman modularity Q of a node partition over the symmetrized
+    simple graph: ``Q = sum_c (e_c/m - (d_c/2m)^2)`` with ``m`` the
+    undirected edge count, ``e_c`` the within-community undirected
+    edge count and ``d_c`` the community degree sum. The standard
+    one-scalar quality score for a community detection result (pair
+    it with :func:`label_propagation`).
+
+    Scale shape: degrees come from one co-location over the
+    symmetrized edge table; community tagging of each endpoint is two
+    tagged-union co-location joins (labels are node-scale); both
+    reduce to COMMUNITY-cardinality partial tables whose final
+    combine + the Q arithmetic run on the driver (communities are
+    dimension-scale by construction — a partition with fact-scale
+    community count has no within-edges to score). All counts are
+    integers; the single float division happens once at the end, so
+    the SQL oracle states the identical formula with exact inputs.
+    Returns a 1-row dataset ``(modularity,)`` rounded to 6 decimals.
+    """
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[[src, dst]].rename(columns={src: "s", dst: "d"})
+        rev = df[[dst, src]].rename(columns={dst: "s", src: "d"})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    e = partitioned_group_map(
+        edges.select_columns([src, dst]).map_batches(
+            sym, batch_format="pandas"),
+        ["s", "d"],
+        lambda g: g[g["s"] != g["d"]].drop_duplicates(),
+        num_partitions,
+    ).materialize()
+
+    lab = labels.map_batches(
+        lambda df: df.rename(
+            columns={node_col: "s", label_col: "lab"})[["s", "lab"]],
+        batch_format="pandas",
+    )
+
+    def tagged_join(left: ray.data.Dataset, key_out: str
+                    ) -> ray.data.Dataset:
+        """Co-locate ``left`` (s,d[,lab_s]) with labels on ``s``,
+        emit left columns + ``key_out`` = label of s."""
+        both = left.map_batches(
+            lambda df: df.assign(__side="E"), batch_format="pandas"
+        ).union(lab.map_batches(
+            lambda df: df.assign(__side="L"), batch_format="pandas"))
+
+        def body(g: pd.DataFrame) -> pd.DataFrame:
+            ew = g[g["__side"] == "E"].drop(columns=["__side", "lab"],
+                                            errors="ignore")
+            lb = g[g["__side"] == "L"][["s", "lab"]].rename(
+                columns={"lab": key_out})
+            out = ew.merge(lb, on="s")
+            return out
+
+        return partitioned_group_map(both, ["s"], body, num_partitions)
+
+    # lab_s on the s endpoint, then flip and tag the d endpoint.
+    e1 = tagged_join(e, "lab_s").map_batches(
+        lambda df: df.rename(columns={"s": "d", "d": "s"}),
+        batch_format="pandas",
+    )
+    e2 = tagged_join(e1, "lab_d")
+
+    def within_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["lab_s"] == df["lab_d"]]
+        return (w.groupby("lab_s", sort=False).size()
+                .rename("n").reset_index()
+                .rename(columns={"lab_s": "lab"}))
+
+    within = e2.map_batches(within_partial, batch_format="pandas")
+
+    deg = partitioned_group_map(
+        e, ["s"],
+        lambda g: g.groupby("s", sort=False).size()
+        .rename("k").reset_index(),
+        num_partitions,
+    )
+    dsum = tagged_join(deg, "lab").map_batches(
+        lambda df: df.groupby("lab", sort=False)["k"].sum()
+        .rename("d").reset_index(),
+        batch_format="pandas",
+    )
+
+    # community-cardinality partials -> driver finish (see docstring)
+    w_pdf = within.to_pandas().groupby("lab")["n"].sum()
+    d_pdf = dsum.to_pandas().groupby("lab")["d"].sum()
+    m2 = float(e.count())  # = 2m (both directions present)
+    if m2 == 0:
+        q = float("nan")
+    else:
+        e_c = w_pdf.reindex(d_pdf.index, fill_value=0).to_numpy(
+            dtype="float64")  # within count in BOTH directions = 2*e_c
+        d_c = d_pdf.to_numpy(dtype="float64")
+        q = float(np.sum(e_c / m2 - (d_c / m2) ** 2))
+    return ray.data.from_pandas(
+        pd.DataFrame({"modularity": [round(q, 6)]}))

@@ -561,3 +561,18 @@ def test_profile_columns_nulls_and_merge(ray_session):
     assert got.loc["x", "mean"] == 3.0
     assert int(got.loc["y", "n_null"]) == 6
     assert pd.isna(got.loc["y", "mean"])
+
+
+def test_modularity_two_triangles_bridge(ray_session):
+    """Two triangles + bridge, each triangle its own community:
+    m=7, within e_c=3 each, d_c=7 each -> Q = 2*(3/7 - (7/14)^2)."""
+    from biocypher_metta_ray.stages.graph import modularity
+
+    E = pd.DataFrame({"src": ["a", "b", "c", "x", "y", "z", "c"],
+                      "dst": ["b", "c", "a", "y", "z", "x", "x"]})
+    L = pd.DataFrame({"node": list("abcxyz"),
+                      "lab": ["A"] * 3 + ["X"] * 3})
+    got = modularity(ray.data.from_pandas(E), ray.data.from_pandas(L),
+                     num_partitions=2).to_pandas()
+    want = round(2 * (3 / 7 - (7 / 14) ** 2), 6)
+    assert got["modularity"].iloc[0] == want
