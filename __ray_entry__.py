@@ -1955,6 +1955,32 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_impute_nulls(sf_dir: str):
+    """Group-mean null imputation over events
+    (stages/relational.py::impute_group_mean). The synthetic events
+    table has no nulls, so the query DETERMINISTICALLY masks
+    ``value`` to null where ``event_id % 7 == 0`` first — the oracle
+    states the identical mask — and the operator repairs each hole
+    with its event_type's non-null mean."""
+    from biocypher_metta_ray.stages.relational import impute_group_mean
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"]).map_batches(
+        lambda df: df.assign(
+            value=df["value"].where(df["event_id"] % 7 != 0)),
+        batch_format="pandas",
+    )
+    out = impute_group_mean(ds, ["event_type"], "value")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"].astype(str),
+             "value": df["value"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_profile_table(sf_dir: str):
     """Numeric column profile of orders (n_rows / n_null / min / max
     / mean per column) — the pre-flight data-quality pass
@@ -3316,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue": _q_q3_revenue,
         "q10_returns": _q_q10_returns,
         "profile_table": _q_profile_table,
+        "impute_nulls": _q_impute_nulls,
         "tumbling_window": _q_tumbling_window,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
@@ -5116,6 +5143,18 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "impute_nulls": """
+            WITH masked AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events)
+            SELECT event_id, CAST(event_type AS VARCHAR) AS event_type,
+                   COALESCE(value,
+                            avg(value) OVER (PARTITION BY event_type))
+                       AS value
+            FROM masked
+        """,
         "profile_table": """
             SELECT 'o_orderkey' AS col, count(*) AS n_rows,
                    count(*) - count(o_orderkey) AS n_null,

@@ -1190,3 +1190,53 @@ def profile_columns(
         })
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def impute_group_mean(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Fill nulls in ``value_col`` with the group's non-null mean —
+    the standard repair step before feature scaling. Same two-pass
+    shape as :func:`zscore`: per-batch partials carry only
+    ``(keys, non-null count, non-null sum)`` through one small
+    key-cardinality shuffle, the dimension-scale means table
+    broadcasts via ``ray.put``, and the corpus streams through a
+    stateless fill. Mean is stated as ``sum/n`` over non-null values
+    (the SQL oracle's ``avg``); all-null groups keep their nulls.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].copy()
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        b["sx"] = np.where(ok, v, 0.0)
+        b["n"] = ok.astype(np.int64)
+        return b.groupby(keys, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(shuffle_partitions)
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("sx", "n")])
+        .to_pandas()
+    )
+    sums = sums[sums["n"] > 0]
+    stats = sums[keys].copy()
+    stats["__mean"] = sums["sx"].to_numpy() / sums["n"].to_numpy(
+        dtype=np.float64)
+    ref = ray.put(stats)
+
+    def transform(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        out = batch.merge(st, on=keys, how="left")
+        v = out[value_col].to_numpy(dtype=np.float64)
+        fill = out.pop("__mean").to_numpy(dtype=np.float64)
+        out[value_col] = np.where(np.isnan(v), fill, v)
+        return out
+
+    return ds.map_batches(transform, batch_format="pandas")

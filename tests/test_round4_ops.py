@@ -576,3 +576,17 @@ def test_modularity_two_triangles_bridge(ray_session):
                      num_partitions=2).to_pandas()
     want = round(2 * (3 / 7 - (7 / 14) ** 2), 6)
     assert got["modularity"].iloc[0] == want
+
+
+def test_impute_group_mean_fills_with_group_mean(ray_session):
+    """Nulls take their own group's non-null mean; other rows are
+    untouched; an all-null group keeps its nulls."""
+    from biocypher_metta_ray.stages.relational import impute_group_mean
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b", "c"],
+                       "v": [1.0, None, 3.0, 10.0, None, None]})
+    got = (impute_group_mean(ray.data.from_pandas(df), ["g"], "v")
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    assert got.loc[got["g"] == "a", "v"].tolist() == [1.0, 2.0, 3.0]
+    assert got.loc[got["g"] == "b", "v"].tolist() == [10.0, 10.0]
+    assert got.loc[got["g"] == "c", "v"].isna().all()
