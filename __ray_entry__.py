@@ -1124,6 +1124,52 @@ def _q_multimodal_features(sf_dir: str):
 
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling -> per-frame decode chain over the
+    deterministic fake-media table (stages/multimodal.py
+    FrameSampler -> MediaDecoder actor pools; every 3rd frame of each
+    video re-encoded as a single-frame payload, then decoded to
+    per-frame intensity features). The frame index rides through the
+    fixed decoder schema as a composite id (media_id*1000+frame) and
+    is split back after. Oracle: expected per-frame rows as a VALUES
+    relation from the same seeded codec (no Ray)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_media,
+        media_table,
+        sample_frames,
+    )
+
+    n = _rp(sf_dir, "documents", columns=["doc_id"]).count()
+    ds = ray.data.from_arrow(media_table(n, seed=42))
+    sampled = sample_frames(ds, every_k=3)
+
+    def pack(t):
+        cid = _pc.add(
+            _pc.multiply(t["media_id"], pa.scalar(1000, pa.int64())),
+            _pc.cast(t["frame"], pa.int64()))
+        return t.drop_columns(["frame"]).set_column(
+            t.schema.get_field_index("media_id"), "media_id", cid)
+
+    dec = decode_media(sampled.map_batches(pack, batch_format="pyarrow"))
+
+    def unpack(t):
+        mid = _pc.divide(t["media_id"], pa.scalar(1000, pa.int64()))
+        frame = _pc.cast(
+            _pc.subtract(t["media_id"],
+                         _pc.multiply(mid, pa.scalar(1000, pa.int64()))),
+            pa.int32())
+        return pa.table({
+            "media_id": mid, "frame": frame,
+            "width": t["width"], "height": t["height"],
+            "mean_intensity": t["mean_intensity"],
+        })
+
+    return dec.map_batches(unpack, batch_format="pyarrow")
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic train-side of a 25% key-hash split over orders
     (stages/relational.py::hash_split — same key always lands on the
@@ -3386,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "knn_batch": _q_knn_batch,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "latest_event": _q_latest_event,
         "top_k": _q_top_k,
         "top_k_per_group": _q_top_k_per_group,
@@ -3724,6 +3771,38 @@ def _multimodal_values_sql() -> str:
         WHERE media_id < (SELECT count(*) FROM documents)
     """
 
+
+
+def _multimodal_frames_values_sql(every_k: int = 3) -> str:
+    """Expected (media_id, frame, w, h, mean) per sampled video frame,
+    computed from the seeded fixture codec (same prefix-validity
+    argument as _multimodal_values_sql)."""
+    from biocypher_metta_ray.stages.multimodal import (
+        decode_fake_media,
+        media_table,
+    )
+
+    tbl = media_table(500, seed=42)
+    rows = []
+    for mid, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        kind, w, h, n, frames = decode_fake_media(payload)
+        if kind != "video":
+            continue
+        for f in range(0, n, every_k):
+            mi = float(np.round(frames[f].astype(np.float64).mean(), 4))
+            rows.append(f"({mid}, {f}, {w}, {h}, {mi!r})")
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame AS INT) AS frame,
+               CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height,
+               CAST(mean_intensity AS DOUBLE) AS mean_intensity
+        FROM (VALUES {', '.join(rows)})
+             AS v(media_id, frame, width, height, mean_intensity)
+        WHERE media_id < (SELECT count(*) FROM documents)
+    """
 
 
 def _multimodal_resize_values_sql() -> str:
@@ -4556,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_values_sql(),
         "multimodal_resize": _multimodal_resize_values_sql(),
+        "multimodal_frames": _multimodal_frames_values_sql(),
         "ontology_terms": """
             SELECT id, label, props_json
             FROM (VALUES ('GO:0000001', 'go', '{"description": "The distribution of mitochondria.", "subontology": "biological_process", "synonyms": ["mito passing", "mitochondrial inheritance"], "term_name": "mitochondrion inheritance"}'), ('GO:0048308', 'go', '{"description": "", "subontology": "biological_process", "synonyms": [], "term_name": "organelle inheritance"}'), ('GO:0048311', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": "mitochondrion distribution"}'), ('owl.Class', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('owl.Restriction', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000050', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('BFO:0000051', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('RO:0002211', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'), ('GO:0099999', 'go', '{"description": "", "subontology": null, "synonyms": [], "term_name": ""}'))
