@@ -2001,6 +2001,23 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_grouped_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution
+    (stages/relational.py::grouped_entropy — map-side-combined counts
+    then one bounded co-location; low entropy = bot-like users)."""
+    from biocypher_metta_ray.stages.relational import grouped_entropy
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_entropy(ds, ["user_id"], "event_type")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "entropy": df["entropy"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_impute_nulls(sf_dir: str):
     """Group-mean null imputation over events
     (stages/relational.py::impute_group_mean). The synthetic events
@@ -3386,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returns": _q_q10_returns,
         "profile_table": _q_profile_table,
         "impute_nulls": _q_impute_nulls,
+        "grouped_entropy": _q_grouped_entropy,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -5229,6 +5247,17 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "grouped_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.user_id,
+                   round(-sum((CAST(n AS DOUBLE) / tot)
+                              * ln(CAST(n AS DOUBLE) / tot)), 6)
+                       AS entropy
+            FROM c JOIN t ON c.user_id = t.user_id
+            GROUP BY 1
+        """,
         "impute_nulls": """
             WITH masked AS (
                 SELECT event_id, event_type,

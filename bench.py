@@ -163,7 +163,8 @@ def timed_queries() -> dict:
         # round-4 additions
         "ngram_jaccard_pairs", "regional_revenue", "global_rank",
         "skyline", "neighbor_similarity", "kg_proximity",
-        "hits", "k_core", "label_propagation",
+        "hits", "k_core", "label_propagation", "modularity",
+        "q10_returns", "profile_table", "impute_nulls",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

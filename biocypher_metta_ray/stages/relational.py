@@ -1240,3 +1240,40 @@ def impute_group_mean(
         return out
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    cat_col: str,
+    out_col: str = "entropy",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Shannon entropy (nats) of the ``cat_col`` distribution per
+    group: ``H = -sum_i p_i ln p_i`` — the standard diversity /
+    concentration score (e.g. how spread a user's event types or a
+    source's languages are; low entropy flags bot-like or templated
+    slices in a training-data mix).
+
+    Scale shape: the fact table reduces through
+    :func:`grouped_agg`'s map-side-combined counts to one row per
+    ``(keys, cat)`` — category-cardinality data — then one bounded
+    co-location per key computes the vectorized entropy. Stated
+    formula over exact integer counts with one ln/divide pass at the
+    end (rounded to 6), so the SQL oracle reproduces it bit-stably.
+    """
+    from .skew import partitioned_group_map
+
+    counts = grouped_agg(ds, keys + [cat_col], count_as="__n")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(keys, sort=False)["__n"].transform("sum")
+        p = g["__n"].to_numpy(dtype=np.float64) / tot.to_numpy(
+            dtype=np.float64)
+        h = g[keys].copy()
+        h["__h"] = -p * np.log(p)
+        out = h.groupby(keys, sort=False, as_index=False)["__h"].sum()
+        out[out_col] = out.pop("__h").round(6)
+        return out
+
+    return partitioned_group_map(counts, keys, body, num_partitions)

@@ -590,3 +590,18 @@ def test_impute_group_mean_fills_with_group_mean(ray_session):
     assert got.loc[got["g"] == "a", "v"].tolist() == [1.0, 2.0, 3.0]
     assert got.loc[got["g"] == "b", "v"].tolist() == [10.0, 10.0]
     assert got.loc[got["g"] == "c", "v"].isna().all()
+
+
+def test_grouped_entropy_known_distributions(ray_session):
+    """Uniform 2-way split -> ln 2; single-category group -> 0."""
+    import math
+
+    from biocypher_metta_ray.stages.relational import grouped_entropy
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "c": ["x", "x", "y", "y", "z", "z", "z"]})
+    got = (grouped_entropy(ray.data.from_pandas(df), ["g"], "c",
+                           num_partitions=2)
+           .to_pandas().set_index("g")["entropy"])
+    assert got["a"] == round(math.log(2), 6)
+    assert got["b"] == 0.0
