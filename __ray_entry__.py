@@ -2001,6 +2001,25 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_decayed_sum(sf_dir: str):
+    """Per-user recency-weighted activity: 7-day-half-life decayed
+    sum of event values anchored at the stream's max timestamp
+    (stages/windows.py::decayed_sum — one-scalar max pass then
+    map-side-combined weighted partials)."""
+    from biocypher_metta_ray.stages.windows import decayed_sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = decayed_sum(ds, ["user_id"], "ts", "value",
+                      half_life_s=7 * 86400.0)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "decayed": df["decayed"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_grouped_entropy(sf_dir: str):
     """Per-user Shannon entropy (nats) of the event-type distribution
     (stages/relational.py::grouped_entropy — map-side-combined counts
@@ -3404,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,
         "impute_nulls": _q_impute_nulls,
         "grouped_entropy": _q_grouped_entropy,
+        "decayed_sum": _q_decayed_sum,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -5247,6 +5267,15 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "decayed_sum": """
+            WITH mx AS (SELECT max(ts) AS tmax FROM events)
+            SELECT user_id,
+                   round(sum(value * power(0.5,
+                             epoch(tmax - ts) / 604800.0)), 6)
+                       AS decayed
+            FROM events, mx
+            GROUP BY 1
+        """,
         "grouped_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n
                        FROM events GROUP BY 1, 2),

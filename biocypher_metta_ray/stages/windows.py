@@ -315,3 +315,50 @@ def running_total(
         return g
 
     return partitioned_group_map(ds, [key], body, num_partitions)
+
+
+def decayed_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+    out_col: str = "decayed",
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exponentially time-decayed grouped sum anchored at the
+    stream's max timestamp: ``sum(v * 0.5^((t_max - t)/half_life))``
+    per key — the standard recency-weighted engagement / activity
+    feature.
+
+    Scale shape: pass 1 is a one-scalar global ``max(ts)`` (Ray
+    native aggregate, no shuffle of rows); the scalar rides in the
+    transform closure and pass 2 is the usual map-side-combined
+    partial weighted sum — per-row weights are computed vectorized
+    inside each batch, so only |keys| partial rows per batch reach
+    the small combine shuffle. Stated formula (rounded to 6) so the
+    SQL oracle reproduces it: one power per row from exact timestamp
+    arithmetic, float addition at combine only.
+    """
+    tmax = pd.Timestamp(ds.max(ts_col))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].copy()
+        age = (tmax - batch[ts_col]).dt.total_seconds().to_numpy(
+            dtype=np.float64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        b["__w"] = v * np.power(0.5, age / float(half_life_s))
+        return b.groupby(keys, sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(shuffle_partitions)
+        .groupby(keys)
+        .aggregate(Sum("__w", alias_name="__w"))
+    )
+    return out.map_batches(
+        lambda df: df.assign(**{out_col: df.pop("__w").round(6)}),
+        batch_format="pandas",
+    )

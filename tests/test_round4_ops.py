@@ -605,3 +605,21 @@ def test_grouped_entropy_known_distributions(ray_session):
            .to_pandas().set_index("g")["entropy"])
     assert got["a"] == round(math.log(2), 6)
     assert got["b"] == 0.0
+
+
+def test_decayed_sum_half_life(ray_session):
+    """A value exactly one half-life old contributes half; the newest
+    contributes fully (anchor = max ts)."""
+    from biocypher_metta_ray.stages.windows import decayed_sum
+
+    t0 = pd.Timestamp("2024-01-08")
+    df = pd.DataFrame({
+        "u": [1, 1, 2],
+        "ts": [t0, t0 - pd.Timedelta(days=7), t0],
+        "v": [10.0, 10.0, 4.0],
+    })
+    got = (decayed_sum(ray.data.from_pandas(df), ["u"], "ts", "v",
+                       half_life_s=7 * 86400.0)
+           .to_pandas().set_index("u")["decayed"])
+    assert got[1] == 15.0
+    assert got[2] == 4.0
