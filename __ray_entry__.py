@@ -2001,6 +2001,34 @@ def _q_q3_revenue(sf_dir: str):
                  ascending=[False, True])
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """CDC-style diff of two deterministic snapshots of orders
+    (stages/joins.py::diff_snapshots): 'old' drops keys % 10 == 0,
+    'new' drops keys % 10 == 3 and doubles o_totalprice where
+    key % 7 == 0 — so % 10 == 0 keys read 'added', % 10 == 3
+    'removed', doubled survivors 'changed'; the unchanged bulk never
+    leaves its partition."""
+    from biocypher_metta_ray.stages.joins import diff_snapshots
+
+    base = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    old = base.map_batches(
+        lambda df: df[df["o_orderkey"] % 10 != 0], batch_format="pandas")
+    new = base.map_batches(
+        lambda df: df[df["o_orderkey"] % 10 != 3].assign(
+            o_totalprice=lambda x: np.where(
+                x["o_orderkey"] % 7 == 0,
+                x["o_totalprice"] * 2, x["o_totalprice"])),
+        batch_format="pandas")
+    out = diff_snapshots(old, new, ["o_orderkey"], ["o_totalprice"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].astype("int64"),
+             "status": df["status"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_decayed_sum(sf_dir: str):
     """Per-user recency-weighted activity: 7-day-half-life decayed
     sum of event values anchored at the stream's max timestamp
@@ -3424,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_nulls": _q_impute_nulls,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
+        "snapshot_diff": _q_snapshot_diff,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -5267,6 +5296,21 @@ def oracle_sql() -> dict[str, str]:
         # ordered by the ROUNDED revenue (the repo's float sort-key
         # rule) with l_orderkey tiebreak, so the top-10 cut is
         # engine-independent
+        "snapshot_diff": """
+            WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v
+                         FROM orders WHERE o_orderkey % 10 <> 0),
+            new AS (SELECT o_orderkey AS k,
+                           CASE WHEN o_orderkey % 7 = 0
+                                THEN o_totalprice * 2
+                                ELSE o_totalprice END AS v
+                    FROM orders WHERE o_orderkey % 10 <> 3)
+            SELECT COALESCE(old.k, new.k) AS o_orderkey,
+                   CASE WHEN old.k IS NULL THEN 'added'
+                        WHEN new.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.k = new.k
+            WHERE old.k IS NULL OR new.k IS NULL OR old.v <> new.v
+        """,
         "decayed_sum": """
             WITH mx AS (SELECT max(ts) AS tmax FROM events)
             SELECT user_id,

@@ -617,3 +617,59 @@ def bloom_semi_join(
         return batch.filter(pa.array(ok))
 
     return left.map_batches(keep, batch_format="pyarrow")
+
+
+def diff_snapshots(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: list[str],
+    compare_cols: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """CDC-style snapshot diff: emit ``(key..., status)`` with status
+    in ``added`` (key only in ``new``), ``removed`` (only in ``old``),
+    ``changed`` (in both, any ``compare_cols`` value differs) — the
+    incremental-pipeline primitive for re-processing only what moved
+    between two ingest snapshots.
+
+    Scale shape: both sides ship ONLY key + compare columns through
+    one key co-location (tagged union, the joins-family pattern);
+    unchanged rows — the overwhelming bulk between adjacent 100 TB
+    snapshots — are dropped inside the partition body and never leave
+    it, so the output is delta-scale. Two nulls compare equal; a null
+    against a value is a change.
+    """
+    cols = key + compare_cols
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[cols].assign(__side=side)
+        return fn
+
+    both = old.map_batches(tag("O"), batch_format="pandas").union(
+        new.map_batches(tag("N"), batch_format="pandas"))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["__side"] == "O"].drop(columns=["__side"])
+        n = g[g["__side"] == "N"].drop(columns=["__side"])
+        m = o.merge(n, on=key, how="outer", suffixes=("__o", "__n"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed", ""))
+        if compare_cols:
+            diff = np.zeros(len(m), dtype=bool)
+            for c in compare_cols:
+                a, b = m[f"{c}__o"], m[f"{c}__n"]
+                diff |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+            status = np.where(
+                (m["_merge"] == "both") & diff, "changed", status)
+        m = m.assign(status=status)
+        out = m.loc[m["status"] != "", key + ["status"]]
+        if out.empty:
+            e = g[key].iloc[:0].copy()
+            e["status"] = pd.Series([], dtype="object")
+            return e
+        return out
+
+    return partitioned_group_map(both, key, body, num_partitions)

@@ -623,3 +623,19 @@ def test_decayed_sum_half_life(ray_session):
            .to_pandas().set_index("u")["decayed"])
     assert got[1] == 15.0
     assert got[2] == 4.0
+
+
+def test_diff_snapshots_statuses(ray_session):
+    """added / removed / changed each detected; unchanged rows and
+    both-null compare values emit nothing."""
+    from biocypher_metta_ray.stages.joins import diff_snapshots
+
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "v": [1.0, 2.0, None, 4.0]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "v": [20.0, None, 4.0, 5.0]})
+    got = (diff_snapshots(ray.data.from_pandas(old),
+                          ray.data.from_pandas(new),
+                          ["k"], ["v"], num_partitions=2)
+           .to_pandas().set_index("k")["status"].to_dict())
+    assert got == {1: "removed", 2: "changed", 5: "added"}
