@@ -2344,6 +2344,27 @@ def _q_label_propagation(sf_dir: str):
     )
 
 
+def _q_closeness(sf_dir: str):
+    """Truncated harmonic closeness centrality of every KG node
+    (stages/graph.py::closeness_centrality — multi-source min-plus
+    relaxation over (source, node) pair state; 6 sweeps covers the
+    canonical KG's diameter)."""
+    from biocypher_metta_ray.stages.graph import closeness_centrality
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df[["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = closeness_centrality(edges, src="subj", dst="obj", sweeps=6)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(str),
+             "closeness": df["closeness"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_modularity(sf_dir: str):
     """Newman modularity Q of the 4-sweep label-propagation
     partition of the canonical KG (stages/graph.py::modularity —
@@ -3445,14 +3466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": _q_regional_revenue,
         "global_rank": _q_global_rank,
         "global_row_number": _q_global_row_number,
-        "component_sizes": _q_component_sizes,
         "q3_revenue": _q_q3_revenue,
         "q10_returns": _q_q10_returns,
         "profile_table": _q_profile_table,
         "impute_nulls": _q_impute_nulls,
-        "grouped_entropy": _q_grouped_entropy,
-        "decayed_sum": _q_decayed_sum,
-        "snapshot_diff": _q_snapshot_diff,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -3461,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _q_k_core,
         "label_propagation": _q_label_propagation,
         "modularity": _q_modularity,
+        "closeness": _q_closeness,
         "kg_components": _q_kg_components,
         "kg_bfs": _q_kg_bfs,
         # text / dedup / similarity / sketches
@@ -3491,6 +3509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_group": _q_agg_group,
         "bucket_join": _q_bucket_join,
         "tumbling_window": _q_tumbling_window,
+        "component_sizes": _q_component_sizes,
+        "grouped_entropy": _q_grouped_entropy,
+        "decayed_sum": _q_decayed_sum,
+        "snapshot_diff": _q_snapshot_diff,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -4083,6 +4105,15 @@ def _lpa_chain(p: dict, sweeps: int = 4) -> str:
                          FROM c{i})
                      WHERE rn = 1)""")
     body = ",".join(chain)
+    return f"""{_kg_e0_prefix(p)},
+        l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e0),
+        {body}"""
+
+
+def _kg_e0_prefix(p: dict) -> str:
+    """Shared WITH-prefix (no leading ``WITH``): the canonical KG's
+    symmetrized simple edge table ``e0`` — the graph every
+    undirected-graph oracle (LPA, modularity, closeness) walks."""
     return f"""t AS ({p['triples']}),
         e AS (SELECT gaz.entity_id AS subj, g2.entity_id AS obj
               FROM t
@@ -4093,9 +4124,32 @@ def _lpa_chain(p: dict, sweeps: int = 4) -> str:
                    SELECT subj AS s, obj AS d FROM e
                    UNION
                    SELECT obj, subj FROM e)
-               WHERE s <> d),
-        l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e0),
-        {body}"""
+               WHERE s <> d)"""
+
+
+def _closeness_sql(p: dict, sweeps: int = 6) -> str:
+    """Truncated harmonic closeness: the same min-plus relaxation
+    unrolled (stages/graph.py::closeness_centrality) — pair table
+    p_i = min hop distance within i sweeps, then sum(1/d) per source.
+    All-integer distances; one 1/d pass at the end, rounded to 6."""
+    chain = []
+    for i in range(1, sweeps + 1):
+        chain.append(f"""
+            p{i} AS (SELECT src, dst, min(d) AS d FROM (
+                         SELECT src, dst, d FROM p{i - 1}
+                         UNION ALL
+                         SELECT p.src, e0.d AS dst, p.d + 1 AS d
+                         FROM p{i - 1} p JOIN e0 ON p.dst = e0.s)
+                     GROUP BY 1, 2)""")
+    body = ",".join(chain)
+    return f"""
+        WITH {_kg_e0_prefix(p)},
+        p0 AS (SELECT s AS src, s AS dst, 0 AS d
+               FROM (SELECT DISTINCT s FROM e0)),
+        {body}
+        SELECT src AS node, round(sum(1.0 / d), 6) AS closeness
+        FROM p{sweeps} WHERE d > 0 GROUP BY 1
+    """
 
 
 def _label_propagation_sql(p: dict, sweeps: int = 4) -> str:
@@ -4798,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(p),
         "label_propagation": _label_propagation_sql(p),
         "modularity": _modularity_sql(p),
+        "closeness": _closeness_sql(p),
         "mix_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -639,3 +639,20 @@ def test_diff_snapshots_statuses(ray_session):
                           ["k"], ["v"], num_partitions=2)
            .to_pandas().set_index("k")["status"].to_dict())
     assert got == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_closeness_path_graph(ray_session):
+    """Path a-b-c: C(b) = 1+1 = 2; C(a) = C(c) = 1 + 1/2 = 1.5.
+    Disconnected node pair d-e contributes only to each other."""
+    from biocypher_metta_ray.stages.graph import closeness_centrality
+
+    E = pd.DataFrame({"src": ["a", "b", "d"],
+                      "dst": ["b", "c", "e"]})
+    got = (closeness_centrality(ray.data.from_pandas(E), sweeps=4,
+                                num_partitions=2)
+           .to_pandas().set_index("node")["closeness"])
+    assert got["b"] == 2.0
+    assert got["a"] == 1.5
+    assert got["c"] == 1.5
+    assert got["d"] == 1.0
+    assert got["e"] == 1.0
