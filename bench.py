@@ -164,7 +164,8 @@ def timed_queries() -> dict:
         "ngram_jaccard_pairs", "regional_revenue", "global_rank",
         "skyline", "neighbor_similarity", "kg_proximity",
         "hits", "k_core", "label_propagation", "modularity",
-        "q10_returns", "profile_table", "impute_nulls",
+        "closeness", "q10_returns", "profile_table", "impute_nulls",
+        "snapshot_diff",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the
