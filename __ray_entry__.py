@@ -2048,6 +2048,17 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_mutual_info(sf_dir: str):
+    """Mutual information between documents.lang and documents.source
+    (stages/relational.py::mutual_information — joint counts via one
+    map-side-combined pass, MI arithmetic on the dimension-scale
+    joint table)."""
+    from biocypher_metta_ray.stages.relational import mutual_information
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "source"])
+    return mutual_information(ds, "lang", "source")
+
+
 def _q_grouped_entropy(sf_dir: str):
     """Per-user Shannon entropy (nats) of the event-type distribution
     (stages/relational.py::grouped_entropy — map-side-combined counts
@@ -3513,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
+        "mutual_info": _q_mutual_info,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5374,6 +5386,20 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "mutual_info": """
+            WITH j AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS tot FROM j),
+            mx AS (SELECT lang, sum(n) AS nx FROM j GROUP BY 1),
+            my AS (SELECT source, sum(n) AS ny FROM j GROUP BY 1)
+            SELECT round(sum((CAST(j.n AS DOUBLE) / tot)
+                             * ln(CAST(j.n AS DOUBLE) * tot
+                                  / (CAST(nx AS DOUBLE) * ny))), 6)
+                       AS mi
+            FROM j
+            JOIN mx ON j.lang = mx.lang
+            JOIN my ON j.source = my.source, t
         """,
         "grouped_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n

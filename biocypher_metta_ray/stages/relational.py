@@ -1277,3 +1277,32 @@ def grouped_entropy(
         return out
 
     return partitioned_group_map(counts, keys, body, num_partitions)
+
+
+def mutual_information(
+    ds: ray.data.Dataset,
+    col_x: str,
+    col_y: str,
+) -> ray.data.Dataset:
+    """Mutual information (nats) between two categorical columns:
+    ``I(X;Y) = sum_xy p(x,y) ln(p(x,y) / (p(x) p(y)))`` — the
+    feature-selection / redundancy score (does ``source`` predict
+    ``lang``? is a metadata column informative or noise?).
+
+    Scale shape: one :func:`grouped_agg` pass reduces the fact table
+    to joint-cardinality ``(x, y, n)`` counts (map-side combined);
+    the marginals and the MI sum run on the driver over that table —
+    joint category cardinality is dimension-scale by definition of
+    "categorical". Exact integer counts, one ln/divide pass, rounded
+    to 6; the SQL oracle states the identical formula. Returns a
+    1-row dataset ``(mi,)``.
+    """
+    joint = grouped_agg(ds, [col_x, col_y], count_as="n").to_pandas()
+    n = joint["n"].to_numpy(dtype=np.float64)
+    tot = n.sum()
+    px = joint.groupby(col_x)["n"].transform("sum").to_numpy(
+        dtype=np.float64)
+    py = joint.groupby(col_y)["n"].transform("sum").to_numpy(
+        dtype=np.float64)
+    mi = float(np.sum((n / tot) * np.log(n * tot / (px * py))))
+    return ray.data.from_pandas(pd.DataFrame({"mi": [round(mi, 6)]}))

@@ -656,3 +656,23 @@ def test_closeness_path_graph(ray_session):
     assert got["c"] == 1.5
     assert got["d"] == 1.0
     assert got["e"] == 1.0
+
+
+def test_mutual_information_known_values(ray_session):
+    """Perfectly dependent columns -> H(X) = ln 2; independent
+    columns -> 0 (up to rounding)."""
+    import math
+
+    from biocypher_metta_ray.stages.relational import mutual_information
+
+    dep = pd.DataFrame({"x": ["a", "a", "b", "b"],
+                        "y": ["p", "p", "q", "q"]})
+    got = mutual_information(
+        ray.data.from_pandas(dep), "x", "y").to_pandas()["mi"].iloc[0]
+    assert got == round(math.log(2), 6)
+
+    ind = pd.DataFrame({"x": ["a", "a", "b", "b"],
+                        "y": ["p", "q", "p", "q"]})
+    got = mutual_information(
+        ray.data.from_pandas(ind), "x", "y").to_pandas()["mi"].iloc[0]
+    assert got == 0.0
