@@ -2048,6 +2048,24 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_value_drift(sf_dir: str):
+    """PSI drift between two deterministic event snapshots (even
+    event_ids vs odd event_ids with values scaled 1.25x — a real
+    shift): stages/relational.py::distribution_drift, 20 equi-width
+    bins on [0, 500), 0.5 Laplace smoothing."""
+    from biocypher_metta_ray.stages.relational import distribution_drift
+
+    base = _rp(sf_dir, "events", columns=["event_id", "value"])
+    old = base.map_batches(
+        lambda df: df[df["event_id"] % 2 == 0], batch_format="pandas")
+    new = base.map_batches(
+        lambda df: df.loc[df["event_id"] % 2 == 1].assign(
+            value=lambda x: x["value"] * 1.25),
+        batch_format="pandas")
+    return distribution_drift(old, new, "value", lo=0.0, hi=500.0,
+                              bins=20)
+
+
 def _q_mutual_info(sf_dir: str):
     """Mutual information between documents.lang and documents.source
     (stages/relational.py::mutual_information — joint counts via one
@@ -3525,6 +3543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
         "mutual_info": _q_mutual_info,
+        "value_drift": _q_value_drift,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5386,6 +5405,31 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "value_drift": """
+            WITH ob AS (SELECT LEAST(GREATEST(CAST(floor(value / 25.0)
+                                    AS BIGINT), 0), 19) AS bin
+                        FROM events WHERE event_id % 2 = 0),
+            nb AS (SELECT LEAST(GREATEST(CAST(floor(value * 1.25 / 25.0)
+                                AS BIGINT), 0), 19) AS bin
+                   FROM events WHERE event_id % 2 = 1),
+            bins AS (SELECT range AS bin FROM range(20)),
+            p AS (SELECT b.bin,
+                         COALESCE(o.n, 0) + 0.5 AS c
+                  FROM bins b LEFT JOIN
+                       (SELECT bin, count(*) AS n FROM ob GROUP BY 1) o
+                       ON b.bin = o.bin),
+            q AS (SELECT b.bin,
+                         COALESCE(o.n, 0) + 0.5 AS c
+                  FROM bins b LEFT JOIN
+                       (SELECT bin, count(*) AS n FROM nb GROUP BY 1) o
+                       ON b.bin = o.bin),
+            tp AS (SELECT sum(c) AS t FROM p),
+            tq AS (SELECT sum(c) AS t FROM q)
+            SELECT round(sum((q.c / tq.t - p.c / tp.t)
+                             * ln((q.c / tq.t) / (p.c / tp.t))), 6)
+                       AS psi
+            FROM p JOIN q ON p.bin = q.bin, tp, tq
         """,
         "mutual_info": """
             WITH j AS (SELECT lang, source, count(*) AS n

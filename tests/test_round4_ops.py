@@ -676,3 +676,26 @@ def test_mutual_information_known_values(ray_session):
     got = mutual_information(
         ray.data.from_pandas(ind), "x", "y").to_pandas()["mi"].iloc[0]
     assert got == 0.0
+
+
+def test_distribution_drift_psi(ray_session):
+    """Identical snapshots -> PSI 0; a shifted snapshot -> positive
+    PSI matching the closed-form two-bin value."""
+    import math
+
+    from biocypher_metta_ray.stages.relational import distribution_drift
+
+    a = pd.DataFrame({"v": [1.0] * 4})          # all in bin 0
+    b = pd.DataFrame({"v": [1.0, 1.0, 11.0, 11.0]})  # half in bin 1
+    same = distribution_drift(
+        ray.data.from_pandas(a), ray.data.from_pandas(a),
+        "v", lo=0.0, hi=20.0, bins=2).to_pandas()["psi"].iloc[0]
+    assert same == 0.0
+    got = distribution_drift(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        "v", lo=0.0, hi=20.0, bins=2).to_pandas()["psi"].iloc[0]
+    p = [4.5 / 5, 0.5 / 5]
+    q = [2.5 / 5, 2.5 / 5]
+    want = round(sum((qi - pi) * math.log(qi / pi)
+                     for pi, qi in zip(p, q)), 6)
+    assert got == want
