@@ -2048,6 +2048,16 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_normalize_text(sf_dir: str):
+    """CCNet-style normalization of the documents corpus
+    (stages/cleaning.py::normalize_text — lowercase, whitespace
+    collapse, trim; pure Arrow kernels, streaming, no shuffle)."""
+    from biocypher_metta_ray.stages.cleaning import normalize_text
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(ds)
+
+
 def _q_value_drift(sf_dir: str):
     """PSI drift between two deterministic event snapshots (even
     event_ids vs odd event_ids with values scaled 1.25x — a real
@@ -3544,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "mutual_info": _q_mutual_info,
         "value_drift": _q_value_drift,
+        "normalize_text": _q_normalize_text,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5405,6 +5416,12 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS text
+            FROM documents
         """,
         "value_drift": """
             WITH ob AS (SELECT LEAST(GREATEST(CAST(floor(value / 25.0)

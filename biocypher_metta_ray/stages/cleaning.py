@@ -353,3 +353,28 @@ def url_dedup(
     return partitioned_group_map(
         canon, ["canonical_url"], keep_min, num_partitions
     )
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """CCNet-style text normalization (the canonical pre-dedup pass:
+    lowercase, collapse all whitespace runs to one space, trim):
+    pure Arrow kernel — utf8_lower + one replace_substring_regex +
+    trim, zero Python per row. Stated transform so the SQL oracle is
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    txt = pc.utf8_lower(batch[text_col])
+    txt = pc.replace_substring_regex(txt, r"\s+", " ")
+    txt = pc.utf8_trim_whitespace(txt)
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, txt)
+
+
+def normalize_text(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Streaming map of :func:`normalize_text_batch` (no shuffle)."""
+    return ds.map_batches(
+        lambda t: normalize_text_batch(t, text_col),
+        batch_format="pyarrow",
+    )

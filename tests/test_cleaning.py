@@ -143,3 +143,15 @@ class TestUrlCanon:
         assert out["doc_id"].tolist() == [1, 2]
         assert out["canonical_url"].tolist() == [
             "https://x.example/a", "https://y.example/b"]
+
+
+def test_normalize_text_collapses_and_trims(ray_session):
+    import pandas as pd
+    import ray
+
+    from biocypher_metta_ray.stages.cleaning import normalize_text
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["  Hello\t\nWORLD  x ", "a"]})
+    got = normalize_text(ray.data.from_pandas(df)).to_pandas()
+    assert got["text"].tolist() == ["hello world x", "a"]
