@@ -2048,6 +2048,26 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood candidate pairs over customer names
+    (stages/dedup.py::sorted_neighborhood_pairs — distributed
+    sample-sort ranks, overlap-bucket pairing, exact-once emission;
+    window 3 = every pair within 2 rank positions)."""
+    from biocypher_metta_ray.stages.dedup import (
+        sorted_neighborhood_pairs)
+
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = sorted_neighborhood_pairs(
+        ds, sort_by=["c_name"], id_col="c_custkey", window=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"id_a": df["id_a"].astype("int64"),
+             "id_b": df["id_b"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_normalize_text(sf_dir: str):
     """CCNet-style normalization of the documents corpus
     (stages/cleaning.py::normalize_text — lowercase, whitespace
@@ -3555,6 +3575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": _q_mutual_info,
         "value_drift": _q_value_drift,
         "normalize_text": _q_normalize_text,
+        "snm_pairs": _q_snm_pairs,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5416,6 +5437,15 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "snm_pairs": """
+            WITH r AS (SELECT c_custkey,
+                              row_number() OVER
+                                  (ORDER BY c_name, c_custkey) AS rn
+                       FROM customer)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM r a JOIN r b
+                 ON b.rn > a.rn AND b.rn - a.rn < 3
         """,
         "normalize_text": """
             SELECT doc_id,

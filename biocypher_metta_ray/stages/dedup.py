@@ -708,3 +708,65 @@ def simhash_candidates(
         lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]),
         8,
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    sort_by: list[str],
+    id_col: str,
+    window: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood (SNM, Hernandez & Stolfo 1995) candidate
+    pairs: rank every row by ``sort_by`` globally, then emit every id
+    pair within ``window`` rank positions — the classic blocking
+    alternative to LSH when near-duplicates share a sort-key PREFIX
+    (names, addresses, normalized titles) rather than token overlap.
+
+    Scale shape: ranks come from the distributed sample-sort
+    :func:`~.relational.global_row_number` (O(buckets) driver state);
+    pairing co-locates each row into overlap buckets ``rn // window``
+    and ``rn // window - 1`` (any pair within ``window`` shares at
+    least one bucket; only the bucket owning the LEFT row emits, so
+    pairs are exact-once). Per row output is < ``window`` pairs —
+    candidate volume is rows x window by construction, the bounded
+    alternative to a skewed LSH bucket. Returns ``(id_a, id_b)``
+    with ``id_a`` the lower-ranked row's id.
+    """
+    from .skew import partitioned_group_map
+    from .relational import global_row_number
+
+    ranked = global_row_number(
+        ds, by=sort_by + [id_col], rn_col="__rn",
+    ).select_columns([id_col, "__rn"])
+
+    def spread(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["__rn"].to_numpy(dtype=np.int64) // window
+        own = df.assign(__bkt=b)
+        left = df.assign(__bkt=b - 1)
+        return pd.concat([own, left], ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition holds MANY buckets: pair within each
+        ia, ib = [], []
+        for bkt, gg in g.groupby("__bkt", sort=False):
+            gg = gg.sort_values("__rn", kind="mergesort")
+            rn = gg["__rn"].to_numpy(dtype=np.int64)
+            ids = gg[id_col].to_numpy()
+            # vectorized per offset: row i pairs with i+1..i+window-1
+            for off in range(1, window):
+                if off >= len(rn):
+                    break
+                a, b = rn[:-off], rn[off:]
+                ok = (b - a < window) & ((a // window) == int(bkt))
+                ia.append(ids[:-off][ok])
+                ib.append(ids[off:][ok])
+        empty = g[id_col].iloc[:0].to_numpy()
+        return pd.DataFrame(
+            {"id_a": np.concatenate(ia) if ia else empty,
+             "id_b": np.concatenate(ib) if ib else empty})
+
+    return partitioned_group_map(
+        ranked.map_batches(spread, batch_format="pandas"),
+        ["__bkt"], pairs, num_partitions,
+    )

@@ -699,3 +699,19 @@ def test_distribution_drift_psi(ray_session):
     want = round(sum((qi - pi) * math.log(qi / pi)
                      for pi, qi in zip(p, q)), 6)
     assert got == want
+
+
+def test_sorted_neighborhood_pairs_exact_once(ray_session):
+    """Window-3 SNM over 6 rows: every pair within 2 rank positions,
+    each exactly once, across bucket boundaries."""
+    from biocypher_metta_ray.stages.dedup import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"id": [10, 20, 30, 40, 50, 60],
+                       "name": ["a", "b", "c", "d", "e", "f"]})
+    got = (sorted_neighborhood_pairs(
+        ray.data.from_pandas(df), ["name"], "id", window=3,
+        num_partitions=2).to_pandas())
+    pairs = sorted(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    want = sorted([(10, 20), (10, 30), (20, 30), (20, 40), (30, 40),
+                   (30, 50), (40, 50), (40, 60), (50, 60)])
+    assert pairs == want
