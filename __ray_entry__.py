@@ -2048,6 +2048,19 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Quality-weighted 100-doc sample of the corpus, weight =
+    n_chars (stages/relational.py::weighted_sample — deterministic
+    Efraimidis-Spirakis with hash-derived uniforms; heavier docs
+    proportionally likelier, fully replayable)."""
+    from biocypher_metta_ray.stages.relational import weighted_sample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, "doc_id", "n_chars", k=100)
+    return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                         "pri": out["pri"].astype("float64")})
+
+
 def _q_snm_pairs(sf_dir: str):
     """Sorted-neighborhood candidate pairs over customer names
     (stages/dedup.py::sorted_neighborhood_pairs — distributed
@@ -3576,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift": _q_value_drift,
         "normalize_text": _q_normalize_text,
         "snm_pairs": _q_snm_pairs,
+        "weighted_sample": _q_weighted_sample,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5437,6 +5451,22 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "weighted_sample": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                       list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), CAST(i + 9 AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                FROM documents),
+            p AS (SELECT doc_id,
+                         round(ln(((((hi % 10000) * 7296
+                                     + (lo % 10000)) % 10000) + 0.5)
+                                  / 10000.0)
+                               / n_chars, 6) AS pri
+                  FROM h)
+            SELECT doc_id, pri FROM p
+            ORDER BY pri DESC, doc_id
+            LIMIT 100
         """,
         "snm_pairs": """
             WITH r AS (SELECT c_custkey,

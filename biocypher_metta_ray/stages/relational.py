@@ -1353,3 +1353,41 @@ def distribution_drift(
     p, q = p / p.sum(), q / q.sum()
     psi = float(np.sum((q - p) * np.log(q / p)))
     return ray.data.from_pandas(pd.DataFrame({"psi": [round(psi, 6)]}))
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): every row gets priority
+    ``ln(u) / w`` with ``u`` a stable hash-derived uniform in (0, 1)
+    — a monotone transform of the classic ``u^(1/w)`` key — and the
+    global top-``k`` priorities win. Heavier rows sample
+    proportionally more often, yet the draw is REPRODUCIBLE across
+    runs, partitionings and cluster sizes (the quality-weighted
+    corpus subsampling step, with hash_split's replayability
+    guarantee; same md5 convention, same 1/10000 uniform grid).
+    Priorities are rounded to 6 so the oracle's libm and numpy's may
+    differ in the last ulp without flipping the boundary; ties break
+    by id. Returns the k sampled rows as pandas (k is driver-scale).
+    """
+    import pyarrow as _pa
+
+    from ..functions.helpers import hash64_column
+
+    def pri(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{salt}:{v}" for v in batch[id_col].tolist()]
+        bucket = (hash64_column(_pa.array(keys))
+                  % np.uint64(10_000)).astype(np.float64)
+        u = (bucket + 0.5) / 10_000.0
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        out = batch[[id_col]].copy()
+        out["pri"] = np.round(np.log(u) / w, 6)
+        return out
+
+    return top_k(ds.map_batches(pri, batch_format="pandas"), k,
+                 by=["pri", id_col], ascending=[False, True])

@@ -715,3 +715,17 @@ def test_sorted_neighborhood_pairs_exact_once(ray_session):
     want = sorted([(10, 20), (10, 30), (20, 30), (20, 40), (30, 40),
                    (30, 50), (40, 50), (40, 60), (50, 60)])
     assert pairs == want
+
+
+def test_weighted_sample_reproducible_and_biased(ray_session):
+    """Same input twice -> identical draw (replayability); a much
+    heavier weight makes a row effectively certain to win top-1."""
+    from biocypher_metta_ray.stages.relational import weighted_sample
+
+    df = pd.DataFrame({"id": list(range(50)),
+                       "w": [1.0] * 49 + [1e9]})
+    a = weighted_sample(ray.data.from_pandas(df), "id", "w", k=5)
+    b = weighted_sample(ray.data.from_pandas(df), "id", "w", k=5)
+    assert a["id"].tolist() == b["id"].tolist()
+    # priority ln(u)/w -> ~0 for the 1e9-weight row, negative others
+    assert a["id"].iloc[0] == 49
