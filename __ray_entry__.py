@@ -2048,6 +2048,27 @@ def _q_decayed_sum(sf_dir: str):
     )
 
 
+def _q_centroid_similarity(sf_dir: str):
+    """Cosine of every embedding to its own label's mean centroid —
+    the embedding-space outlier score
+    (stages/cluster.py::centroid_similarity: dimension-scale sum
+    partials through one label-keyed shuffle, centroid broadcast,
+    streaming row-wise cosine)."""
+    from biocypher_metta_ray.stages.cluster import centroid_similarity
+
+    ds = _rp(sf_dir, "embeddings",
+             columns=["vec_id", "embedding", "label"])
+    out = centroid_similarity(ds, "vec_id", "embedding", "label")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "label": df["label"].astype("int64"),
+             "cos_centroid": df["cos_centroid"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_weighted_sample(sf_dir: str):
     """Quality-weighted 100-doc sample of the corpus, weight =
     n_chars (stages/relational.py::weighted_sample — deterministic
@@ -3590,6 +3611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "snm_pairs": _q_snm_pairs,
         "weighted_sample": _q_weighted_sample,
+        "centroid_similarity": _q_centroid_similarity,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
@@ -5451,6 +5473,24 @@ def oracle_sql() -> dict[str, str]:
                        AS decayed
             FROM events, mx
             GROUP BY 1
+        """,
+        "centroid_similarity": """
+            WITH u AS (SELECT vec_id, label,
+                              unnest(range(len(embedding))) AS i,
+                              unnest(embedding) AS x
+                       FROM embeddings),
+            c AS (SELECT label, i, sum(x) / count(*) AS cx
+                  FROM u GROUP BY 1, 2),
+            cn AS (SELECT label, sqrt(sum(cx * cx)) AS n
+                   FROM c GROUP BY 1),
+            v AS (SELECT u.vec_id, u.label,
+                         sum(u.x * c.cx) AS dot,
+                         sqrt(sum(u.x * u.x)) AS nv
+                  FROM u JOIN c ON u.label = c.label AND u.i = c.i
+                  GROUP BY 1, 2)
+            SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+                   round(v.dot / (v.nv * cn.n), 6) AS cos_centroid
+            FROM v JOIN cn ON v.label = cn.label
         """,
         "weighted_sample": """
             WITH h AS (

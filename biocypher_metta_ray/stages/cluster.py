@@ -319,3 +319,75 @@ def gram_matrix(
         .repartition(1)
         .map_batches(merge, batch_format="pandas", batch_size=None)
     )
+
+
+def centroid_similarity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+    shuffle_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cosine of every vector to its own group's mean centroid —
+    the embedding-space outlier score (a low value flags mislabeled /
+    off-topic rows inside a cluster or source; the per-row half of
+    the SemDedup geometry, exposed directly).
+
+    Scale shape: pass 1 reduces each batch to one ``(label, sum
+    vector, count)`` partial (dimension-scale rows, map-side
+    combined through one label-cardinality shuffle); the centroid
+    table broadcasts via ``ray.put`` and pass 2 streams the corpus
+    through a vectorized matmul-free cosine (row-wise dot with the
+    row's own centroid). Stated arithmetic — centroid = sum/n per
+    dimension, cos = dot/(|v||c|), rounded to 6 — so the SQL oracle
+    (unnest + group-by-dimension avg) reproduces it.
+    """
+    import pyarrow as _pa
+
+    def partial(batch: _pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, emb_col)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            X, columns=[f"d{i}" for i in range(X.shape[1])])
+        s = df.groupby(pd.Series(lab, name="label")).sum()
+        n = pd.Series(lab).value_counts(sort=False)
+        out = s.reset_index()
+        out["__n"] = n.reindex(s.index).to_numpy(dtype=np.int64)
+        return out
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow").materialize()
+    dim_cols = [c for c in partials.schema().names
+                if c not in ("label", "__n")]
+    from ray.data.aggregate import Sum
+
+    agg = (
+        partials.repartition(shuffle_partitions)
+        .groupby("label")
+        .aggregate(*[Sum(c, alias_name=c) for c in dim_cols + ["__n"]])
+        .to_pandas().set_index("label")
+    )
+    cents = agg[dim_cols].to_numpy(dtype=np.float64)
+    cents /= agg["__n"].to_numpy(dtype=np.float64)[:, None]
+    cent_map = {lab: cents[i] for i, lab in enumerate(agg.index)}
+    cnorm = {lab: float(np.sqrt((v * v).sum()))
+             for lab, v in cent_map.items()}
+    ref = ray.put((cent_map, cnorm))
+
+    def score(batch: _pa.Table) -> pd.DataFrame:
+        cmap, cn = ray.get(ref)
+        X = _matrix(batch, emb_col)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        C = np.stack([cmap[v] for v in lab]) if len(lab) else X
+        dots = (X * C).sum(axis=1)
+        nv = np.sqrt((X * X).sum(axis=1))
+        nc = np.array([cn[v] for v in lab], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dots / (nv * nc)
+        return pd.DataFrame({
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "label": lab,
+            "cos_centroid": np.round(cos, 6),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

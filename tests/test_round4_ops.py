@@ -729,3 +729,32 @@ def test_weighted_sample_reproducible_and_biased(ray_session):
     assert a["id"].tolist() == b["id"].tolist()
     # priority ln(u)/w -> ~0 for the 1e9-weight row, negative others
     assert a["id"].iloc[0] == 49
+
+
+def test_centroid_similarity_known_geometry(ray_session):
+    """Two orthogonal-ish groups: a vector equal to its group's
+    centroid scores 1.0; an orthogonal vector scores 0."""
+    from biocypher_metta_ray.stages.cluster import centroid_similarity
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "emb": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        "g": [0, 0, 1],
+    })
+    got = (centroid_similarity(ray.data.from_pandas(df),
+                               "id", "emb", "g")
+           .to_pandas().set_index("id")["cos_centroid"])
+    assert got[1] == 1.0 and got[2] == 1.0 and got[3] == 1.0
+    # cross-check: vector orthogonal to the OTHER group's centroid
+    df2 = pd.DataFrame({
+        "id": [1, 2],
+        "emb": [[1.0, 0.0], [0.0, 1.0]],
+        "g": [0, 0],
+    })
+    got2 = (centroid_similarity(ray.data.from_pandas(df2),
+                                "id", "emb", "g")
+            .to_pandas().set_index("id")["cos_centroid"])
+    # centroid = (0.5, 0.5); each unit vector cos = 0.5/(1*sqrt(0.5))
+    import math
+    want = round(0.5 / math.sqrt(0.5), 6)
+    assert got2[1] == want and got2[2] == want
