@@ -3555,9 +3555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "fuzzy_join": _q_fuzzy_join,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "snm_pairs": _q_snm_pairs,
+        "centroid_similarity": _q_centroid_similarity,
         "regional_revenue": _q_regional_revenue,
-        "global_rank": _q_global_rank,
         "global_row_number": _q_global_row_number,
         "q3_revenue": _q_q3_revenue,
         "q10_returns": _q_q10_returns,
@@ -3609,9 +3609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": _q_mutual_info,
         "value_drift": _q_value_drift,
         "normalize_text": _q_normalize_text,
-        "snm_pairs": _q_snm_pairs,
         "weighted_sample": _q_weighted_sample,
-        "centroid_similarity": _q_centroid_similarity,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "global_rank": _q_global_rank,
         "anti_join": _q_anti_join,
         "distinct_docs": _q_distinct_docs,
         "session_windows": _q_session_windows,
