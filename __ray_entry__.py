@@ -2475,6 +2475,20 @@ def _q_q4_priority(sf_dir: str):
     )
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """Top-50 adjacent byte-pair counts within whitespace tokens — the
+    argmax table of one BPE merge step (stages/lm.py::char_pair_counts:
+    per-batch np.bincount partials straight off the Arrow string
+    buffers, zero string decode; pair-vocab rows through the
+    map-side-combined sum; driver top-k over <=65,536 rows)."""
+    from biocypher_metta_ray.stages.lm import char_pair_counts
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    out = char_pair_counts(ds, "text", k=50)
+    return pd.DataFrame({"pair": out["pair"].astype(str),
+                         "cnt": out["cnt"].astype("int64")})
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3811,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume": _q_q7_volume,
         "q13_custdist": _q_q13_custdist,
         "q4_priority": _q_q4_priority,
+        "bpe_pairs": _q_bpe_pairs,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -5860,6 +5875,16 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT c_count, count(*) AS custdist
             FROM c_orders GROUP BY 1
+        """,
+        "bpe_pairs": """
+            WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
+                              AS tok FROM documents),
+            p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
+                  FROM (SELECT tok, unnest(range(1, length(tok))) AS i
+                        FROM toks))
+            SELECT CAST(pair AS VARCHAR) AS pair, count(*) AS cnt
+            FROM p GROUP BY 1
+            ORDER BY cnt DESC, pair LIMIT 50
         """,
         "q4_priority": """
             SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,

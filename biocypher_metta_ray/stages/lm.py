@@ -270,3 +270,69 @@ def pmi_collocations(
         ds.map_batches(bpartial, batch_format="pyarrow"),
         ["w1"], body, num_partitions, coalesce=2 * num_partitions,
     )
+
+
+def char_pair_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 50,
+) -> ray.data.Dataset:
+    """Top-k adjacent byte-pair counts within whitespace tokens — the
+    statistic behind ONE BPE merge step (Sennrich et al. 2016: the
+    merge chosen at each iteration is argmax of exactly this table).
+
+    Scale shape: each batch reduces to a <=65,536-long nonzero
+    (pair, count) partial straight off the Arrow string buffers — the
+    UTF-8 data buffer is viewed as uint8 (ZERO decode, zero Python
+    strings), pairs crossing row boundaries or touching a space are
+    masked, and ``np.bincount`` collapses the batch. Partials merge
+    through ``grouped_agg``'s map-side-combined path (pair-vocab
+    rows, never corpus rows), then a driver top-k over <=65,536 rows.
+    ASCII contract (stated so the SQL oracle is exact): pairs are
+    BYTE pairs, which equal character pairs on an ASCII corpus; on
+    multi-byte UTF-8 this is byte-level BPE (the GPT-2 convention),
+    while the SQL oracle counts characters — oracle parity holds for
+    ASCII inputs only.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        arr = pc.utf8_lower(batch[text_col])
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        buffers = arr.buffers()
+        off = np.frombuffer(buffers[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        lo, hi = int(off[0]), int(off[-1])
+        buf = data[lo:hi]
+        if buf.size < 2:
+            return pd.DataFrame({"pair_key": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64)})
+        p1 = buf[:-1].astype(np.uint32)
+        p2 = buf[1:].astype(np.uint32)
+        ok = np.ones(buf.size - 1, dtype=bool)
+        starts = off[1:-1] - lo  # row starts after the first row
+        ok[starts - 1] = False   # pair spanning a row boundary
+        ok &= (p1 != 32) & (p2 != 32)
+        key = (p1[ok] << 8) | p2[ok]
+        counts = np.bincount(key, minlength=1 << 16)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"pair_key": nz.astype(np.int64),
+                             "cnt": counts[nz].astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from .relational import grouped_agg, top_k
+
+    summed = grouped_agg(partials, ["pair_key"], sums=["cnt"])
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["pair_key"].to_numpy(dtype=np.int64)
+        pairs = [chr(int(x) >> 8) + chr(int(x) & 0xFF) for x in keys]
+        return pd.DataFrame({"pair": pd.array(pairs, dtype="object"),
+                             "cnt": df["cnt"].astype("int64")})
+
+    decoded = summed.map_batches(decode, batch_format="pandas")
+    return top_k(decoded, k, by=["cnt", "pair"],
+                 ascending=[False, True])

@@ -758,3 +758,52 @@ def test_centroid_similarity_known_geometry(ray_session):
     import math
     want = round(0.5 / math.sqrt(0.5), 6)
     assert got2[1] == want and got2[2] == want
+
+
+# ---------------------------------------------------------------------------
+# char_pair_counts: BPE merge-step statistic off the raw Arrow buffers
+# ---------------------------------------------------------------------------
+
+
+def _brute_char_pairs(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        for tok in t.lower().split(" "):
+            for i in range(len(tok) - 1):
+                c[tok[i:i + 2]] += 1
+    return c
+
+
+def test_char_pair_counts_matches_brute(ray_session):
+    from biocypher_metta_ray.stages.lm import char_pair_counts
+
+    texts = [
+        "The Quick brown fox",
+        "jumps  over the lazy dog",   # double space: no cross-token pair
+        "a",                           # 1-char token: no pairs
+        "",                            # empty doc
+        "ab ab ab",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = char_pair_counts(ds, "text", k=1000)
+    want = _brute_char_pairs(texts)
+    got_map = dict(zip(got["pair"], got["cnt"]))
+    assert got_map == dict(want)
+
+
+def test_char_pair_counts_sliced_offset_buffers(ray_session):
+    """A Ray block can hand the kernel a SLICED Arrow array (nonzero
+    arr.offset / offsets[0]); the buffer arithmetic must hold."""
+    import pyarrow as pa
+
+    from biocypher_metta_ray.stages.lm import char_pair_counts
+
+    texts = ["xy yz", "zz zz", "abc"]
+    full = pa.table({"text": ["IGNORED ROW"] + texts})
+    sliced = full.slice(1)  # nonzero offset into the same buffers
+    ds = ray.data.from_arrow(sliced)
+    got = char_pair_counts(ds, "text", k=100)
+    want = _brute_char_pairs(texts)
+    assert dict(zip(got["pair"], got["cnt"])) == dict(want)
