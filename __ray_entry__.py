@@ -2489,6 +2489,36 @@ def _q_bpe_pairs(sf_dir: str):
                          "cnt": out["cnt"].astype("int64")})
 
 
+def _q_ancestor_closure(sf_dir: str):
+    """Bounded transitive ancestor closure over a synthetic
+    child->parent DAG (parent = o_orderkey // 10 when an order with
+    that key relationship exists) — the GO/ontology ancestor-closure
+    shape, oracled by a WITH RECURSIVE CTE
+    (stages/graph.py::ancestor_closure — semi-naive evaluation: each
+    sweep joins only the newest frontier against the static hop
+    table, anti-joins away pairs already reached by a shorter path,
+    min-depth semantics)."""
+    from biocypher_metta_ray.stages.graph import ancestor_closure
+
+    edges = _rp(sf_dir, "orders",
+                columns=["o_orderkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"child": df["o_orderkey"].astype("int64"),
+             "parent": (df["o_orderkey"] // 10).astype("int64")}
+        ).loc[lambda d: d["parent"] >= 1],
+        batch_format="pandas",
+    )
+    out = ancestor_closure(edges, max_depth=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "ancestor": df["ancestor"].astype("int64"),
+             "depth": df["depth"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3826,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_custdist": _q_q13_custdist,
         "q4_priority": _q_q4_priority,
         "bpe_pairs": _q_bpe_pairs,
+        "ancestor_closure": _q_ancestor_closure,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -5875,6 +5906,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT c_count, count(*) AS custdist
             FROM c_orders GROUP BY 1
+        """,
+        "ancestor_closure": """
+            WITH RECURSIVE e AS (
+                SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+                FROM orders WHERE o_orderkey // 10 >= 1),
+            anc AS (
+                SELECT child AS node, parent AS ancestor, 1 AS depth
+                FROM e
+                UNION ALL
+                SELECT a.node, e.parent, a.depth + 1
+                FROM anc a JOIN e ON a.ancestor = e.child
+                WHERE a.depth < 4)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(ancestor AS BIGINT) AS ancestor,
+                   CAST(min(depth) AS BIGINT) AS depth
+            FROM anc GROUP BY 1, 2
         """,
         "bpe_pairs": """
             WITH toks AS (SELECT unnest(string_split(lower(text), ' '))

@@ -1526,3 +1526,114 @@ def closeness_centrality(
                              "closeness": out["__c"].round(6)})
 
     return partitioned_group_map(pairs, ["srcn"], finish, num_partitions)
+
+
+def ancestor_closure(
+    edges: ray.data.Dataset,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded transitive closure of a child->parent DAG: every
+    (node, ancestor, depth) with depth = MIN hops <= ``max_depth`` —
+    the GO/ontology ancestor-closure shape (term enrichment joins a
+    fact table against exactly this result; the reference walks the
+    same subClassOf chains one OWL node at a time in
+    ontologies_adapter.py's in-memory graph).
+
+    Semi-naive evaluation, the datalog-textbook scale shape: sweep d
+    joins only the FRONTIER discovered at d-1 (never the whole
+    closure) against the static edge table — one bounded hash join —
+    then an anti join on the packed (node, ancestor) key prunes pairs
+    already reached by a shorter path, so DAGs with many redundant
+    paths cannot re-derive (and re-ship) the same pair per path. The
+    closure accumulates as a lazy union of per-depth frontiers, each
+    materialized once (the pagerank static-table contract). Node ids
+    must fit unsigned 32 bits for the pack; asserted per batch.
+    """
+    from .joins import anti_join, hash_join
+
+    nparts = num_partitions or 16
+
+    # dtype-faithful empty (the _bucket_pairs.empty() discipline): the
+    # bucketed join's sort can emit schema-less empty ranges; every
+    # map body below returns THIS for them so downstream schema
+    # resolution and unions always see the full typed column set
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("node", "ancestor", "depth", "__pair")})
+
+    def _pack(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        anc = df["ancestor"].to_numpy(np.int64)
+        if len(node):
+            hi = max(int(node.max()), int(anc.max()))
+            lo = min(int(node.min()), int(anc.min()))
+            assert 0 <= lo and hi < (1 << 32), (
+                "ancestor_closure packs (node, ancestor) into int64; "
+                "ids must be in [0, 2^32)")
+        return df.assign(__pair=(node << 32) | anc)
+
+    base = edges.map_batches(
+        lambda df: _pack(pd.DataFrame(
+            {"node": df[child].astype("int64"),
+             "ancestor": df[parent].astype("int64"),
+             "depth": np.int64(1)})),
+        batch_format="pandas",
+    ).materialize()
+
+    # static hop table, reused every sweep
+    hop = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"ancestor": df[child].astype("int64"),
+             "__next": df[parent].astype("int64")}),
+        batch_format="pandas",
+    ).materialize()
+
+    frontier = base
+    levels = [base]
+    seen = base  # lazy union of everything discovered so far
+    for depth in range(2, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        # use_native=False: the frontier is a partitioned_group_map
+        # output whose sort can emit schema-less empty ranges — benign
+        # for the bucketed join body, fatal to acero's field lookup —
+        # and an iterative loop must not spawn a fresh hash-shuffle
+        # aggregator actor pool per sweep (BASELINE.md negative result)
+        stepped = hash_join(
+            frontier.drop_columns(["__pair"]), hop,
+            on="ancestor", num_partitions=nparts, use_native=False,
+        ).map_batches(
+            lambda df, d=depth: _empty() if "node" not in df.columns
+            else _pack(pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "ancestor": df["__next"].astype("int64"),
+                 "depth": np.int64(d)})),
+            batch_format="pandas",
+        )
+        # an all-empty stepped set ends the walk here (schema() of an
+        # all-empty dataset is None, which the joins below reject)
+        stepped = stepped.materialize()
+        if stepped.count() == 0:
+            break
+        # min-depth semantics: drop pairs already reached earlier;
+        # within-sweep duplicates (multiple equal-length paths)
+        # collapse to one row per pair
+        fresh = anti_join(stepped, seen, on="__pair",
+                          num_partitions=nparts)
+        frontier = partitioned_group_map(
+            fresh, ["__pair"],
+            lambda df: (_empty() if "__pair" not in df.columns
+                        else df.drop_duplicates("__pair")),
+            num_partitions=nparts,
+        ).materialize()
+        levels.append(frontier)
+        seen = seen.union(frontier)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.drop_columns(["__pair"])

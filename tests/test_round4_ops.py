@@ -807,3 +807,45 @@ def test_char_pair_counts_sliced_offset_buffers(ray_session):
     got = char_pair_counts(ds, "text", k=100)
     want = _brute_char_pairs(texts)
     assert dict(zip(got["pair"], got["cnt"])) == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# ancestor_closure: semi-naive bounded transitive closure on a DAG
+# ---------------------------------------------------------------------------
+
+
+def _closure_ds(edges):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"child": [a for a, _ in edges],
+         "parent": [b for _, b in edges]}))
+
+
+def test_ancestor_closure_diamond_min_depth(ray_session):
+    """Two equal-length paths collapse to ONE row; a direct shortcut
+    edge beats the longer derivation (min-depth semantics)."""
+    from biocypher_metta_ray.stages.graph import ancestor_closure
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    got = ancestor_closure(_closure_ds(edges), max_depth=3).to_pandas()
+    got = set(map(tuple, got[["node", "ancestor", "depth"]].values))
+    assert got == {
+        (1, 2, 1), (1, 3, 1), (2, 4, 1), (3, 4, 1), (4, 5, 1),
+        (1, 4, 2), (2, 5, 2), (3, 5, 2),
+        (1, 5, 3),
+    }
+
+    # shortcut edge 1->4: (1,4) now depth 1 and (1,5) depth 2
+    got2 = ancestor_closure(
+        _closure_ds(edges + [(1, 4)]), max_depth=3).to_pandas()
+    got2 = dict(((int(r.node), int(r.ancestor)), int(r.depth))
+                for r in got2.itertuples())
+    assert got2[(1, 4)] == 1 and got2[(1, 5)] == 2
+
+
+def test_ancestor_closure_depth_cap(ray_session):
+    from biocypher_metta_ray.stages.graph import ancestor_closure
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # 1->2->...->8
+    got = ancestor_closure(_closure_ds(chain), max_depth=2).to_pandas()
+    assert int(got["depth"].max()) == 2
+    assert len(got) == 7 + 6  # 7 depth-1 edges + 6 depth-2 pairs
