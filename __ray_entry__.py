@@ -2519,6 +2519,41 @@ def _q_ancestor_closure(sf_dir: str):
     )
 
 
+def _q_covariance_matrix(sf_dir: str):
+    """Full sample-covariance table of the embedding column
+    (stages/cluster.py::covariance_matrix — the gram_matrix additive
+    reduction extended with mean/count rows; corpus streams once,
+    zero shuffle, driver sees d(d+1)/2 + d + 1 rows)."""
+    from biocypher_metta_ray.stages.cluster import covariance_matrix
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding"])
+    out = covariance_matrix(ds, "embedding")
+    return pd.DataFrame({"i": out["i"].astype("int64"),
+                         "j": out["j"].astype("int64"),
+                         "cov": out["cov"].astype("float64")})
+
+
+def _q_pca_projection(sf_dir: str):
+    """Per-vector projection onto the leading principal component
+    (stages/cluster.py::pca_leading_projection — fixed-count
+    unnormalized power iteration from v0 = e_0 so the arithmetic is a
+    finite formula the SQL oracle unrolls exactly; covariance via the
+    shuffle-free additive reduction, component closure-broadcast,
+    projection one centered matmul per batch)."""
+    from biocypher_metta_ray.stages.cluster import (
+        pca_leading_projection)
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = pca_leading_projection(ds, "vec_id", "embedding", iters=10)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "score": df["score"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3857,6 +3892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority": _q_q4_priority,
         "bpe_pairs": _q_bpe_pairs,
         "ancestor_closure": _q_ancestor_closure,
+        "covariance_matrix": _q_covariance_matrix,
+        "pca_projection": _q_pca_projection,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -4536,6 +4573,41 @@ def _modularity_sql(p: dict, sweeps: int = 4) -> str:
                          - (dc.d / m2.m2) * (dc.d / m2.m2)), 6)
                    AS modularity
         FROM dc LEFT JOIN w ON dc.lab = w.lab, m2
+    """
+
+
+def _pca_projection_sql(iters: int = 10) -> str:
+    """Unrolled power-iteration oracle: cov matrix via covar_samp,
+    then ``iters`` chained matrix-vector CTEs from v0 = e_1 (the SQL
+    mirror of stages/cluster.py::pca_leading_projection's stated
+    finite-formula arithmetic — an eigensolver is not
+    SQL-expressible; ten unrolled float64 CTEs are)."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"v{t} AS (SELECT cov.i AS i, sum(cov.c * v{t-1}.val) "
+            f"AS val FROM cov JOIN v{t-1} ON cov.j = v{t-1}.i "
+            f"GROUP BY 1)"
+        )
+    return f"""
+        WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+        cov AS (SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS c
+                FROM e a JOIN e b ON a.vec_id = b.vec_id
+                GROUP BY 1, 2),
+        v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS val
+               FROM (SELECT DISTINCT i FROM e)),
+        {', '.join(steps)},
+        comp AS (SELECT i,
+                        val / sqrt((SELECT sum(val * val) FROM v{iters}))
+                            AS val
+                 FROM v{iters}),
+        mu AS (SELECT i, avg(v) AS m FROM e GROUP BY 1)
+        SELECT e.vec_id,
+               round(sum((e.v - mu.m) * comp.val), 6) AS score
+        FROM e JOIN mu ON e.i = mu.i JOIN comp ON e.i = comp.i
+        GROUP BY 1
     """
 
 
@@ -5907,6 +5979,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_count, count(*) AS custdist
             FROM c_orders GROUP BY 1
         """,
+        "covariance_matrix": """
+            WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT CAST(a.i - 1 AS BIGINT) AS i,
+                   CAST(b.i - 1 AS BIGINT) AS j,
+                   round(covar_samp(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        """,
+        "pca_projection": _pca_projection_sql(iters=10),
         "ancestor_closure": """
             WITH RECURSIVE e AS (
                 SELECT o_orderkey AS child, o_orderkey // 10 AS parent

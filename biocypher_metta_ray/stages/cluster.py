@@ -391,3 +391,113 @@ def centroid_similarity(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _cov_stats(ds: ray.data.Dataset, col: str):
+    """One streamed pass -> (n, mean, sample covariance) on the
+    driver. Each block contributes ONE additive partial frame:
+    upper-triangle ``X^T X`` triplets plus the per-dimension sum
+    (tagged ``j = -1``) and the row count (tagged ``i = j = -1``) —
+    the gram_matrix fixed-size reduction with two extra row kinds,
+    merged through the same two-level block-coalesce tree. The
+    corpus streams once; the driver sees d(d+1)/2 + d + 1 rows.
+    Arithmetic contract (stated for the SQL oracle):
+    cov = (sum_xy - n * mu_x * mu_y) / (n - 1), float64."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, col)
+        G = X.T @ X
+        d = G.shape[0]
+        iu = np.triu_indices(d)
+        s = X.sum(axis=0)
+        return pd.DataFrame(
+            {"i": np.concatenate(
+                [iu[0], np.arange(d), [-1]]).astype(np.int64),
+             "j": np.concatenate(
+                 [iu[1], np.full(d, -1), [-1]]).astype(np.int64),
+             "val": np.concatenate([G[iu], s, [float(len(batch))]])}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["i", "j"], sort=True)["val"].sum().reset_index()
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    n = float(rows.loc[(rows["i"] == -1) & (rows["j"] == -1),
+                       "val"].iloc[0])
+    sums = rows[(rows["j"] == -1) & (rows["i"] >= 0)].sort_values("i")
+    s = sums["val"].to_numpy(np.float64)
+    d = len(s)
+    G = np.zeros((d, d), dtype=np.float64)
+    tri = rows[rows["j"] >= 0]
+    G[tri["i"].to_numpy(np.int64), tri["j"].to_numpy(np.int64)] = (
+        tri["val"].to_numpy(np.float64))
+    G = G + G.T - np.diag(np.diag(G))
+    mu = s / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1.0)
+    return n, mu, cov
+
+
+def covariance_matrix(
+    ds: ray.data.Dataset, col: str = "embedding",
+) -> pd.DataFrame:
+    """Full (i, j, cov) sample-covariance table of an embedding
+    column (0-based dims, float64 rounded to 6) — the PCA / whitening
+    / Mahalanobis sufficient statistic, computed as a shuffle-free
+    additive reduction (see _cov_stats)."""
+    _, _, cov = _cov_stats(ds, col)
+    d = cov.shape[0]
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return pd.DataFrame(
+        {"i": ii.ravel().astype(np.int64),
+         "j": jj.ravel().astype(np.int64),
+         "cov": np.round(cov.ravel(), 6)}
+    )
+
+
+def pca_leading_projection(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    iters: int = 10,
+) -> ray.data.Dataset:
+    """Projection of every vector onto the LEADING principal
+    component — dimensionality-reduction / outlier-scoring primitive.
+
+    The component is computed by FIXED-COUNT unnormalized power
+    iteration from v0 = e_0 (v <- C v, ``iters`` times, one final L2
+    normalization) rather than an eigensolver — deliberately, so the
+    arithmetic is a finite formula a SQL oracle reproduces exactly
+    (eigh is not SQL-expressible; ten unrolled matrix-vector CTEs
+    are). Deterministic including sign. Scale shape: the covariance
+    reduction streams the corpus once (additive partials, no
+    shuffle); the d-vector component is closure-broadcast; the
+    projection pass is one vectorized centered matmul per batch,
+    streaming, order-preserving."""
+    _, mu, cov = _cov_stats(ds, col)
+    v = np.zeros(cov.shape[0], dtype=np.float64)
+    v[0] = 1.0
+    for _ in range(iters):
+        v = cov @ v
+    v = v / np.sqrt(float((v * v).sum()))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, col)
+        score = (X - mu) @ v
+        return pd.DataFrame(
+            {id_col: batch.column(id_col).to_numpy(
+                zero_copy_only=False),
+             "score": np.round(score, 6)}
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow")

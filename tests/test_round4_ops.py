@@ -849,3 +849,36 @@ def test_ancestor_closure_depth_cap(ray_session):
     got = ancestor_closure(_closure_ds(chain), max_depth=2).to_pandas()
     assert int(got["depth"].max()) == 2
     assert len(got) == 7 + 6  # 7 depth-1 edges + 6 depth-2 pairs
+
+
+# ---------------------------------------------------------------------------
+# covariance / PCA power projection: additive partials across blocks
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_and_pca_match_local_numpy(ray_session):
+    from biocypher_metta_ray.stages.cluster import (
+        covariance_matrix, pca_leading_projection)
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(257, 5)  # odd row count -> uneven blocks
+    df = pd.DataFrame({"vec_id": np.arange(257, dtype=np.int64),
+                       "embedding": [row for row in X]})
+    ds = ray.data.from_pandas(df).repartition(7)  # force many blocks
+
+    n = len(X)
+    mu = X.sum(0) / n
+    C = (X.T @ X - n * np.outer(mu, mu)) / (n - 1)
+
+    got = covariance_matrix(ds)
+    got_m = got.pivot(index="i", columns="j", values="cov").values
+    assert np.abs(got_m - np.round(C, 6)).max() < 2e-6
+
+    v = np.zeros(5); v[0] = 1.0
+    for _ in range(10):
+        v = C @ v
+    v = v / np.sqrt((v * v).sum())
+    want = np.round((X - mu) @ v, 6)
+    res = pca_leading_projection(ds, "vec_id", "embedding").to_pandas()
+    res = res.sort_values("vec_id")["score"].to_numpy()
+    assert np.abs(res - want).max() < 2e-6
