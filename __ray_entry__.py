@@ -2554,6 +2554,27 @@ def _q_pca_projection(sf_dir: str):
     )
 
 
+def _q_resample_ffill(sf_dir: str):
+    """Daily as-of snapshot of every user's latest event value over a
+    fixed calendar grid (stages/windows.py::resample_ffill — one key
+    co-location, one vectorized searchsorted per key against the
+    closure-shipped grid; -1.0 before a user's first event). The SQL
+    oracle is DuckDB's ASOF LEFT JOIN against the same grid."""
+    from biocypher_metta_ray.stages.windows import resample_ffill
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    grid = pd.date_range("2024-01-02", "2024-01-30", freq="D")
+    out = resample_ffill(ds, "user_id", "ts", "value", grid)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "day": df["day"],
+             "value": df["value"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3894,6 +3915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ancestor_closure": _q_ancestor_closure,
         "covariance_matrix": _q_covariance_matrix,
         "pca_projection": _q_pca_projection,
+        "resample_ffill": _q_resample_ffill,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -5978,6 +6000,17 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT c_count, count(*) AS custdist
             FROM c_orders GROUP BY 1
+        """,
+        "resample_ffill": """
+            WITH grid AS (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-30',
+                    INTERVAL 1 DAY)) AS day),
+            u AS (SELECT DISTINCT user_id FROM events),
+            g AS (SELECT user_id, day FROM u CROSS JOIN grid)
+            SELECT g.user_id, g.day,
+                   round(COALESCE(e.value, -1.0), 6) AS value
+            FROM g ASOF LEFT JOIN events e
+                ON g.user_id = e.user_id AND g.day >= e.ts
         """,
         "covariance_matrix": """
             WITH e AS (SELECT vec_id, unnest(embedding) AS v,

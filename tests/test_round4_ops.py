@@ -882,3 +882,31 @@ def test_covariance_and_pca_match_local_numpy(ray_session):
     res = pca_leading_projection(ds, "vec_id", "embedding").to_pandas()
     res = res.sort_values("vec_id")["score"].to_numpy()
     assert np.abs(res - want).max() < 2e-6
+
+
+def test_resample_ffill_edges(ray_session):
+    """Keys with no event before the first grid point get the fill
+    value; steps hold until the next event; the grid extends past the
+    last event with the final value."""
+    from biocypher_metta_ray.stages.windows import resample_ffill
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(
+            ["2024-01-03 12:00", "2024-01-05 00:00",
+             "2024-01-10 00:00"]),
+        "value": [10.0, 20.0, 7.0],
+    })
+    grid = pd.date_range("2024-01-02", "2024-01-12", freq="2D")
+    ds = ray.data.from_pandas(df)
+    out = resample_ffill(ds, "user_id", "ts", "value", grid).to_pandas()
+    got = {(int(r.user_id), str(r.day.date())): r.value
+           for r in out.itertuples()}
+    assert got[(1, "2024-01-02")] == -1.0
+    assert got[(1, "2024-01-04")] == 10.0
+    # grid point exactly at the event ts is INCLUSIVE (at-or-before)
+    assert got[(1, "2024-01-06")] == 20.0
+    assert got[(1, "2024-01-12")] == 20.0
+    assert got[(2, "2024-01-08")] == -1.0
+    assert got[(2, "2024-01-10")] == 7.0
+    assert len(out) == 2 * len(grid)
