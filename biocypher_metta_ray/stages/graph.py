@@ -1594,7 +1594,10 @@ def ancestor_closure(
 
     frontier = base
     levels = [base]
-    seen = base  # lazy union of everything discovered so far
+    # lazy union of every discovered pair — KEY COLUMN ONLY, so each
+    # sweep's membership co-location ships 8 bytes per known pair,
+    # not the full row
+    seen = base.select_columns(["__pair"])
     for depth in range(2, max_depth + 1):
         if frontier.count() == 0:
             break
@@ -1619,19 +1622,48 @@ def ancestor_closure(
         stepped = stepped.materialize()
         if stepped.count() == 0:
             break
-        # min-depth semantics: drop pairs already reached earlier;
-        # within-sweep duplicates (multiple equal-length paths)
-        # collapse to one row per pair
-        fresh = anti_join(stepped, seen, on="__pair",
-                          num_partitions=nparts)
+        # min-depth semantics in ONE co-location (fused anti join +
+        # dedup — a separate anti_join then a dedup group map would
+        # pay two shuffles per sweep): tag stepped "N" and seen "S",
+        # hash-partition on the packed pair, keep one N row per pair
+        # that has no S row
+        def _tag(side, keys_only):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                if "__pair" not in df.columns:
+                    out = (pd.DataFrame(
+                        {"__pair": pd.Series(dtype="int64")})
+                        if keys_only else _empty())
+                    out["__tag"] = pd.Series(dtype="object")
+                    return out
+                df = df[["__pair"]].copy() if keys_only else df.copy()
+                df["__tag"] = side
+                return df
+
+            return fn
+
+        both = stepped.map_batches(
+            _tag("N", False), batch_format="pandas"
+        ).union(seen.map_batches(_tag("S", True),
+                                 batch_format="pandas"))
+
+        def _fresh_once(df: pd.DataFrame) -> pd.DataFrame:
+            if "__pair" not in df.columns:
+                return _empty()
+            old = set(df.loc[df["__tag"] == "S", "__pair"])
+            new = df[df["__tag"] == "N"]
+            new = new[~new["__pair"].isin(old)]
+            # reindex, not select: a partition can hold only S rows,
+            # whose blocks carry just (__pair, __tag)
+            return new.drop_duplicates("__pair").reindex(
+                columns=["node", "ancestor", "depth", "__pair"]).astype(
+                {c: "int64" for c in
+                 ("node", "ancestor", "depth", "__pair")})
+
         frontier = partitioned_group_map(
-            fresh, ["__pair"],
-            lambda df: (_empty() if "__pair" not in df.columns
-                        else df.drop_duplicates("__pair")),
-            num_partitions=nparts,
+            both, ["__pair"], _fresh_once, num_partitions=nparts,
         ).materialize()
         levels.append(frontier)
-        seen = seen.union(frontier)
+        seen = seen.union(frontier.select_columns(["__pair"]))
 
     out = levels[0]
     for lvl in levels[1:]:
