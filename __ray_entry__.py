@@ -2575,6 +2575,86 @@ def _q_resample_ffill(sf_dir: str):
     )
 
 
+def _q_build_vocab(sf_dir: str):
+    """Top-1000 word vocabulary with contiguous ids
+    (stages/text_stats.py::build_vocab — per-batch value_counts
+    partials, map-side-combined sum, k-row driver finish)."""
+    from biocypher_metta_ray.stages.text_stats import build_vocab
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return build_vocab(ds, "text", k=1000)
+
+
+def _q_hard_negatives(sf_dir: str):
+    """Hardest negative per anchor: for every label-0 vector with
+    vec_id < 128 (a deterministic BOUNDED anchor set, identical at
+    every sf), the most-cosine-similar vector of any OTHER label
+    (stages/knn.py::hard_negatives — anchors broadcast once, corpus
+    streams one matmul per batch, label filter at the scan). Returns
+    ids only (the knn oracle convention: ordering is checked through
+    the returned neighbor, float cos never crosses the hash)."""
+    import numpy as np
+
+    from biocypher_metta_ray.stages.knn import hard_negatives
+
+    ds = _rp(sf_dir, "embeddings",
+             columns=["vec_id", "embedding", "label"])
+    anchors = (ds.filter(expr="vec_id < 128")
+               .filter(expr="label == 0").to_pandas()
+               .sort_values("vec_id"))
+    Q = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in anchors["embedding"]])
+    out = hard_negatives(ds, Q,
+                         anchors["vec_id"].to_numpy(np.int64),
+                         exclude_label=0)
+    return pd.DataFrame(
+        {"query_id": out["query_id"].astype("int64"),
+         "neg_id": out["neg_id"].astype("int64")})
+
+
+def _q_random_walks(sf_dir: str):
+    """DeepWalk-style walk corpus over the bipartite order-part graph
+    (node = 2*orderkey / 2*partkey+1, edges both directions), 3 hops
+    from the 64 smallest orderkeys, step choice = argmin of the
+    stated integer hash formula (stages/graph.py::deterministic_walks
+    — static materialized edge table; per hop one bucketed join + one
+    walk-keyed argmin co-location; SQL oracle unrolls each hop as a
+    join + windowed argmin)."""
+    import ray.data
+
+    from biocypher_metta_ray.stages.graph import deterministic_walks
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey"])
+    edges = li.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame(
+                {"src": 2 * df["l_orderkey"].astype("int64"),
+                 "dst": 2 * df["l_partkey"].astype("int64") + 1}),
+            pd.DataFrame(
+                {"src": 2 * df["l_partkey"].astype("int64") + 1,
+                 "dst": 2 * df["l_orderkey"].astype("int64")}),
+        ], ignore_index=True),
+        batch_format="pandas",
+    )
+    starts = _rp(sf_dir, "orders",
+                 columns=["o_orderkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": 2 * df.loc[df["o_orderkey"] < 64,
+                                "o_orderkey"].astype("int64")}),
+        batch_format="pandas",
+    )
+    out = deterministic_walks(edges, starts, steps=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"walk_id": df["walk_id"].astype("int64"),
+             "step": df["step"].astype("int64"),
+             "node": df["node"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3916,6 +3996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariance_matrix": _q_covariance_matrix,
         "pca_projection": _q_pca_projection,
         "resample_ffill": _q_resample_ffill,
+        "build_vocab": _q_build_vocab,
+        "hard_negatives": _q_hard_negatives,
+        "random_walks": _q_random_walks,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -4595,6 +4678,43 @@ def _modularity_sql(p: dict, sweeps: int = 4) -> str:
                          - (dc.d / m2.m2) * (dc.d / m2.m2)), 6)
                    AS modularity
         FROM dc LEFT JOIN w ON dc.lab = w.lab, m2
+    """
+
+
+def _random_walks_sql(steps: int = 3) -> str:
+    """Unrolled walk oracle: hop t = join frontier x edges + windowed
+    argmin of the walk_score formula (graph.py::walk_score, stated
+    integer arithmetic both sides reproduce exactly)."""
+    score = ("((e.dst * 2654435761) % 2147483647 + {t} * 40503 "
+             "+ w.node % 65536) % 2147483647")
+    parts = []
+    for t in range(1, steps + 1):
+        s = score.format(t=t)
+        parts.append(f"""
+            n{t} AS (SELECT w.walk_id, e.dst,
+                            row_number() OVER (
+                                PARTITION BY w.walk_id
+                                ORDER BY {s}, e.dst) AS rn
+                     FROM w{t-1} w JOIN e ON e.src = w.node),
+            w{t} AS (SELECT walk_id, dst AS node, {t} AS step
+                     FROM n{t} WHERE rn = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(steps + 1))
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT 2 * l_orderkey AS src,
+                            2 * l_partkey + 1 AS dst FROM lineitem
+            UNION
+            SELECT DISTINCT 2 * l_partkey + 1, 2 * l_orderkey
+            FROM lineitem),
+        w0 AS (SELECT DISTINCT 2 * o_orderkey AS walk_id,
+                      2 * o_orderkey AS node, 0 AS step
+               FROM orders WHERE o_orderkey < 64),
+        {','.join(parts)}
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node
+        FROM ({union})
     """
 
 
@@ -6000,6 +6120,34 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT c_count, count(*) AS custdist
             FROM c_orders GROUP BY 1
+        """,
+        "random_walks": _random_walks_sql(steps=3),
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings
+                       WHERE vec_id < 128 AND label = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding, q.qe) DESC,
+                                    e.vec_id) AS rn
+                FROM q JOIN embeddings e ON e.label <> 0)
+            SELECT query_id, vec_id AS neg_id FROM scored WHERE rn = 1
+        """,
+        "build_vocab": """
+            WITH c AS (
+                SELECT tok AS token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(lower(text), ' '))
+                          AS tok FROM documents)
+                GROUP BY 1)
+            SELECT CAST(token AS VARCHAR) AS token,
+                   row_number() OVER (ORDER BY cnt DESC, token) - 1
+                       AS token_id,
+                   cnt
+            FROM c
+            ORDER BY cnt DESC, token LIMIT 1000
         """,
         "resample_ffill": """
             WITH grid AS (SELECT unnest(generate_series(

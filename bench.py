@@ -166,6 +166,9 @@ def timed_queries() -> dict:
         "hits", "k_core", "label_propagation", "modularity",
         "closeness", "q10_returns", "profile_table", "impute_nulls",
         "snapshot_diff",
+        # round-4 continuation additions
+        "q7_volume", "q13_custdist", "bpe_pairs", "ancestor_closure",
+        "covariance_matrix", "pca_projection", "resample_ffill",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

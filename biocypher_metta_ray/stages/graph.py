@@ -1669,3 +1669,104 @@ def ancestor_closure(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out.drop_columns(["__pair"])
+
+
+WALK_MUL = 2654435761  # Knuth multiplicative constant
+WALK_MOD = 2147483647  # 2^31 - 1
+WALK_STEP_SALT = 40503
+
+
+def walk_score(
+    dst: np.ndarray, step: int, cur: np.ndarray
+) -> np.ndarray:
+    """Deterministic pseudo-random edge score for walk step choice —
+    pure int64 arithmetic both numpy and SQL reproduce exactly:
+    ``((dst * 2654435761) % (2^31-1) + step*40503 + cur % 65536)
+    % (2^31-1)``. Safe from overflow for node ids < ~3.4e9 (the
+    product stays under 2^63); asserted by callers."""
+    d = dst.astype(np.int64)
+    c = cur.astype(np.int64)
+    return ((d * WALK_MUL) % WALK_MOD
+            + np.int64(step) * WALK_STEP_SALT
+            + c % 65536) % WALK_MOD
+
+
+def deterministic_walks(
+    edges: ray.data.Dataset,
+    starts: ray.data.Dataset,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """DeepWalk-style walk corpus with DETERMINISTIC step choice: from
+    each start node, ``steps`` hops where hop ``t`` moves to the
+    out-neighbor minimizing :func:`walk_score` (ties to the lowest
+    neighbor id) — the graph-embedding corpus-generation primitive
+    (Perozzi et al. 2014) made replayable and SQL-oracle-checkable
+    (each hop unrolls to one join + one windowed argmin in SQL).
+
+    Scale shape: the edge table is static and materialized once; each
+    hop is one bounded bucketed hash join (frontier x edges on the
+    current node) followed by one per-walk argmin inside a single
+    walk-keyed co-location — frontier rows are (walk_id, node, step)
+    triples, never corpus-scale payloads. Walks at dead-end nodes
+    simply stop (no row at later steps). Output: (walk_id, step,
+    node), step 0 = the start node.
+    """
+    from .joins import hash_join
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("walk_id", "node", "step")})
+
+    cur = starts.map_batches(
+        lambda df: pd.DataFrame(
+            {"walk_id": df["node"].astype("int64"),
+             "node": df["node"].astype("int64"),
+             "step": np.int64(0)}),
+        batch_format="pandas",
+    ).materialize()
+
+    etab = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df[src].astype("int64"),
+             "__dst": df[dst].astype("int64")}).drop_duplicates(),
+        batch_format="pandas",
+    ).materialize()
+
+    levels = [cur]
+    for t in range(1, steps + 1):
+        joined = hash_join(cur.drop_columns(["step"]), etab,
+                           on="node", num_partitions=num_partitions,
+                           use_native=False)
+
+        def _argmin(df: pd.DataFrame, t=t) -> pd.DataFrame:
+            if "walk_id" not in df.columns:
+                return _empty()
+            assert df["__dst"].lt(3_400_000_000).all(), (
+                "walk_score overflow bound: node ids must be < 3.4e9")
+            score = walk_score(df["__dst"].to_numpy(np.int64), t,
+                               df["node"].to_numpy(np.int64))
+            picked = (df.assign(__s=score)
+                      .sort_values(["walk_id", "__s", "__dst"],
+                                   kind="mergesort")
+                      .groupby("walk_id", sort=False).head(1))
+            return pd.DataFrame(
+                {"walk_id": picked["walk_id"].astype("int64"),
+                 "node": picked["__dst"].astype("int64"),
+                 "step": np.int64(t)})
+
+        cur = partitioned_group_map(
+            joined, ["walk_id"], _argmin,
+            num_partitions=num_partitions,
+        ).materialize()
+        if cur.count() == 0:
+            break
+        levels.append(cur)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

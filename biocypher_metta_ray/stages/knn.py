@@ -509,3 +509,32 @@ def ivf_knn(
 
     probed = ds.map_batches(assign_filter, batch_format="pyarrow")
     return knn_bruteforce(probed, q, k=k, id_col=id_col, col=col)
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    exclude_label: int,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    single most-cosine-similar corpus vector whose label DIFFERS from
+    the anchors' (the "hardest" negative — the standard pair-mining
+    step for contrastive/metric training).
+
+    Scale shape: the anchor set is the BOUNDED broadcast side (the
+    knn_bruteforce_multi contract — the matrix rides ``ray.put``
+    once); the corpus streams through one ``M @ Q.T`` matmul per
+    batch with the label filter applied at the scan, and only one row
+    per (block, anchor) reaches the driver merge. Anchors sharing one
+    label means the label filter is a plain scan predicate; per-anchor
+    labels would move the mask inside the kernel, same shape.
+    """
+    cand = ds.filter(expr=f"{label_col} != {exclude_label}")
+    out = knn_bruteforce_multi(
+        cand, query_matrix, k=1, id_col=id_col, col=col,
+        query_ids=query_ids)
+    return out.rename(columns={id_col: "neg_id"})

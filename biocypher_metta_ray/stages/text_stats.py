@@ -388,3 +388,47 @@ def tfidf_top_terms(
         return out.groupby(id_col, sort=False).head(k).reset_index(drop=True)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def build_vocab(ds, text_col: str = "text", k: int = 1000):
+    """Tokenizer vocabulary build: the top-``k`` tokens of
+    ``lower(text)`` split on single spaces, by (count DESC, token ASC),
+    with contiguous ids 0..k-1 in that order — the word-level analogue
+    of a BPE vocab (stages/lm.py::char_pair_counts is the subword
+    half).
+
+    Scale shape: each batch collapses to ITS OWN distinct-token counts
+    via ``pc.value_counts`` before anything shuffles (vocab-scale rows
+    per batch, never the token stream); partials merge through
+    grouped_agg's map-side-combined sum; the global top-k is a
+    per-block partial top-k + driver merge over k rows per block; id
+    assignment is a driver-side sort of exactly k rows.
+
+    Returns a k-row pandas DataFrame (token, token_id, cnt).
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg, top_k
+
+    def partial(t: pa.Table) -> "pd.DataFrame":
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.split_pattern(pc.utf8_lower(col), " ").flatten()
+        vc = pc.value_counts(flat)
+        return pd.DataFrame(
+            {"token": vc.field("values").to_numpy(
+                zero_copy_only=False),
+             "cnt": vc.field("counts").to_numpy(
+                 zero_copy_only=False).astype("int64")})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    summed = grouped_agg(partials, ["token"], sums=["cnt"])
+    top = top_k(summed, k, by=["cnt", "token"],
+                ascending=[False, True])
+    top = top.sort_values(["cnt", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+    top["token_id"] = top.index.astype("int64")
+    return top[["token", "token_id", "cnt"]].astype(
+        {"token": str, "token_id": "int64", "cnt": "int64"})

@@ -910,3 +910,27 @@ def test_resample_ffill_edges(ray_session):
     assert got[(2, "2024-01-08")] == -1.0
     assert got[(2, "2024-01-10")] == 7.0
     assert len(out) == 2 * len(grid)
+
+
+def test_deterministic_walks_dead_end_and_choice(ray_session):
+    from biocypher_metta_ray.stages.graph import (
+        deterministic_walks, walk_score)
+
+    # 1 -> {2, 3}; 2 -> 4; 3 and 4 are dead ends
+    e = pd.DataFrame({"src": [1, 1, 2], "dst": [2, 3, 4]})
+    starts = ray.data.from_pandas(pd.DataFrame({"node": [1, 3]}))
+    out = deterministic_walks(
+        ray.data.from_pandas(e), starts, steps=3).to_pandas()
+
+    # walk from 3 stops immediately (dead end): only its step-0 row
+    w3 = out[out["walk_id"] == 3]
+    assert list(w3["step"]) == [0] and list(w3["node"]) == [3]
+
+    # walk from 1: step 1 picks argmin walk_score among {2, 3}
+    s = walk_score(np.array([2, 3]), 1, np.array([1, 1]))
+    expect1 = [2, 3][int(np.argmin(s))]
+    w1 = dict(zip(out[out["walk_id"] == 1]["step"],
+                  out[out["walk_id"] == 1]["node"]))
+    assert w1[0] == 1 and w1[1] == expect1
+    if expect1 == 2:
+        assert w1[2] == 4 and 3 not in w1  # then dead end at 4
