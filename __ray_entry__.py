@@ -2655,6 +2655,45 @@ def _q_random_walks(sf_dir: str):
     )
 
 
+def _q_target_encode(sf_dir: str):
+    """Smoothed target encoding of event_type against value
+    (stages/relational.py::target_encode — one map-side-combined
+    (sum, n) pass, global mean from the category table, dimension-
+    scale code broadcast, streaming fill; alpha = 10)."""
+    from biocypher_metta_ray.stages.relational import target_encode
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = target_encode(ds, ["event_type"], "value", alpha=10.0)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "event_type": df["event_type"].astype(str),
+             "encoded": df["encoded"].astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-dimension affine int8 quantization of the embeddings table
+    (stages/cluster.py::quantize_embeddings — d-rows-per-block min/max
+    partials, closure-broadcast scale table, streaming quantize;
+    explicit floor(+0.5) arithmetic stated for the oracle)."""
+    from biocypher_metta_ray.stages.cluster import quantize_embeddings
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings(ds, "vec_id", "embedding")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "dim": df["dim"].astype("int64"),
+             "code": df["code"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic exact-10-per-priority sample of orders
     (stages/relational.py::sample_per_group — hash-order reservoir
@@ -3999,6 +4038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_vocab": _q_build_vocab,
         "hard_negatives": _q_hard_negatives,
         "random_walks": _q_random_walks,
+        "target_encode": _q_target_encode,
+        "quantize_embeddings": _q_quantize_embeddings,
         "grouped_entropy": _q_grouped_entropy,
         "decayed_sum": _q_decayed_sum,
         "snapshot_diff": _q_snapshot_diff,
@@ -6122,6 +6163,33 @@ def oracle_sql() -> dict[str, str]:
             FROM c_orders GROUP BY 1
         """,
         "random_walks": _random_walks_sql(steps=3),
+        "target_encode": """
+            WITH s AS (SELECT event_type, sum(value) AS sm,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            g AS (SELECT sum(sm) / sum(n) AS gm FROM s)
+            SELECT e.event_id,
+                   CAST(e.event_type AS VARCHAR) AS event_type,
+                   round((s.sm + 10.0 * g.gm) / (s.n + 10.0), 6)
+                       AS encoded
+            FROM events e JOIN s USING (event_type), g
+        """,
+        "quantize_embeddings": """
+            WITH e AS (SELECT vec_id,
+                              CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+            s AS (SELECT i, min(v) AS mn, max(v) AS mx
+                  FROM e GROUP BY 1),
+            sc AS (SELECT i, mn,
+                          CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                               ELSE 1.0 END AS scale
+                   FROM s)
+            SELECT e.vec_id, CAST(e.i - 1 AS BIGINT) AS dim,
+                   CAST(floor((e.v - sc.mn) / sc.scale + 0.5)
+                        AS BIGINT) - 128 AS code
+            FROM e JOIN sc ON e.i = sc.i
+        """,
         "hard_negatives": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings

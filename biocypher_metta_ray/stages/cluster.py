@@ -501,3 +501,52 @@ def pca_leading_projection(
 
     return ds.select_columns([id_col, col]).map_batches(
         project, batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-dimension affine int8 quantization of an embedding column
+    — the memory-side prerequisite for ANN at 100 TB (a float32 d=768
+    corpus is 3 KB/vector; int8 is 4x smaller with ~1% recall loss).
+
+    Two passes, both shuffle-free: (1) per-block (dim, min, max)
+    partials — d rows per block — reduced on the driver; (2) a
+    streaming map quantizes each batch against the closure-broadcast
+    scale table. Stated arithmetic so the SQL oracle is exact: scale =
+    (max - min) / 255 per dimension (1.0 for constant dimensions),
+    code = floor((x - min) / scale + 0.5) - 128 — explicit
+    floor(+0.5), NOT banker's/away-from-zero round(), which differ
+    between numpy and SQL on exact halves. Output is long-form
+    (id, dim, code)."""
+
+    def minmax(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, col)
+        d = X.shape[1] if len(X) else 0
+        return pd.DataFrame(
+            {"i": np.arange(d, dtype=np.int64),
+             "mn": X.min(axis=0) if len(X) else np.empty(0),
+             "mx": X.max(axis=0) if len(X) else np.empty(0)})
+
+    parts = ds.select_columns([col]).map_batches(
+        minmax, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("i").agg(mn=("mn", "min"), mx=("mx", "max"))
+    agg = agg.sort_index()
+    mn = agg["mn"].to_numpy(np.float64)
+    mx = agg["mx"].to_numpy(np.float64)
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+
+    def quantize(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix(batch, col)
+        q = np.floor((X - mn) / scale + 0.5).astype(np.int64) - 128
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d = X.shape[1]
+        return pd.DataFrame(
+            {id_col: np.repeat(ids, d),
+             "dim": np.tile(np.arange(d, dtype=np.int64), len(ids)),
+             "code": q.ravel()})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        quantize, batch_format="pyarrow")

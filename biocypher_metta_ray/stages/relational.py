@@ -1391,3 +1391,42 @@ def weighted_sample(
 
     return top_k(ds.map_batches(pri, batch_format="pandas"), k,
                  by=["pri", id_col], ascending=[False, True])
+
+
+def target_encode(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    target_col: str,
+    alpha: float = 10.0,
+    out_col: str = "encoded",
+) -> ray.data.Dataset:
+    """Smoothed target encoding — the categorical-feature primitive
+    for tabular ML: each category's code is its Laplace-smoothed
+    target mean, ``(sum + alpha * global_mean) / (n + alpha)``, so
+    rare categories shrink toward the global mean instead of
+    memorizing noise.
+
+    Scale shape: one map-side-combined grouped (sum, n) pass gives
+    the category table AND (summed once more, driver-side, category-
+    cardinality rows) the global mean — the fact table is read once
+    and never shuffled; the dimension-scale code table broadcasts
+    into a streaming fill pass. Stated arithmetic (float64, global
+    mean = total_sum / total_n) so the SQL oracle reproduces it
+    bit-for-bit up to the rounding contract.
+    """
+    stats = grouped_agg(ds, key_cols, sums=[target_col],
+                        count_as="__n").to_pandas()
+    total_sum = float(stats[target_col].sum())
+    total_n = float(stats["__n"].sum())
+    gmean = total_sum / total_n
+    stats[out_col] = np.round(
+        (stats[target_col] + alpha * gmean)
+        / (stats["__n"] + alpha), 6)
+    code = stats[key_cols + [out_col]]
+    code_ref = ray.put(code)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(code_ref)
+        return df.merge(c, on=key_cols, how="left")
+
+    return ds.map_batches(fill, batch_format="pandas")

@@ -934,3 +934,38 @@ def test_deterministic_walks_dead_end_and_choice(ray_session):
     assert w1[0] == 1 and w1[1] == expect1
     if expect1 == 2:
         assert w1[2] == 4 and 3 not in w1  # then dead end at 4
+
+
+def test_quantize_embeddings_constant_dim_and_range(ray_session):
+    from biocypher_metta_ray.stages.cluster import quantize_embeddings
+
+    X = np.array([[0.0, 5.0, -1.0],
+                  [1.0, 5.0, 3.0],
+                  [0.5, 5.0, 1.0]])
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [r for r in X]}))
+    q = quantize_embeddings(ds).to_pandas()
+    tbl = q.pivot(index="vec_id", columns="dim", values="code")
+    # dim 1 is constant -> every code -128 (scale convention 1.0)
+    assert (tbl[1] == -128).all()
+    # min of a dim -> -128, max -> 127
+    assert tbl.loc[0, 0] == -128 and tbl.loc[1, 0] == 127
+    assert tbl.loc[0, 2] == -128 and tbl.loc[1, 2] == 127
+    assert q["code"].between(-128, 127).all()
+
+
+def test_target_encode_shrinks_rare_categories(ray_session):
+    from biocypher_metta_ray.stages.relational import target_encode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 98 + ["b"] * 2,
+        "v": [1.0] * 98 + [100.0] * 2,
+    })
+    ds = ray.data.from_pandas(df)
+    out = target_encode(ds, ["k"], "v", alpha=10.0).to_pandas()
+    gmean = df["v"].mean()
+    enc = out.drop_duplicates("k").set_index("k")["encoded"]
+    # rare 'b' (n=2, mean 100) shrinks far toward the global mean
+    assert abs(enc["b"] - (200 + 10 * gmean) / 12) < 1e-6
+    assert abs(enc["a"] - (98 + 10 * gmean) / 108) < 1e-6
+    assert enc["b"] < 100 and enc["a"] > 1.0
