@@ -4128,7 +4128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "skyline": _q_skyline,
         "markov_transitions": _q_markov_transitions,
-        "global_row_number": _q_global_row_number,
         "clustering_coefficient": _q_clustering_coefficient,
         "assortativity": _q_assortativity,
         "filter_project": _q_filter_project,
