@@ -589,3 +589,191 @@ def negative_triples(
         return pd.concat(outs, ignore_index=True)
 
     return edges.map_batches(corrupt, batch_format="pandas")
+
+
+def merge_edge_tables(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Incremental KG update: merge a delta corpus's deduped edge
+    table into a persisted base snapshot — ``n_mentions`` sums over
+    the union, one co-location keyed on ``(subj, pred, obj)``.
+
+    This is the operator a continuously-refreshed corpus-scale KG
+    runs instead of a full rebuild (the reference rebuilds from
+    scratch per release, create_knowledge_graph.py:49-72; at 100 TB
+    the delta is orders of magnitude smaller than the snapshot).
+    Invariant (the oracle): merging the edge tables of any disjoint
+    corpus split equals the batch build over the whole corpus,
+    because extraction is per-document and the edge aggregate is an
+    associative sum. Scale note: both sides ship only edge-scale
+    rows (already deduped); a production deployment that persists
+    the snapshot hash-partitioned on the edge key turns this
+    co-location into a map-side merge with zero base movement.
+    """
+    from ..stages.skew import partitioned_group_map
+
+    both = base.union(delta)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["subj", "pred", "obj"], sort=False)["n_mentions"]
+            .sum().reset_index()
+        )
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
+    return partitioned_group_map(
+        both, ["subj", "pred", "obj"], body, num_partitions
+    )
+
+
+def entity_context_embeddings(
+    linked: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Context-mean entity vectors: every entity's embedding is the
+    per-dimension mean of the document embeddings of its DISTINCT
+    mentioning documents — the standard bootstrap for KG-entity
+    representations when no trained entity embeddings exist yet
+    (mention-context averaging).
+
+    Scale shape: one doc-keyed tagged-union co-location joins the
+    fact-scale mention pairs with the fact-scale embedding rows
+    (neither side broadcasts); each partition body reduces to
+    entity x dim partial sums (dimension-scale rows), and the final
+    grouped sum over (entity, dim) is node-scale. Returns a driver
+    pandas frame ``(entity_id, dim, value)`` with UNROUNDED float64
+    means — node-scale by construction, the callers round for
+    output or feed :func:`propagate_features`.
+
+    Arithmetic contract (for the SQL oracle): per-dimension
+    ``sum(x) / n_docs`` in float64 over float32 inputs — the
+    centroid_similarity contract (stages/cluster.py).
+    """
+    from ..stages.skew import partitioned_group_map
+
+    pairs = linked.map_batches(
+        lambda df: df[[doc_col, ent_col]].drop_duplicates().rename(
+            columns={doc_col: "__doc"}),
+        batch_format="pandas",
+    )
+
+    def pack(batch: pa.Table) -> pd.DataFrame:
+        # vectors ride the shuffle as fixed-width float32 bytes — a
+        # plain binary column survives the mixed-schema union that a
+        # pandas tensor-extension column cannot (TensorArray concat
+        # rejects the NaN-filled other side)
+        from ..stages.cluster import _matrix
+
+        X = _matrix(batch, emb_col)  # (n, d) float64; exact for f32 in
+        n = len(batch)
+        d = X.shape[1] if n else 0
+        buf = X.astype(np.float32).tobytes()
+        w = 4 * d
+        return pd.DataFrame(
+            {"__doc": batch.column(vec_id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+             "__emb": [buf[i * w:(i + 1) * w] for i in range(n)]}
+        )
+
+    vecs = embeddings.map_batches(pack, batch_format="pyarrow")
+    both = pairs.union(vecs)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.loc[g[ent_col].notna(), ["__doc", ent_col]].drop_duplicates()
+        v = g.loc[g[ent_col].isna(), ["__doc", "__emb"]]
+        if m.empty or v.empty:
+            return pd.DataFrame(
+                {ent_col: pd.Series([], dtype=object),
+                 "dim": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        j = m.merge(v, on="__doc")
+        X = np.frombuffer(
+            b"".join(j["__emb"]), dtype=np.float32
+        ).reshape(len(j), -1).astype(np.float64)
+        cols = pd.DataFrame(X, index=j[ent_col].to_numpy())
+        s = cols.groupby(level=0, sort=False).sum()
+        n = cols.groupby(level=0, sort=False).size()
+        long = s.stack().reset_index()
+        long.columns = [ent_col, "dim", "s"]
+        long["dim"] = long["dim"].astype("int64") + 1  # 1-based like SQL
+        long["n"] = n.reindex(long[ent_col]).to_numpy(dtype=np.int64)
+        return long
+
+    partials = partitioned_group_map(both, ["__doc"], body, num_partitions)
+    agg = partials.to_pandas()
+    out = (
+        agg.groupby([ent_col, "dim"], sort=False)[["s", "n"]]
+        .sum().reset_index()
+    )
+    out["value"] = out["s"] / out["n"]
+    return out[[ent_col, "dim", "value"]]
+
+
+def propagate_features(
+    edges: ray.data.Dataset,
+    feats: pd.DataFrame,
+    ent_col: str = "entity_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """One GNN-style feature-propagation hop over the KG: each node's
+    output vector is the per-dimension mean of its DISTINCT undirected
+    neighbors' input vectors (the GraphSAGE-mean / SGC aggregation
+    step a graph-ML data pipeline runs to materialize smoothed node
+    features before training).
+
+    ``feats`` is the node-scale long frame from
+    :func:`entity_context_embeddings` (entity, dim, value) —
+    broadcast once via ``ray.put``; the fact-scale edge list streams
+    through a node-keyed co-location that dedups the neighbor set per
+    node (edges repeating across predicates count once) and reduces
+    to node x dim means. Neighbors absent from ``feats`` are dropped
+    (inner-join semantics, stated for the oracle). Returns
+    ``(node, dim, value)`` with UNROUNDED float64 means.
+    """
+    from ..stages.skew import partitioned_group_map
+
+    wide = feats.pivot(index=ent_col, columns="dim", values="value")
+    dims = list(wide.columns)
+    mat_ref = ray.put((wide.index.to_numpy(), wide.to_numpy()))
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"node": df["subj"], "nbr": df["obj"]})
+        rev = pd.DataFrame({"node": df["obj"], "nbr": df["subj"]})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    pairs = edges.map_batches(directed, batch_format="pandas")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        ids, M = ray.get(mat_ref)
+        d = g[["node", "nbr"]].drop_duplicates()
+        idx = pd.Index(ids).get_indexer(d["nbr"])
+        d = d[idx >= 0]
+        idx = idx[idx >= 0]
+        if d.empty:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "dim": pd.Series([], dtype="int64"),
+                 "value": pd.Series([], dtype="float64")}
+            )
+        cols = pd.DataFrame(
+            M[idx], index=d["node"].to_numpy(), columns=dims
+        )
+        mean = cols.groupby(level=0, sort=False).sum()
+        n = cols.groupby(level=0, sort=False).size()
+        mean = mean.div(n, axis=0)
+        long = mean.stack().reset_index()
+        long.columns = ["node", "dim", "value"]
+        long["dim"] = long["dim"].astype("int64")
+        return long
+
+    return partitioned_group_map(pairs, ["node"], body, num_partitions)

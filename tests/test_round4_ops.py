@@ -969,3 +969,62 @@ def test_target_encode_shrinks_rare_categories(ray_session):
     assert abs(enc["b"] - (200 + 10 * gmean) / 12) < 1e-6
     assert abs(enc["a"] - (98 + 10 * gmean) / 108) < 1e-6
     assert enc["b"] < 100 and enc["a"] > 1.0
+
+
+def test_merge_edge_tables_equals_batch_build(ray_session):
+    """Incremental invariant: merging disjoint-split edge tables
+    equals the grouped sum over the union (the batch build)."""
+    from biocypher_metta_ray.pipelines.kg import merge_edge_tables
+
+    base = pd.DataFrame({
+        "subj": ["a", "a", "b"], "pred": ["r", "r", "s"],
+        "obj": ["x", "y", "x"], "n_mentions": [3, 1, 2]})
+    delta = pd.DataFrame({
+        "subj": ["a", "c"], "pred": ["r", "s"],
+        "obj": ["x", "x"], "n_mentions": [4, 1]})
+    merged = merge_edge_tables(
+        ray.data.from_pandas(base), ray.data.from_pandas(delta)
+    ).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    expect = (
+        pd.concat([base, delta])
+        .groupby(["subj", "pred", "obj"], as_index=False)["n_mentions"]
+        .sum().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, expect)
+    assert merged["n_mentions"].dtype == np.int64
+
+
+def test_entity_context_embeddings_means(ray_session):
+    from biocypher_metta_ray.pipelines.kg import entity_context_embeddings
+
+    linked = ray.data.from_pandas(pd.DataFrame({
+        # doc 0 mentions e1 twice (dedup to once), doc 1 mentions both
+        "doc_id": [0, 0, 1, 1],
+        "entity_id": ["e1", "e1", "e1", "e2"]}))
+    emb = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.array([1.0, 3.0], dtype=np.float32),
+                      np.array([5.0, 7.0], dtype=np.float32)]}))
+    out = entity_context_embeddings(linked, emb)
+    wide = out.pivot(index="entity_id", columns="dim", values="value")
+    assert wide.loc["e1", 1] == 3.0 and wide.loc["e1", 2] == 5.0
+    assert wide.loc["e2", 1] == 5.0 and wide.loc["e2", 2] == 7.0
+
+
+def test_propagate_features_neighbor_mean(ray_session):
+    from biocypher_metta_ray.pipelines.kg import propagate_features
+
+    feats = pd.DataFrame({
+        "entity_id": ["a", "a", "b", "b", "c", "c"],
+        "dim": [1, 2, 1, 2, 1, 2],
+        "value": [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]})
+    # a-b twice under different preds (counts ONCE), b-c once
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b"], "pred": ["r", "s", "r"],
+        "obj": ["b", "b", "c"]}))
+    out = propagate_features(edges, feats).to_pandas()
+    wide = out.pivot(index="node", columns="dim", values="value")
+    assert wide.loc["a", 1] == 6.0 and wide.loc["a", 2] == 8.0
+    assert wide.loc["c", 1] == 6.0 and wide.loc["c", 2] == 8.0
+    # b's neighbors are a and c -> mean
+    assert wide.loc["b", 1] == 6.0 and wide.loc["b", 2] == 8.0
