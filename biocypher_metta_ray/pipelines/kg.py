@@ -777,3 +777,52 @@ def propagate_features(
         return long
 
     return partitioned_group_map(pairs, ["node"], body, num_partitions)
+
+
+def edge_provenance(
+    triples: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Temporal KG provenance: for every canonical edge, the first /
+    last crawl timestamp among its DISTINCT supporting documents and
+    their count — ``(subj, pred, obj, first_seen, last_seen,
+    n_docs)``. A continuously-crawled KG keeps this beside
+    ``n_mentions`` to age out stale assertions and to date new ones
+    (the reference carries no temporal provenance; its adapters emit
+    edges with static properties only).
+
+    Scale shape: per-batch (edge, doc) combiner dedup, one doc-keyed
+    join against the corpus's (doc_id, warc_ts) projection (both
+    sides fact-scale — bucketed, never broadcast), then one
+    edge-keyed co-location whose body performs the global
+    (edge, doc) dedup (all rows of an edge co-locate) and reduces to
+    min/max/nunique.
+    """
+    from ..stages.joins import hash_join
+    from ..stages.skew import partitioned_group_map
+
+    t = triples.map_batches(
+        lambda df: df[["doc_id", "subj", "pred", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    ts = corpus.map_batches(
+        lambda df: df[["doc_id", "warc_ts"]], batch_format="pandas"
+    )
+    j = hash_join(t, ts, on="doc_id", num_partitions=num_partitions)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["doc_id", "subj", "pred", "obj"])
+        out = (
+            d.groupby(["subj", "pred", "obj"], sort=False)
+            .agg(first_seen=("warc_ts", "min"),
+                 last_seen=("warc_ts", "max"),
+                 n_docs=("doc_id", "nunique"))
+            .reset_index()
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return partitioned_group_map(
+        j, ["subj", "pred", "obj"], body, num_partitions
+    )

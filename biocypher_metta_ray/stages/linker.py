@@ -273,3 +273,63 @@ def link_entities(
         batch_size=batch_size,
         concurrency=autoscale_pool(concurrency),
     )
+
+
+def mention_contexts(
+    ds,
+    entities: pd.DataFrame,
+    window: int = 2,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 512,
+):
+    """Linked mentions WITH their surrounding token windows —
+    ``(doc_id, pos, surface, entity_id, context)`` where ``context``
+    is the ±``window`` tokens around the mention (mention tokens
+    included). This is the entity-linking TRAINING-DATA extractor: a
+    corpus-scale NER/EL dataset is exactly these windows, and cutting
+    them at link time costs zero extra passes (the text is already in
+    the linker's batch — a separate stage would need a fact×fact
+    join of mentions back to documents).
+
+    Same actor-pool shape as :func:`link_entities`; the window cut is
+    a batch-local token-array slice per mention (mentions are sparse
+    relative to tokens). Token positions follow the linker contract:
+    0-based among ``str.split()`` tokens.
+    """
+    import ray
+
+    ref = ray.put(entities)
+
+    class Ctx(EntityLinker):
+        def __init__(self):
+            super().__init__(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            linked = super().__call__(batch)
+            toks_of = {
+                d: t.split()
+                for d, t in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist(),
+                )
+            }
+            ctxs = []
+            for d, pos, surf in zip(
+                linked["doc_id"].to_pylist(),
+                linked["pos"].to_pylist(),
+                linked["surface"].to_pylist(),
+            ):
+                toks = toks_of[d]
+                span = len(surf.split())
+                lo = max(0, pos - window)
+                ctxs.append(" ".join(toks[lo:pos + span + window]))
+            return linked.append_column(
+                "context", pa.array(ctxs, pa.string())
+            )
+
+    return ds.map_batches(
+        Ctx,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=autoscale_pool(concurrency),
+    )

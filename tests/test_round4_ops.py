@@ -1028,3 +1028,42 @@ def test_propagate_features_neighbor_mean(ray_session):
     assert wide.loc["c", 1] == 6.0 and wide.loc["c", 2] == 8.0
     # b's neighbors are a and c -> mean
     assert wide.loc["b", 1] == 6.0 and wide.loc["b", 2] == 8.0
+
+
+def test_edge_provenance_min_max_distinct(ray_session):
+    from biocypher_metta_ray.pipelines.kg import edge_provenance
+
+    triples = ray.data.from_pandas(pd.DataFrame({
+        # edge (a,r,x) in docs 0 and 2 (twice in doc 2 -> counts once)
+        "doc_id": [0, 2, 2, 1],
+        "subj": ["a", "a", "a", "b"],
+        "pred": ["r", "r", "r", "s"],
+        "obj": ["x", "x", "x", "y"]}))
+    ts = pd.to_datetime([10, 20, 30], unit="s")
+    corpus = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1, 2], "warc_ts": ts}))
+    out = edge_provenance(triples, corpus).to_pandas().set_index("subj")
+    assert out.loc["a", "n_docs"] == 2
+    assert out.loc["a", "first_seen"] == ts[0]
+    assert out.loc["a", "last_seen"] == ts[2]
+    assert out.loc["b", "n_docs"] == 1
+    assert out.loc["b", "first_seen"] == ts[1]
+
+
+def test_mention_contexts_window(ray_session):
+    from biocypher_metta_ray.stages.linker import mention_contexts
+
+    ents = pd.DataFrame([
+        {"entity_id": "E1", "label": "gene", "canonical_name": "tp53",
+         "aliases": ["tp53"]},
+    ])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["tp53 b c d e", "a b tp53 d e f"]}))
+    out = mention_contexts(ds, ents, window=2).to_pandas()
+    out = out.set_index("doc_id")
+    # mention at position 0: window clipped left
+    assert out.loc[0, "context"] == "tp53 b c"
+    # mention at position 2: full +-2 window
+    assert out.loc[1, "context"] == "a b tp53 d e"
+    assert (out["entity_id"] == "E1").all()
