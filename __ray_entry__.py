@@ -4062,6 +4062,44 @@ def _q_mention_contexts(sf_dir: str):
     )
 
 
+def _q_inverted_index(sf_dir: str):
+    """Posting-list inverted index over the documents corpus
+    (stages/retrieval.py::inverted_index — per-batch exact distinct
+    (token, doc) pairs via token codes, one token-keyed co-location
+    string-aggregating sorted ids)."""
+    from biocypher_metta_ray.stages.retrieval import inverted_index
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = inverted_index(ds)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"token": df["token"], "postings": df["postings"],
+             "df": df["df"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_mix_weights(sf_dir: str):
+    """Temperature-scaled language mixture weights (alpha=0.5) from
+    per-lang token totals (stages/relational.py::mixture_weights) —
+    the multinomial sampling-temperature rule for balancing
+    low-resource sources in a training mix."""
+    from biocypher_metta_ray.stages.relational import mixture_weights
+
+    ds = _rp(sf_dir, "documents", columns=["text", "lang"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        return pa.table(
+            {"lang": t["lang"],
+             "n_tok": pc.list_value_length(toks).cast(pa.int64())}
+        )
+
+    sized = ds.map_batches(sizes, batch_format="pyarrow")
+    return mixture_weights(sized, ["lang"], "n_tok", alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4278,6 +4316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore": _q_zscore,
         # round-4 additions
         "range_search": _q_range_search,
+        "inverted_index": _q_inverted_index,
+        "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
         "degree_histogram": _q_degree_histogram,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -6673,6 +6713,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q ON true
             WHERE list_cosine_similarity(e.embedding, q.embedding)
                   >= 0.30
+        """,
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+            d AS (SELECT DISTINCT token, doc_id FROM toks)
+            SELECT token,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM d GROUP BY token
+        """,
+        "mix_weights": """
+            WITH c AS (SELECT lang,
+                              CAST(sum(len(string_split(text, ' ')))
+                                   AS BIGINT) AS n_tok
+                       FROM documents GROUP BY 1)
+            SELECT lang, n_tok,
+                   round(pow(n_tok, 0.5)
+                         / sum(pow(n_tok, 0.5)) OVER (), 6) AS weight
+            FROM c
         """,
         "global_rank": """
             SELECT doc_id, n_chars,

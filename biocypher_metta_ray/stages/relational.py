@@ -1430,3 +1430,32 @@ def target_encode(
         return df.merge(c, on=key_cols, how="left")
 
     return ds.map_batches(fill, batch_format="pandas")
+
+
+def mixture_weights(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    size_col: str,
+    alpha: float = 0.5,
+    out_col: str = "weight",
+) -> pd.DataFrame:
+    """Temperature-scaled source-mixture weights: ``w_k =
+    n_k^alpha / sum_j n_j^alpha`` over per-key totals of
+    ``size_col`` — the multinomial sampling-temperature rule
+    multilingual/multi-domain training mixes use to up-weight
+    low-resource sources (alpha < 1 flattens the distribution;
+    alpha=1 is proportional sampling). The downstream consumer is
+    ``mix_sample``'s per-domain rates.
+
+    One map-side-combined grouped sum (the corpus never shuffles);
+    the key-cardinality total table finishes driver-side, where the
+    normalizing sum is a scalar. Arithmetic stated for the oracle:
+    float64 ``n**alpha``, normalized, rounded to 6.
+    """
+    counts = grouped_agg(ds, keys, sums=[size_col])
+    df = counts.to_pandas()[keys + [size_col]]
+    df = df.sort_values(keys).reset_index(drop=True)
+    p = df[size_col].to_numpy(dtype=np.float64) ** float(alpha)
+    df[out_col] = np.round(p / p.sum(), 6)
+    df[size_col] = df[size_col].astype("int64")
+    return df

@@ -116,3 +116,62 @@ def bm25_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Posting-list construction — ``(token, postings, df)`` with
+    ``postings`` = comma-joined ascending doc ids: the inverted index
+    a lexical retriever materializes once per corpus snapshot (the
+    offline sibling of the per-query BM25 pass above).
+
+    Scale shape: per-doc DISTINCT (token, doc) pairs are exact within
+    the batch (token codes + per-doc segment unique — the
+    text_stats.token_doc_freq kernel, zero Python in the token loop);
+    the pairs then make one token-keyed co-location whose body
+    string-aggregates each token's sorted ids. One shuffle of
+    (token, id) pairs — the corpus text never moves. A hot
+    (stopword) posting list must fit a worker, the same contract as
+    any per-group collect; production layouts shard the heaviest
+    lists by doc-range partitioning of this same pair table.
+    """
+    from .skew import partitioned_group_map
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        uniq = pc.unique(flat)
+        codes = pc.index_in(flat, uniq).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        pair = np.unique(didx * np.int64(len(uniq)) + codes)
+        doc_pos = pair // np.int64(len(uniq))
+        code_ids = pair % np.int64(len(uniq))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"token": uniq.take(pa.array(code_ids)).to_pylist(),
+             id_col: ids[doc_pos]}
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grp = g.groupby("token", sort=False)[id_col]
+        out = (
+            grp.agg(lambda s: ",".join(s.astype(str)))
+            .reset_index().rename(columns={id_col: "postings"})
+        )
+        out["df"] = grp.size().to_numpy().astype(np.int64)
+        if min_df > 1:
+            out = out[out["df"] >= min_df]
+        return out
+
+    return partitioned_group_map(pair_ds, ["token"], body, num_partitions)

@@ -1067,3 +1067,30 @@ def test_mention_contexts_window(ray_session):
     # mention at position 2: full +-2 window
     assert out.loc[1, "context"] == "a b tp53 d e"
     assert (out["entity_id"] == "E1").all()
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    from biocypher_metta_ray.stages.retrieval import inverted_index
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [2, 0, 1],
+        "text": ["b a b", "a c", "c a"]}))
+    out = inverted_index(ds).to_pandas().set_index("token")
+    assert out.loc["a", "postings"] == "0,1,2" and out.loc["a", "df"] == 3
+    # duplicate token within a doc counts once
+    assert out.loc["b", "postings"] == "2" and out.loc["b", "df"] == 1
+    assert out.loc["c", "postings"] == "0,1"
+
+
+def test_mixture_weights_temperature(ray_session):
+    from biocypher_metta_ray.stages.relational import mixture_weights
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["hi"] * 9 + ["lo"], "n": [1] * 10}))
+    out = mixture_weights(ds, ["k"], "n", alpha=0.5).set_index("k")
+    # alpha=0.5 flattens 9:1 to 3:1
+    assert abs(out.loc["hi", "weight"] - 0.75) < 1e-9
+    assert abs(out.loc["lo", "weight"] - 0.25) < 1e-9
+    # alpha=1 -> proportional
+    prop = mixture_weights(ds, ["k"], "n", alpha=1.0).set_index("k")
+    assert abs(prop.loc["hi", "weight"] - 0.9) < 1e-9
