@@ -4062,6 +4062,22 @@ def _q_mention_contexts(sf_dir: str):
     )
 
 
+def _q_kg_truss(sf_dir: str):
+    """4-truss of the canonical KG (stages/graph.py::k_truss):
+    bounded iterative edge peeling by within-subgraph triangle
+    support — the cohesion refinement of k_core; each round is one
+    degree-oriented wedge join crediting all three edges of every
+    closed triangle."""
+    from biocypher_metta_ray.stages.graph import k_truss
+
+    edges = _q_kg_canonical_triples(sf_dir)
+    out = k_truss(edges, k=4, src="subj", dst="obj", max_rounds=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"u": df["u"], "v": df["v"]}),
+        batch_format="pandas",
+    )
+
+
 def _q_inverted_index(sf_dir: str):
     """Posting-list inverted index over the documents corpus
     (stages/retrieval.py::inverted_index — per-batch exact distinct
@@ -4316,6 +4332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore": _q_zscore,
         # round-4 additions
         "range_search": _q_range_search,
+        "kg_truss": _q_kg_truss,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -4986,6 +5003,36 @@ def _pca_projection_sql(iters: int = 10) -> str:
         FROM e JOIN mu ON e.i = mu.i JOIN comp ON e.i = comp.i
         GROUP BY 1
     """
+
+
+def _k_truss_sql(p: dict, k: int = 4, rounds: int = 4) -> str:
+    """Unrolled bounded k-truss peel (the k_core oracle pattern):
+    round r computes per-edge triangle support within e{r} via the
+    both-directions adjacency self-join, then filters sup >= k-2;
+    on any graph whose peel converges within ``rounds`` the extra
+    rounds are no-ops and this IS the exact k-truss."""
+    parts = [f"""
+        t AS ({p['triples']}),
+        ed AS (SELECT DISTINCT gaz.entity_id AS subj,
+                      g2.entity_id AS obj
+               FROM t
+               JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+               JOIN {p['gaz2']} ON t.obj_surface = g2.surface),
+        e0 AS (SELECT DISTINCT least(subj, obj) AS u,
+                      greatest(subj, obj) AS v
+               FROM ed WHERE subj <> obj)"""]
+    for r in range(rounds):
+        parts.append(f"""
+        d{r} AS (SELECT u AS a, v AS b FROM e{r}
+                 UNION ALL SELECT v, u FROM e{r}),
+        s{r} AS (SELECT e.u, e.v, count(*) AS sup
+                 FROM e{r} e
+                 JOIN d{r} x ON x.a = e.u
+                 JOIN d{r} y ON y.a = e.v AND y.b = x.b
+                 GROUP BY e.u, e.v),
+        e{r + 1} AS (SELECT u, v FROM s{r} WHERE sup >= {k - 2})""")
+    return ("WITH " + ",".join(parts)
+            + f"\n        SELECT u, v FROM e{rounds}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6752,6 +6799,7 @@ def oracle_sql() -> dict[str, str]:
                      AND a.entity_id < b.entity_id
             GROUP BY 1, 2
         """,
+        "kg_truss": _k_truss_sql(p, k=4, rounds=4),
         # warc_ts recomputed from the corpus synthesis rule
         # (sources/corpus.py: base 2024-01-01T00:00:00Z, step 137 s
         # per doc_id)

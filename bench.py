@@ -169,6 +169,10 @@ def timed_queries() -> dict:
         # round-4 continuation additions
         "q7_volume", "q13_custdist", "bpe_pairs", "ancestor_closure",
         "covariance_matrix", "pca_projection", "resample_ffill",
+        # round-4 closing flagships
+        "kg_incremental_merge", "entity_embeddings",
+        "feature_propagation", "kg_edge_provenance", "mention_contexts",
+        "inverted_index", "mix_weights", "kg_truss",
     ]
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the

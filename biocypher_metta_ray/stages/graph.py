@@ -1770,3 +1770,137 @@ def deterministic_walks(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def k_truss(
+    edges: ray.data.Dataset,
+    k: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """k-truss of the undirected simple graph by iterative edge
+    peeling: repeatedly drop edges supporting fewer than ``k - 2``
+    triangles (support recomputed WITHIN the surviving subgraph)
+    until a fixpoint or ``max_rounds`` rounds. The truss is the
+    standard cohesion refinement of :func:`k_core` — community-core
+    extraction over the KG's co-mention/assertion structure.
+    Semantics are stated as "the edge set after ``max_rounds``
+    peeling rounds" (the k_core contract) so the SQL oracle can
+    unroll the SAME bounded chain; the loop exits early at the
+    fixpoint, where extra unrolled SQL rounds are no-ops. Returns
+    surviving canonical edges ``(u, v)`` with ``u < v``.
+
+    Scale shape per round: the degree-oriented wedge join
+    (``_oriented_graph``; O(m^1.5) wedge bound) co-locates wedges
+    with their closing edges; each closed triangle credits its THREE
+    edges via per-partition partial counts, the dimension-bounded
+    support table reduces through the size-adaptive grouped sum, and
+    the next round's edge table is the ``sup >= k - 2`` filter of
+    that output — the monotone-shrinking re-materialization shape of
+    k_core, with triangle support in place of degree.
+    """
+    from .relational import grouped_agg
+
+    cur = partitioned_group_map(
+        edges.select_columns([src, dst]).map_batches(
+            lambda df: pd.DataFrame(
+                {"u": np.minimum(df[src], df[dst]),
+                 "v": np.maximum(df[src], df[dst])}
+            )[lambda d: d["u"] != d["v"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["u"], lambda g: g.drop_duplicates(), num_partitions,
+    ).materialize()
+    prev_n = cur.count()
+    if prev_n == 0:
+        return cur
+    # dtype-faithful empty edge frame for the full-peel exits: an
+    # all-empty round otherwise surfaces as schema-less blocks
+    # (PandasBlockSchema(names=[]) — the round-3 warning class) and a
+    # KeyError in the downstream grouped sum.
+    empty_edges = cur.limit(1).to_pandas().iloc[:0]
+
+    for _ in range(max_rounds):
+        oriented, _wd, _deg, _nt = _oriented_graph(
+            cur, "u", "v", num_partitions
+        )
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for s, grp in g.groupby("s", sort=False):
+                n = len(grp)
+                if n < 2:
+                    continue
+                nb = grp.sort_values(["dd", "d"], kind="mergesort")[
+                    "d"
+                ].to_numpy()
+                i, j = np.triu_indices(n, k=1)
+                outs.append(pd.DataFrame(
+                    {"c": s, "w1": nb[i], "w2": nb[j]}))
+            if not outs:
+                return pd.DataFrame({"c": g["s"].iloc[:0],
+                                     "w1": g["d"].iloc[:0],
+                                     "w2": g["d"].iloc[:0]})
+            return pd.concat(outs, ignore_index=True)
+
+        w = partitioned_group_map(oriented, ["s"], wedges, num_partitions)
+
+        def tag_w(df):
+            df = df.copy()
+            df["__side"] = "W"
+            return df
+
+        def tag_close(df):
+            return df.rename(columns={"s": "w1", "d": "w2"})[
+                ["w1", "w2"]].assign(__side="C")
+
+        def close(g: pd.DataFrame) -> pd.DataFrame:
+            closing = g[g["__side"] == "C"][["w1", "w2"]].drop_duplicates()
+            ww = g[g["__side"] == "W"].reindex(columns=["c", "w1", "w2"])
+            m = ww.merge(closing, on=["w1", "w2"])
+            if m.empty:
+                return pd.DataFrame(
+                    {"u": g["w1"].iloc[:0], "v": g["w2"].iloc[:0],
+                     "n": pd.Series([], dtype="int64")})
+            # each closed triangle (c, w1, w2) credits all three edges
+            creds = pd.concat([
+                pd.DataFrame({"u": np.minimum(m["c"], m["w1"]),
+                              "v": np.maximum(m["c"], m["w1"])}),
+                pd.DataFrame({"u": np.minimum(m["c"], m["w2"]),
+                              "v": np.maximum(m["c"], m["w2"])}),
+                # w1/w2 ride in ORIENTATION order (degree, node) —
+                # canonicalize to u < v like the other two credits
+                pd.DataFrame({"u": np.minimum(m["w1"], m["w2"]),
+                              "v": np.maximum(m["w1"], m["w2"])}),
+            ], ignore_index=True)
+            out = (creds.groupby(["u", "v"], sort=False).size()
+                   .reset_index(name="n"))
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        sup_partials = partitioned_group_map(
+            w.map_batches(tag_w, batch_format="pandas").union(
+                oriented.map_batches(tag_close, batch_format="pandas")
+            ),
+            ["w1", "w2"], close, num_partitions,
+        ).materialize()
+        if sup_partials.count() == 0:
+            # no triangles at all among surviving edges: every edge
+            # has support 0 < k - 2, the whole round peels
+            return ray.data.from_pandas(empty_edges)
+        sup = grouped_agg(sup_partials, ["u", "v"], sums=["n"])
+        nxt = sup.map_batches(
+            lambda df: df.loc[df["n"] >= k - 2, ["u", "v"]],
+            batch_format="pandas",
+        ).materialize()
+        n = nxt.count()
+        if n == 0:
+            return ray.data.from_pandas(empty_edges)
+        cur = nxt
+        if n == prev_n:
+            # peeling removes only: equal count == same set
+            break
+        prev_n = n
+    return cur

@@ -1094,3 +1094,35 @@ def test_mixture_weights_temperature(ray_session):
     # alpha=1 -> proportional
     prop = mixture_weights(ds, ["k"], "n", alpha=1.0).set_index("k")
     assert abs(prop.loc["hi", "weight"] - 0.9) < 1e-9
+
+
+def test_k_truss_peels_pendant_triangle(ray_session):
+    from biocypher_metta_ray.stages.graph import k_truss
+
+    # 4-clique a,b,c,d (every edge in 2 triangles) + pendant triangle
+    # (c,d,e) whose two new edges sit in 1 triangle + a tail edge e-f
+    clique = [("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")]
+    extra = [("c","e"),("d","e"),("e","f")]
+    df = pd.DataFrame(clique + extra, columns=["src","dst"])
+    ds = ray.data.from_pandas(df)
+    out = k_truss(ds, k=4, max_rounds=4).to_pandas()
+    got = set(map(tuple, out[["u","v"]].to_numpy()))
+    assert got == set(clique)
+
+    # k=3 keeps every edge in >=1 triangle (drops only the tail)
+    out3 = k_truss(ds, k=3, max_rounds=4).to_pandas()
+    got3 = set(map(tuple, out3[["u","v"]].to_numpy()))
+    assert got3 == set(clique) | {("c","e"),("d","e")}
+
+
+def test_k_truss_cascade(ray_session):
+    from biocypher_metta_ray.stages.graph import k_truss
+
+    # two triangles sharing edge (b,c): each edge is in exactly 1
+    # triangle except (b,c) in 2 -> k=4 peels EVERYTHING, but only
+    # via the cascade (b,c survives round 1, dies round 2)
+    df = pd.DataFrame(
+        [("a","b"),("a","c"),("b","c"),("b","d"),("c","d")],
+        columns=["src","dst"])
+    out = k_truss(ray.data.from_pandas(df), k=4, max_rounds=4).to_pandas()
+    assert len(out) == 0
