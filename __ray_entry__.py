@@ -4078,6 +4078,55 @@ def _q_kg_truss(sf_dir: str):
     )
 
 
+def _q_comention_pmi(sf_dir: str):
+    """PMI-weighted co-mention edges (pipelines/kg.py::comention_pmi):
+    Church-Hanks pointwise mutual information over the document-level
+    entity co-occurrence counts — the statistical edge weighting on
+    top of the raw co_mentions table; dimension-scale entity counts
+    broadcast, pair table streams through one score pass."""
+    from biocypher_metta_ray.pipelines.kg import comention_pmi
+
+    return comention_pmi(_q_kg_linked_mentions(sf_dir))
+
+
+def _q_related_docs(sf_dir: str):
+    """Doc-doc bipartite projection over shared entity mentions
+    (pipelines/kg.py::related_docs): pairs of documents linked to
+    >= 3 of the same entities, with entities linked in more than 180
+    documents dropped before pairing (the stop-entity hub rule,
+    restated in the oracle's HAVING clause — at sf0.01 it actually
+    fires, dropping the hottest posting)."""
+    from biocypher_metta_ray.pipelines.kg import related_docs
+
+    return related_docs(
+        _q_kg_linked_mentions(sf_dir), min_shared=3, max_posting=180
+    )
+
+
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 rankings — the multi-query
+    hybrid-retrieval combiner (stages/retrieval.py::rrf_fuse over two
+    bm25_topk(k=50) passes; each pass is the distributed stat+score
+    pipeline, fusion is bounded lists x k on the driver)."""
+    from biocypher_metta_ray.stages.retrieval import bm25_topk, rrf_fuse
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    a = bm25_topk(ds, ["table", "join", "sort"], k=50)
+    b = bm25_topk(ds, ["hash", "merge", "scan"], k=50)
+    return rrf_fuse([a, b], k_rrf=60, topk=10)
+
+
+def _q_char_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy
+    (stages/text_stats.py::char_entropy_batch — zero-decode byte
+    histograms straight off the Arrow string buffer, one bincount per
+    batch)."""
+    from biocypher_metta_ray.stages.text_stats import char_entropy_batch
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
 def _q_inverted_index(sf_dir: str):
     """Posting-list inverted index over the documents corpus
     (stages/retrieval.py::inverted_index — per-batch exact distinct
@@ -4333,6 +4382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions
         "range_search": _q_range_search,
         "kg_truss": _q_kg_truss,
+        "comention_pmi": _q_comention_pmi,
+        "related_docs": _q_related_docs,
+        "rrf_fusion": _q_rrf_fusion,
+        "char_entropy": _q_char_entropy,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -5033,6 +5086,52 @@ def _k_truss_sql(p: dict, k: int = 4, rounds: int = 4) -> str:
         e{r + 1} AS (SELECT u, v FROM s{r} WHERE sup >= {k - 2})""")
     return ("WITH " + ",".join(parts)
             + f"\n        SELECT u, v FROM e{rounds}")
+
+
+def _rrf_fusion_sql(
+    terms1: list[str], terms2: list[str],
+    k_list: int = 50, k_rrf: int = 60, topk: int = 10,
+) -> str:
+    """Reciprocal-rank fusion oracle: two copies of the bm25 scoring
+    CTE chain (same Robertson arithmetic as the ``bm25`` oracle),
+    ranked by (round(s,6) DESC, doc_id) — the same reproducible order
+    rrf_fuse sorts by — then 1/(k+rank) contributions full-outer
+    joined. IEEE note: 0 + x == x, so coalesce(…, 0) + coalesce(…, 0)
+    equals the Python two-addend groupby sum bit-for-bit."""
+
+    def ranked(terms: list[str], x: str) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+        tf{x} AS (SELECT doc_id, tok, count(*) AS tf FROM t
+                  WHERE tok IN ({tl}) GROUP BY doc_id, tok),
+        df{x} AS (SELECT tok, count(*) AS df FROM tf{x} GROUP BY tok),
+        sc{x} AS (SELECT tf{x}.doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                           AS s
+                  FROM tf{x} JOIN df{x} USING (tok) JOIN dl USING (doc_id)
+                  CROSS JOIN st
+                  GROUP BY tf{x}.doc_id),
+        r{x} AS (SELECT doc_id, r FROM (
+                     SELECT doc_id, row_number() OVER (
+                         ORDER BY round(s, 6) DESC, doc_id) AS r
+                     FROM sc{x})
+                 WHERE r <= {k_list})"""
+
+    return f"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        {ranked(terms1, '1')},
+        {ranked(terms2, '2')},
+        f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     round(coalesce(1.0 / ({k_rrf} + a.r), 0)
+                           + coalesce(1.0 / ({k_rrf} + b.r), 0), 6) AS rrf
+              FROM r1 a FULL OUTER JOIN r2 b ON a.doc_id = b.doc_id)
+        SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT {topk}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6800,6 +6899,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_truss": _k_truss_sql(p, k=4, rounds=4),
+        # pmi = ln(n_ab * N / (n_a * n_b)); integer-exact doubles,
+        # same division/ln order as pipelines/kg.py::comention_pmi
+        "comention_pmi": f"""
+            WITH lm AS (
+                SELECT DISTINCT t.doc_id, gaz.entity_id
+                FROM ({p['toks']}) t
+                JOIN {p['gaz']} ON t.tok = gaz.surface),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM lm),
+            ec AS (SELECT entity_id, count(*) AS n_ent
+                   FROM lm GROUP BY 1),
+            pr AS (SELECT a.entity_id AS ent_a, b.entity_id AS ent_b,
+                          CAST(count(*) AS BIGINT) AS n_docs
+                   FROM lm a
+                   JOIN lm b ON a.doc_id = b.doc_id
+                            AND a.entity_id < b.entity_id
+                   GROUP BY 1, 2)
+            SELECT ent_a, ent_b, n_docs,
+                   round(ln((n_docs * nn.n)::DOUBLE
+                            / (ea.n_ent * eb.n_ent)), 6) AS pmi
+            FROM pr CROSS JOIN nn
+            JOIN ec ea ON ea.entity_id = pr.ent_a
+            JOIN ec eb ON eb.entity_id = pr.ent_b
+        """,
+        # the HAVING clause IS the stop-entity rule stated in
+        # pipelines/kg.py::related_docs (max_posting=180, min_shared=3)
+        "related_docs": f"""
+            WITH lm AS (
+                SELECT DISTINCT t.doc_id, gaz.entity_id
+                FROM ({p['toks']}) t
+                JOIN {p['gaz']} ON t.tok = gaz.surface),
+            kept AS (
+                SELECT lm.* FROM lm
+                JOIN (SELECT entity_id FROM lm GROUP BY entity_id
+                      HAVING count(*) <= 180) s USING (entity_id)),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(count(*) AS BIGINT) AS n_shared
+                   FROM kept a
+                   JOIN kept b ON a.entity_id = b.entity_id
+                              AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 3
+        """,
+        "rrf_fusion": _rrf_fusion_sql(
+            ["table", "join", "sort"], ["hash", "merge", "scan"]
+        ),
+        # character == byte on the ASCII corpus (the contract stated
+        # in text_stats.char_entropy_batch); 0.0 - sum keeps the
+        # all-one-char doc at +0.0 on both sides
+        "char_entropy": """
+            WITH c AS (SELECT doc_id,
+                              unnest(string_split_regex(text, '')) AS ch,
+                              length(text) AS len
+                       FROM documents),
+            cc AS (SELECT doc_id, len, ch, count(*) AS cnt
+                   FROM c GROUP BY 1, 2, 3)
+            SELECT doc_id,
+                   round(0.0 - sum((cnt::DOUBLE / len)
+                                   * ln(cnt::DOUBLE / len)), 6) AS entropy
+            FROM cc GROUP BY doc_id
+        """,
         # warc_ts recomputed from the corpus synthesis rule
         # (sources/corpus.py: base 2024-01-01T00:00:00Z, step 137 s
         # per doc_id)

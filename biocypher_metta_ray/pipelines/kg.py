@@ -535,6 +535,125 @@ def co_mention_edges(
     )
 
 
+def comention_pmi(
+    linked: ray.data.Dataset,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """PMI-weighted co-mention edges: Church & Hanks (1990) pointwise
+    mutual information over the document-level co-occurrence counts —
+    ``pmi(a, b) = ln(n_ab * N / (n_a * n_b))`` with ``n_x`` = distinct
+    documents linking entity ``x`` and ``N`` = distinct documents with
+    any link. The statistical edge-weighting every corpus-built KG
+    applies on top of raw co-mention counts (a pair that co-occurs
+    only because both entities are everywhere gets pmi <= 0).
+
+    Scale shape: reuses :func:`co_mention_edges`' two bounded
+    co-locations for the pair counts; the per-entity doc counts are a
+    dimension-scale exact distinct (entity-keyed co-location — every
+    mention of an entity lands in one body) and ``N`` one distinct
+    count, both collected driver-side at entity/scalar scale and
+    closure-broadcast into a single streaming score pass — the
+    fact-scale mention table never shuffles again. Returns
+    ``(ent_a, ent_b, n_docs, pmi)`` with pmi rounded 6.
+    """
+    from ..stages.relational import distinct
+    from ..stages.skew import partitioned_group_map
+
+    pairs = co_mention_edges(linked, doc_col, ent_col, num_partitions)
+    n_total = distinct(linked.select_columns([doc_col]), [doc_col]).count()
+
+    ent_counts = partitioned_group_map(
+        linked.map_batches(
+            lambda df: df[[doc_col, ent_col]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        [ent_col],
+        lambda g: (
+            g.drop_duplicates()
+            .groupby(ent_col, sort=False)
+            .size()
+            .reset_index(name="n_ent")
+        ),
+        num_partitions,
+    ).to_pandas()  # dimension-scale: one row per entity
+    cnt = dict(zip(ent_counts[ent_col], ent_counts["n_ent"].astype("int64")))
+    n_f = float(n_total)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["ent_a"].map(cnt).astype("float64").to_numpy()
+        nb = df["ent_b"].map(cnt).astype("float64").to_numpy()
+        out = df.copy()
+        # integer-exact doubles in, same division/ln order as the SQL
+        out["pmi"] = np.round(
+            np.log((df["n_docs"].to_numpy().astype("float64") * n_f)
+                   / (na * nb)),
+            6,
+        )
+        return out
+
+    return pairs.map_batches(score, batch_format="pandas")
+
+
+def related_docs(
+    linked: ray.data.Dataset,
+    min_shared: int = 2,
+    max_posting: int | None = None,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Document–document projection of the bipartite doc–entity link
+    graph: unordered pairs of documents linked to at least
+    ``min_shared`` of the SAME entities — the "related articles" /
+    candidate-duplicate-story graph a corpus KG derives from its
+    mention table.
+
+    Hub control is part of the stated semantics: an entity linked in
+    more than ``max_posting`` documents is DROPPED before pairing (the
+    stop-entity rule — co-occurrence through a near-universal entity
+    carries no signal, and its posting would emit O(k^2) pairs; the
+    SQL oracle states the same rule in a HAVING clause). With the cap
+    set, per-entity pair emission is bounded at max_posting^2 rows.
+
+    Scale shape: one entity-keyed co-location (postings are complete
+    per body, so the cap and the pair emission are exact under any
+    upstream batching) emits per-entity (doc_a, doc_b) partials with
+    in-body combining, one pair-keyed map-side-combined sum
+    (grouped_agg) counts shared entities, and the threshold filter
+    streams. Returns ``(doc_a, doc_b, n_shared)`` with doc_a < doc_b.
+    """
+    from ..stages.relational import grouped_agg
+    from ..stages.skew import partitioned_group_map
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[doc_col, ent_col]].drop_duplicates()
+        if max_posting is not None:
+            sizes = d.groupby(ent_col, sort=False)[doc_col].transform("size")
+            d = d[sizes <= max_posting]
+        m = d.merge(d, on=ent_col)
+        a, b = f"{doc_col}_x", f"{doc_col}_y"
+        m = m[m[a] < m[b]]
+        out = (
+            m.groupby([a, b], sort=False).size().reset_index(name="n_shared")
+        )
+        out.columns = ["doc_a", "doc_b", "n_shared"]
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    partials = partitioned_group_map(
+        linked.map_batches(
+            lambda df: df[[doc_col, ent_col]], batch_format="pandas"
+        ),
+        [ent_col], pairs, num_partitions,
+    )
+    tot = grouped_agg(partials, ["doc_a", "doc_b"], sums=["n_shared"])
+    return tot.map_batches(
+        lambda df: df[df["n_shared"] >= min_shared], batch_format="pandas"
+    )
+
+
 def negative_triples(
     edges: ray.data.Dataset,
     entity_ids: list[str],

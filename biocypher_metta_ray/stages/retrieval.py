@@ -175,3 +175,51 @@ def inverted_index(
         return out
 
     return partitioned_group_map(pair_ds, ["token"], body, num_partitions)
+
+
+def rrf_fuse(
+    rankings: list[pd.DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    bounded retrieval result lists — the standard hybrid-retrieval
+    combiner (lexical BM25 + dense, or multi-query expansion fusion):
+    ``rrf(doc) = sum_i 1 / (k_rrf + rank_i(doc))`` over the lists the
+    doc appears in; absent lists contribute 0. Rank is the 1-based
+    position under (score desc, id asc) — each input's score column is
+    already rounded (bm25_topk's contract), so the ordering and
+    therefore the fused value are reproducible across float noise.
+
+    Scale shape: every input frame is a BOUNDED top-k result (the
+    distributed work lives in the passes that produced them —
+    bm25_topk's stat+score passes, knn's per-block partial top-k), so
+    fusion is driver-scale by construction: lists x k rows, one
+    concat + groupby sum. Returns (id, rrf) rounded 6, top ``topk`` by
+    (rrf desc, id asc).
+    """
+    frames = []
+    for f in rankings:
+        f = f.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        frames.append(
+            pd.DataFrame(
+                {
+                    id_col: f[id_col],
+                    "__c": 1.0
+                    / (k_rrf + np.arange(1, len(f) + 1, dtype=np.float64)),
+                }
+            )
+        )
+    allc = pd.concat(frames, ignore_index=True)
+    out = allc.groupby(id_col, sort=False)["__c"].sum().reset_index(name="rrf")
+    out["rrf"] = out["rrf"].round(6)
+    return (
+        out.sort_values(["rrf", id_col], ascending=[False, True],
+                        kind="mergesort")
+        .head(topk)
+        .reset_index(drop=True)
+    )

@@ -139,6 +139,51 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def char_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the gibberish/boilerplate quality signal beside
+    ``quality_score_batch`` (low entropy = repetitive filler or
+    encoding junk, near-uniform = random noise; CCNet-class corpora
+    filter both tails). Zero-decode: the Arrow UTF-8 data buffer is
+    viewed as uint8 and every row's 256-bin byte histogram comes from
+    ONE ``np.bincount`` over ``(row_index << 8) | byte`` keys — no
+    Python strings in the hot path. ASCII contract (same statement as
+    lm.char_pair_counts): bytes equal characters on an ASCII corpus,
+    which is what the SQL oracle counts; on multi-byte UTF-8 this is
+    byte-level entropy (still a valid quality signal, just not the
+    oracle's definition). entropy = -sum p*ln(p), rounded 6; written
+    as ``0.0 - sum`` on BOTH sides so an all-one-char doc yields +0.0,
+    never IEEE -0.0 (value-hash parity)."""
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo = int(off[0])
+    buf = data[lo:int(off[-1])].astype(np.int64)
+    n = len(arr)
+    lens = np.diff(off).astype(np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount((row << 8) | buf, minlength=n << 8).reshape(n, 256)
+    p = counts / np.maximum(lens, 1)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.where(counts > 0, p * np.log(p), 0.0)
+    ent = np.where(lens > 0, 0.0 - term.sum(axis=1), 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "entropy": pa.array(np.round(ent, 6), type=pa.float64()),
+        }
+    )
+
+
 def token_doc_freq(
     ds, text_col: str = "text", min_df: int = 1
 ):

@@ -1126,3 +1126,69 @@ def test_k_truss_cascade(ray_session):
         columns=["src","dst"])
     out = k_truss(ray.data.from_pandas(df), k=4, max_rounds=4).to_pandas()
     assert len(out) == 0
+
+
+def test_rrf_fuse_math_and_absence():
+    from biocypher_metta_ray.stages.retrieval import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "score": [3.0, 2.0, 1.0]})
+    b = pd.DataFrame({"doc_id": [2, 4], "score": [9.0, 8.0]})
+    out = rrf_fuse([a, b], k_rrf=60, topk=10).set_index("doc_id")
+    # doc 2: rank 2 in a, rank 1 in b
+    assert abs(out.loc[2, "rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    # doc 1: only in a at rank 1
+    assert abs(out.loc[1, "rrf"] - round(1 / 61, 6)) < 1e-12
+    # doc 4: only in b at rank 2
+    assert abs(out.loc[4, "rrf"] - round(1 / 62, 6)) < 1e-12
+    # order: doc 2 (two contributions) first
+    assert list(out.index)[0] == 2
+
+
+def test_rrf_fuse_tie_breaks_by_id():
+    from biocypher_metta_ray.stages.retrieval import rrf_fuse
+
+    # equal scores -> rank order by doc_id ascending
+    a = pd.DataFrame({"doc_id": [9, 3], "score": [1.0, 1.0]})
+    out = rrf_fuse([a], k_rrf=60, topk=2)
+    assert list(out["doc_id"]) == [3, 9]  # 3 gets rank 1 -> higher rrf
+
+
+def test_char_entropy_known_values(ray_session):
+    import pyarrow as pa
+
+    from biocypher_metta_ray.stages.text_stats import char_entropy_batch
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["aaaa", "abab", "abcd"]})
+    out = char_entropy_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy"] == 0.0
+    assert not np.signbit(out.loc[0, "entropy"])  # +0.0, never -0.0
+    assert abs(out.loc[1, "entropy"] - round(math.log(2), 6)) < 1e-9
+    assert abs(out.loc[2, "entropy"] - round(math.log(4), 6)) < 1e-9
+
+
+def test_related_docs_cap_and_threshold(ray_session):
+    from biocypher_metta_ray.pipelines.kg import related_docs
+
+    # docs 1,2 share e1,e2; docs 1,2,3 all share hub entity eh
+    rows = [(1, "e1"), (2, "e1"), (1, "e2"), (2, "e2"),
+            (1, "eh"), (2, "eh"), (3, "eh")]
+    df = pd.DataFrame(rows, columns=["doc_id", "entity_id"])
+    ds = ray.data.from_pandas(df)
+    # cap 2 drops eh (posting 3): only (1,2) with n_shared=2 survives
+    out = related_docs(ds, min_shared=2, max_posting=2).to_pandas()
+    assert out.to_records(index=False).tolist() == [(1, 2, 2)]
+    # no cap: (1,2) shares 3; (1,3),(2,3) share only eh -> below 2
+    out2 = related_docs(ds, min_shared=2, max_posting=None).to_pandas()
+    assert out2.to_records(index=False).tolist() == [(1, 2, 3)]
+
+
+def test_comention_pmi_hand_check(ray_session):
+    from biocypher_metta_ray.pipelines.kg import comention_pmi
+
+    # N=4 docs; a in {1,2,3}, b in {1,2}, co-docs {1,2}
+    rows = [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "b"), (4, "c")]
+    df = pd.DataFrame(rows, columns=["doc_id", "entity_id"])
+    out = comention_pmi(ray.data.from_pandas(df)).to_pandas()
+    ab = out[(out["ent_a"] == "a") & (out["ent_b"] == "b")].iloc[0]
+    assert ab["n_docs"] == 2
+    assert abs(ab["pmi"] - round(math.log(2 * 4 / (3 * 2)), 6)) < 1e-9
