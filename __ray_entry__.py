@@ -4127,6 +4127,74 @@ def _q_char_entropy(sf_dir: str):
     return ds.map_batches(char_entropy_batch, batch_format="pyarrow")
 
 
+def _q_clean_corpus(sf_dir: str):
+    """CCNet-shaped end-to-end cleaning chain
+    (stages/cleaning.py::clean_corpus): normalize -> language gate ->
+    integer-ratio quality gate -> exact dedup with copy counts, fused
+    into one streaming pass plus one survivor-only co-location."""
+    from biocypher_metta_ray.stages.cleaning import clean_corpus
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return clean_corpus(ds, lang="en", min_tokens=20, stopword_pct=5)
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of a new drop (doc_id >= 250) against
+    the already-ingested base snapshot (doc_id < 250)
+    (stages/dedup.py::incremental_dedup — fingerprints + distributed
+    anti join; base text never moves)."""
+    from biocypher_metta_ray.stages.dedup import incremental_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+    delta = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+    return incremental_dedup(delta, base)
+
+
+def _q_source_quality(sf_dir: str):
+    """Per-source corpus report card (composition over grouped_agg:
+    one (sum_chars, sum_tokens, n_docs) partial row per batch per
+    source, source-cardinality finish — the fact table never
+    co-locates)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "n_chars": t["n_chars"].to_pandas(),
+                "n_tokens": toks.cast(pa.int64()).to_pandas(),
+            }
+        )
+
+    stats = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], sums=["n_chars", "n_tokens"], count_as="n_docs",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].astype("float64")
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["n_docs"].astype("int64"),
+                "avg_chars": (df["n_chars"].astype("float64") / n).round(6),
+                "avg_tokens": (df["n_tokens"].astype("float64") / n).round(6),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pandas")
+
+
 def _q_inverted_index(sf_dir: str):
     """Posting-list inverted index over the documents corpus
     (stages/retrieval.py::inverted_index — per-batch exact distinct
@@ -4386,6 +4454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_docs": _q_related_docs,
         "rrf_fusion": _q_rrf_fusion,
         "char_entropy": _q_char_entropy,
+        "clean_corpus": _q_clean_corpus,
+        "dedup_incremental": _q_dedup_incremental,
+        "source_quality": _q_source_quality,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -6944,6 +7015,63 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _rrf_fusion_sql(
             ["table", "join", "sort"], ["hash", "merge", "scan"]
         ),
+        # filter-for-filter replay of cleaning.clean_corpus: the CASE
+        # is the lang_id tie-break, the quality gate is integer
+        # arithmetic (no float rounding anywhere before the dedup)
+        "clean_corpus": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text),
+                                   '\\s+', ' ', 'g')) AS text
+                       FROM documents),
+            s AS (SELECT doc_id, text,
+                         len(string_split(text, ' ')) AS n_tokens,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('der','die','und','das','ein')))
+                             AS de_c,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','and','of','to')))
+                             AS en_c,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('le','la','et','les','des')))
+                             AS fr_c
+                  FROM n),
+            k AS (SELECT doc_id, text FROM s
+                  WHERE (CASE
+                         WHEN de_c = 0 AND en_c = 0 AND fr_c = 0
+                             THEN 'und'
+                         WHEN de_c >= en_c AND de_c >= fr_c THEN 'de'
+                         WHEN en_c >= fr_c THEN 'en'
+                         ELSE 'fr' END) = 'en'
+                    AND n_tokens >= 20
+                    AND en_c * 100 >= 5 * n_tokens)
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies, text
+            FROM k GROUP BY text
+        """,
+        "dedup_incremental": """
+            WITH fp AS (SELECT doc_id,
+                               md5(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g'))) AS fingerprint
+                        FROM documents),
+            b AS (SELECT DISTINCT fingerprint FROM fp
+                  WHERE doc_id < 250),
+            d AS (SELECT * FROM fp WHERE doc_id >= 250),
+            nd AS (SELECT * FROM d WHERE fingerprint NOT IN
+                       (SELECT fingerprint FROM b))
+            SELECT min(doc_id) AS doc_id, fingerprint
+            FROM nd GROUP BY fingerprint
+        """,
+        # explicit sum/count division (not avg()) — the stated
+        # arithmetic of the Ray finish pass
+        "source_quality": """
+            WITH s AS (SELECT source, n_chars,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+                   round(sum(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
+            FROM s GROUP BY source
+        """,
         # character == byte on the ASCII corpus (the contract stated
         # in text_stats.char_entropy_batch); 0.0 - sum keeps the
         # all-one-char doc at +0.0 on both sides

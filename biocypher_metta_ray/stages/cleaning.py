@@ -378,3 +378,91 @@ def normalize_text(
         lambda t: normalize_text_batch(t, text_col),
         batch_format="pyarrow",
     )
+
+
+def clean_corpus(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 20,
+    stopword_pct: int = 5,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """CCNet-shaped end-to-end corpus cleaning, composed as ONE
+    pipeline: normalize (lowercase / whitespace-collapse / trim) ->
+    heuristic language gate (argmax stopword hits == ``lang``, the
+    lang_id tie-break) -> quality gate (``n_tokens >= min_tokens`` and
+    integer stopword ratio ``n_stop * 100 >= stopword_pct * n_tokens``
+    — integer arithmetic so the SQL oracle needs no float rounding) ->
+    exact dedup on the NORMALIZED text keeping the min-id exemplar
+    with its copy count.
+
+    Scale shape: the three gates FUSE into one streaming Arrow pass
+    per batch (normalize + one tokenize feeding both the language
+    histogram and the quality counts — the corpus is read and decoded
+    once, never shuffled); the only wide step is the final
+    content-hash co-location, and it moves only the already-shrunk
+    survivor set with map-side (hash, text) combining first. This is
+    the chain CCNet runs before LM training (Wenzek et al. 2020),
+    stated filter-for-filter so DuckDB can replay it.
+
+    Returns ``(doc_id, n_copies, text)`` — one row per surviving
+    distinct normalized text.
+    """
+    from .dedup import add_content_hash
+    from .skew import partitioned_group_map
+    from .text_stats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    lang_j = langs.index(lang)
+
+    def gates(batch: pa.Table) -> pa.Table:
+        batch = normalize_text_batch(batch, text_col)
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        counts = np.zeros((len(batch), len(langs)), dtype=np.int64)
+        for j, lg in enumerate(langs):
+            m = pc.is_in(
+                flat, value_set=pa.array(list(STOPWORDS[lg]))
+            ).to_numpy(zero_copy_only=False)
+            counts[:, j] = np.bincount(doc_idx[m], minlength=len(batch))
+        # argmax with first-index tie-break == lang_id's CASE order
+        pred_ok = (counts.argmax(axis=1) == lang_j) & (
+            counts.max(axis=1) > 0
+        )
+        n_tokens = lengths.astype(np.int64)
+        n_stop = counts[:, lang_j]
+        keep = (
+            pred_ok
+            & (n_tokens >= min_tokens)
+            & (n_stop * 100 >= stopword_pct * n_tokens)
+        )
+        return batch.filter(pa.array(keep))
+
+    kept = ds.map_batches(gates, batch_format="pyarrow").map_batches(
+        lambda t: add_content_hash(t.select([id_col, text_col])),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["content_hash", text_col], sort=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
+        )
+        return g.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(text_col, sort=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")}
+        ).reset_index()
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out[[id_col, "n_copies", text_col]]
+
+    return partitioned_group_map(
+        kept.map_batches(partial, batch_format="pandas"),
+        ["content_hash"], final, num_partitions,
+    )

@@ -770,3 +770,51 @@ def sorted_neighborhood_pairs(
         ranked.map_batches(spread, batch_format="pandas"),
         ["__bkt"], pairs, num_partitions,
     )
+
+
+def incremental_dedup(
+    delta: ray.data.Dataset,
+    base: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Incremental exact dedup of a NEW ingest drop against an
+    already-ingested base snapshot — the production corpus-refresh
+    shape (the dedup sibling of pipelines/kg.py::merge_edge_tables):
+    a delta doc is dropped if its normalized-content fingerprint
+    already exists in the base, then the delta dedups WITHIN itself
+    (min-id exemplar per fingerprint).
+
+    Scale shape: both sides reduce to (id, fingerprint) rows in one
+    streaming pass (text never shuffles); membership is the
+    distributed :func:`~.joins.anti_join` (fingerprint-keyed
+    co-location — the base ships KEYS only, and on a real refresh the
+    base side is a pre-materialized fingerprint column, not a
+    recompute); the within-delta dedup is one more fingerprint-keyed
+    partition pass. Returns surviving ``(doc_id, fingerprint)``.
+    """
+    from .joins import anti_join
+    from .skew import partitioned_group_map
+    from .text_stats import fingerprint_batch
+
+    def fp(t: pa.Table) -> pa.Table:
+        return fingerprint_batch(t, text_col)
+
+    dfp = delta.map_batches(fp, batch_format="pyarrow")
+    bfp = base.map_batches(fp, batch_format="pyarrow").select_columns(
+        ["fingerprint"]
+    )
+    fresh = anti_join(dfp, bfp, on="fingerprint",
+                      num_partitions=num_partitions)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("fingerprint", sort=False)[id_col]
+            .min().reset_index()
+        )
+        return out[[id_col, "fingerprint"]]
+
+    return partitioned_group_map(
+        fresh, ["fingerprint"], keep_min, num_partitions
+    )

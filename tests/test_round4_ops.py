@@ -1192,3 +1192,40 @@ def test_comention_pmi_hand_check(ray_session):
     ab = out[(out["ent_a"] == "a") & (out["ent_b"] == "b")].iloc[0]
     assert ab["n_docs"] == 2
     assert abs(ab["pmi"] - round(math.log(2 * 4 / (3 * 2)), 6)) < 1e-9
+
+
+def test_clean_corpus_gates_and_dedup(ray_session):
+    from biocypher_metta_ray.stages.cleaning import clean_corpus
+
+    en = "the cat and the dog of the house went to a park " * 3  # en, 36 toks
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            en,                       # survives (exemplar)
+            "  " + en.upper() + " ",  # normalizes to same text -> dup
+            "der hund und die katze " * 6,          # german -> dropped
+            "the cat",                               # too short -> dropped
+            "alpha beta gamma delta " * 8,           # no stopwords -> dropped
+        ],
+    })
+    out = clean_corpus(
+        ray.data.from_pandas(docs), min_tokens=20, stopword_pct=5
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["doc_id"] == 0
+    assert out.iloc[0]["n_copies"] == 2
+    assert out.iloc[0]["text"] == en.strip()
+
+
+def test_incremental_dedup_drops_base_matches(ray_session):
+    from biocypher_metta_ray.stages.dedup import incremental_dedup
+
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["Seen Before", "other"]}))
+    delta = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [10, 11, 12],
+         "text": ["seen  before", "brand new", "Brand New"]}))
+    out = incremental_dedup(delta, base).to_pandas()
+    # doc 10 normalizes to a base fingerprint -> dropped;
+    # 11/12 collapse to one exemplar (min id 11)
+    assert list(out["doc_id"]) == [11]
