@@ -173,7 +173,14 @@ def timed_queries() -> dict:
         "kg_incremental_merge", "entity_embeddings",
         "feature_propagation", "kg_edge_provenance", "mention_contexts",
         "inverted_index", "mix_weights", "kg_truss",
+        "comention_pmi", "rrf_fusion", "char_entropy",
+        "clean_corpus", "dedup_incremental",
     ]
+    # related_docs is NOT timed here: the sf0.1 gazetteer postings are
+    # ~2k docs per entity with NO stop-entity above the query's cap,
+    # so the pair blow-up (~30M partials) measures the deliberate
+    # exact projection on a cap-free worst case, not the operator's
+    # capped scale path; correctness is oracle-checked at sf0.01.
     # embedding_dups_lsh is NOT timed here: its 0.45 threshold (forced
     # by the synthetic embeddings' cos ceiling) sits in the
     # exact-verify regime where LSH cannot prune (see stages/knn.py
