@@ -4157,6 +4157,29 @@ def _q_dedup_incremental(sf_dir: str):
     return incremental_dedup(delta, base)
 
 
+def _q_neardup_incremental(sf_dir: str):
+    """Incremental NEAR-dup of the new drop (doc_id >= 250) against
+    the ingested base (doc_id < 250)
+    (stages/dedup.py::incremental_neardup — cross-only band-bucket
+    candidates, distributed exact-Jaccard verify, distributed anti
+    join; base x base pairs never materialize). Oracle: exact
+    cross-snapshot Jaccard (the same full-recall reliance at these
+    banding params as the minhash_pairs oracle)."""
+    from biocypher_metta_ray.stages.dedup import incremental_neardup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+    delta = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+    out = incremental_neardup(delta, base, threshold=0.8)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def _q_source_quality(sf_dir: str):
     """Per-source corpus report card (composition over grouped_agg:
     one (sum_chars, sum_tokens, n_docs) partial row per batch per
@@ -4456,6 +4479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "clean_corpus": _q_clean_corpus,
         "dedup_incremental": _q_dedup_incremental,
+        "neardup_incremental": _q_neardup_incremental,
         "source_quality": _q_source_quality,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
@@ -7060,6 +7084,16 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT fingerprint FROM b))
             SELECT min(doc_id) AS doc_id, fingerprint
             FROM nd GROUP BY fingerprint
+        """,
+        # cross-snapshot exact Jaccard: jpairs' doc_a < doc_b makes
+        # (doc_a < 250 AND doc_b >= 250) exactly the base x delta set
+        "neardup_incremental": f"""
+            WITH {_JACCARD_CTES},
+            cross_drop AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs
+                           WHERE doc_a < 250 AND doc_b >= 250)
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id >= 250
+              AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
         """,
         # explicit sum/count division (not avg()) — the stated
         # arithmetic of the Ray finish pass

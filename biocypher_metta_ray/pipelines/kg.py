@@ -561,6 +561,11 @@ def comention_pmi(
     from ..stages.relational import distinct
     from ..stages.skew import partitioned_group_map
 
+    # three consumers (pair counts, entity counts, the N scalar) —
+    # materialize once or each re-executes the whole upstream
+    # extraction chain (the pagerank static-edge-table lesson,
+    # measured 14 s -> ~6 s on the bench KG)
+    linked = linked.select_columns([doc_col, ent_col]).materialize()
     pairs = co_mention_edges(linked, doc_col, ent_col, num_partitions)
     n_total = distinct(linked.select_columns([doc_col]), [doc_col]).count()
 

@@ -818,3 +818,95 @@ def incremental_dedup(
     return partitioned_group_map(
         fresh, ["fingerprint"], keep_min, num_partitions
     )
+
+
+def incremental_neardup(
+    delta: ray.data.Dataset,
+    base: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    num_bands: int = 16,
+    n_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Incremental NEAR-dup of a new ingest drop against an ingested
+    base snapshot — the harder production sibling of
+    :func:`incremental_dedup`: a delta doc is dropped when it
+    band-collides with AND exact-Jaccard-verifies >= ``threshold``
+    against ANY base doc. IDs must be unique ACROSS both sides (true
+    for snapshot splits of one corpus). Returns the surviving delta
+    rows, payload columns intact.
+
+    Scale shape — no step touches base x base or delta x delta:
+
+    1. MinHash band rows for both sides (the MinHasher actor kernel;
+       on a real refresh the base side is a PERSISTED signature table,
+       not a recompute — only (id, band, band_hash) rows ship).
+    2. One (band, band_hash) co-location emits CROSS candidates only
+       (delta x base within the bucket; the base's internal pairs are
+       already settled and never materialize).
+    3. Exact verify through the distributed pair-payload join over the
+       union's shingle sets (duplicate candidates collapse in its
+       first pass).
+    4. The delta anti-joins the dropped-id set (distributed; the drop
+       list never lands on the driver).
+    """
+    from .joins import anti_join, pair_payload_join
+    from .pool import autoscale_pool
+    from .skew import partitioned_group_map
+
+    mh_kwargs = {
+        "num_perms": num_perms,
+        "num_bands": num_bands,
+        "n_shingle": n_shingle,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+
+    def tag(side: str):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array([side] * len(t), pa.string())
+            )
+        return add
+
+    bands = (
+        base.map_batches(MinHasher, fn_constructor_kwargs=mh_kwargs,
+                         batch_format="pyarrow",
+                         concurrency=autoscale_pool(None))
+        .map_batches(tag("B"), batch_format="pyarrow")
+        .union(
+            delta.map_batches(MinHasher, fn_constructor_kwargs=mh_kwargs,
+                              batch_format="pyarrow",
+                              concurrency=autoscale_pool(None))
+            .map_batches(tag("D"), batch_format="pyarrow")
+        )
+    )
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["__side"] == "D",
+                  ["band", "band_hash", "doc_id"]].drop_duplicates()
+        b = g.loc[g["__side"] == "B",
+                  ["band", "band_hash", "doc_id"]].drop_duplicates()
+        m = d.merge(b, on=["band", "band_hash"], suffixes=("_d", "_b"))
+        out = m[["doc_id_b", "doc_id_d"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]  # a = base, b = delta
+        return out
+
+    cand = partitioned_group_map(
+        bands, ["band", "band_hash"], cross_pairs, num_partitions,
+    )
+
+    verified = verify_jaccard(
+        cand, base.union(delta), threshold=threshold,
+        n_shingle=n_shingle, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions,
+    )
+    dropped = verified.map_batches(
+        lambda df: pd.DataFrame({id_col: df["doc_b"].unique()}),
+        batch_format="pandas",
+    )
+    return anti_join(delta, dropped, on=id_col,
+                     num_partitions=num_partitions)

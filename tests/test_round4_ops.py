@@ -1229,3 +1229,21 @@ def test_incremental_dedup_drops_base_matches(ray_session):
     # doc 10 normalizes to a base fingerprint -> dropped;
     # 11/12 collapse to one exemplar (min id 11)
     assert list(out["doc_id"]) == [11]
+
+
+def test_incremental_neardup_cross_only(ray_session):
+    from biocypher_metta_ray.stages.dedup import incremental_neardup
+
+    long_a = "the quick brown fox jumps over the lazy dog near the river " * 4
+    long_b = "entirely different words about query engines and shuffles " * 4
+    base = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "text": [long_a, "short filler text here"]}))
+    delta = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [
+            long_a + "extra tail",  # near-dup of base doc 0 -> dropped
+            long_b,                 # unrelated -> kept
+            long_b + "extra tail",  # near-dup of delta 11 ONLY -> kept
+        ]}))
+    out = incremental_neardup(delta, base, threshold=0.8).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 12]
