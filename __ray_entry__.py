@@ -4180,6 +4180,142 @@ def _q_neardup_incremental(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """CMS join-cardinality estimate beside the exact answer
+    (stages/sketch.py::cms_join_size): |events JOIN orders ON user_id
+    = o_custkey| estimated from two constant-size sketches vs the
+    dimension-scale exact dot product of per-key counts — est >=
+    exact always (collisions only add)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.sketch import cms_join_size
+
+    ev = _rp(sf_dir, "events", columns=["user_id"])
+    od = _rp(sf_dir, "orders", columns=["o_custkey"])
+    est = cms_join_size(ev, "user_id", od, "o_custkey")
+    ec = grouped_agg(ev, ["user_id"], count_as="n").to_pandas()
+    oc = grouped_agg(od, ["o_custkey"], count_as="n").to_pandas()
+    m = ec.merge(oc, left_on="user_id", right_on="o_custkey")
+    exact = int(
+        (m["n_x"].astype("int64") * m["n_y"].astype("int64")).sum()
+    )
+    return pd.DataFrame(
+        {
+            "est_join_size": est["est_join_size"].astype("int64"),
+            "exact_join_size": pd.array([exact], dtype="int64"),
+        }
+    )
+
+
+def _q_entity_terms(sf_dir: str):
+    """Entity context term profiles: top-5 non-stopword tokens (by
+    occurrence count, token tie-break) across the documents mentioning
+    each entity — composition: distinct linked mentions x per-doc
+    exact token counts through one doc-keyed co-location, grouped_agg
+    sum, then relational.top_k_per_group."""
+    from biocypher_metta_ray.stages.relational import (
+        grouped_agg,
+        top_k_per_group,
+    )
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
+    from biocypher_metta_ray.stages.text_stats import STOPWORDS
+
+    stop = set(STOPWORDS["en"])
+    linked = (
+        _q_kg_linked_mentions(sf_dir)
+        .map_batches(
+            lambda df: df[["doc_id", "entity_id"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda df: df.assign(__side="M"), batch_format="pandas"
+        )
+    )
+
+    def doc_tokens(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, lens),
+                "tok": toks.flatten().to_pandas(),
+            }
+        )
+        df = df[~df["tok"].isin(stop)]
+        # a document is one row, so the per-batch count is exact
+        out = (
+            df.groupby(["doc_id", "tok"], sort=False)
+            .size().reset_index(name="c")
+        )
+        out["c"] = out["c"].astype("int64")
+        out["__side"] = "T"
+        return out
+
+    tokens = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tokens = tokens.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")),
+        batch_format="pyarrow",
+    ).map_batches(doc_tokens, batch_format="pyarrow")
+
+    def join_body(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["__side"] == "M"].reindex(columns=["doc_id", "entity_id"])
+        t = g[g["__side"] == "T"].reindex(columns=["doc_id", "tok", "c"])
+        if m.empty or t.empty:
+            return pd.DataFrame(
+                {"entity_id": pd.Series(dtype="object"),
+                 "tok": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64")})
+        j = m.merge(t, on="doc_id")
+        out = (
+            j.groupby(["entity_id", "tok"], sort=False)["c"]
+            .sum().reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = partitioned_group_map(
+        linked.union(tokens), ["doc_id"], join_body, 16
+    )
+    counts = grouped_agg(partials, ["entity_id", "tok"], sums=["n"])
+    return top_k_per_group(
+        counts, ["entity_id"], by="n", k=5, tiebreak=["tok"]
+    )
+
+
+def _q_kg_growth(sf_dir: str):
+    """Hourly KG growth curve: new canonical edges per first-seen
+    crawl hour and the cumulative total — composition over
+    edge_provenance + grouped count + one exact global prefix sum
+    (hour-cardinality table, one co-location)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
+
+    prov = _q_kg_edge_provenance(sf_dir)
+    hours = prov.map_batches(
+        lambda df: pd.DataFrame(
+            {"hour": df["first_seen"].dt.floor("h")}
+        ),
+        batch_format="pandas",
+    )
+    per_hour = grouped_agg(hours, ["hour"], count_as="new_edges")
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="mergesort").reset_index(drop=True)
+        g["total_edges"] = g["new_edges"].astype("int64").cumsum()
+        return g
+
+    return partitioned_group_map(
+        per_hour.map_batches(
+            lambda df: df.assign(__k=0), batch_format="pandas"
+        ),
+        ["__k"],
+        lambda g: cum(g).drop(columns=["__k"]),
+        1,
+    )
+
+
 def _q_source_quality(sf_dir: str):
     """Per-source corpus report card (composition over grouped_agg:
     one (sum_chars, sum_tokens, n_docs) partial row per batch per
@@ -4481,6 +4617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "neardup_incremental": _q_neardup_incremental,
         "source_quality": _q_source_quality,
+        "join_size_estimate": _q_join_size_estimate,
+        "entity_terms": _q_entity_terms,
+        "kg_growth": _q_kg_growth,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -5227,6 +5366,27 @@ def _rrf_fusion_sql(
               FROM r1 a FULL OUTER JOIN r2 b ON a.doc_id = b.doc_id)
         SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT {topk}
     """
+
+
+def _cms_cte_sql(table: str, col: str, name: str,
+                 depth: int = 4, width: int = 1024) -> str:
+    """CTE chain rebuilding a Count-Min sketch bit-for-bit (the
+    cms_counts oracle pattern, parameterized by table/column): md5
+    low-half nibbles -> 64-bit hash -> cell = hash % width."""
+    unions = "\n                UNION ALL ".join(
+        f"SELECT {d} AS depth, 'cms{d}:' || CAST({col} AS VARCHAR) AS s "
+        f"FROM {table}"
+        for d in range(depth)
+    )
+    return f"""v{name} AS ({unions}),
+            h{name} AS (SELECT depth,
+                  list_sum(list_transform(range(8), i ->
+                      (strpos('0123456789abcdef',
+                              substr(md5(s), CAST(i + 9 AS INT), 1))
+                       - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                  FROM v{name}),
+            {name} AS (SELECT depth, lo % {width} AS cell, count(*) AS n
+                       FROM h{name} GROUP BY 1, 2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7094,6 +7254,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id >= 250
               AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
+        """,
+        # per-depth cell-wise product sums, min over depths (the CMS
+        # inner-product estimator), beside the exact per-key dot
+        # product; absent depths coalesce to 0 like the Python side
+        "join_size_estimate": f"""
+            WITH {_cms_cte_sql('events', 'user_id', 'ca')},
+            {_cms_cte_sql('orders', 'o_custkey', 'cb')},
+            p AS (SELECT ca.depth, sum(ca.n * cb.n) AS p
+                  FROM ca JOIN cb ON ca.depth = cb.depth
+                                 AND ca.cell = cb.cell
+                  GROUP BY 1),
+            dd AS (SELECT unnest(generate_series(0, 3)) AS depth),
+            p2 AS (SELECT coalesce(p.p, 0) AS p
+                   FROM dd LEFT JOIN p USING (depth)),
+            ex AS (SELECT sum(e.n * o.n) AS x FROM
+                       (SELECT user_id, count(*) AS n FROM events
+                        GROUP BY 1) e
+                   JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                         GROUP BY 1) o
+                     ON e.user_id = o.o_custkey)
+            SELECT CAST((SELECT min(p) FROM p2) AS BIGINT)
+                       AS est_join_size,
+                   CAST((SELECT x FROM ex) AS BIGINT)
+                       AS exact_join_size
+        """,
+        "entity_terms": f"""
+            WITH lm AS (
+                SELECT DISTINCT t.doc_id, gaz.entity_id
+                FROM ({p['toks']}) t
+                JOIN {p['gaz']} ON t.tok = gaz.surface),
+            tk AS (SELECT doc_id, tok FROM ({p['toks']})
+                   WHERE tok NOT IN ('the', 'a', 'and', 'of', 'to')),
+            c AS (SELECT lm.entity_id, tk.tok,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM lm JOIN tk ON lm.doc_id = tk.doc_id
+                  GROUP BY 1, 2)
+            SELECT entity_id, tok, n FROM (
+                SELECT entity_id, tok, n, row_number() OVER (
+                    PARTITION BY entity_id ORDER BY n DESC, tok) AS r
+                FROM c)
+            WHERE r <= 5
+        """,
+        # first_seen per edge from the corpus synthesis rule (the
+        # kg_edge_provenance oracle), hour-bucketed, window prefix sum
+        "kg_growth": f"""
+            WITH t AS ({p['triples']}),
+            e AS (SELECT t.doc_id, gaz.entity_id AS subj, t.pred,
+                         g2.entity_id AS obj
+                  FROM t
+                  JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                  JOIN {p['gaz2']} ON t.obj_surface = g2.surface),
+            d AS (SELECT DISTINCT doc_id, subj, pred, obj FROM e),
+            fs AS (SELECT subj, pred, obj,
+                          min(TIMESTAMP '2024-01-01 00:00:00'
+                              + to_microseconds(doc_id * 137000000))
+                              AS first_seen
+                   FROM d GROUP BY 1, 2, 3),
+            h AS (SELECT date_trunc('hour', first_seen) AS hour,
+                         CAST(count(*) AS BIGINT) AS new_edges
+                  FROM fs GROUP BY 1)
+            SELECT hour, new_edges,
+                   CAST(sum(new_edges) OVER (ORDER BY hour
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS total_edges
+            FROM h
         """,
         # explicit sum/count division (not avg()) — the stated
         # arithmetic of the Ray finish pass

@@ -531,3 +531,38 @@ def heavy_hitters(
     return partitioned_group_map(
         kept, [col], merge, num_partitions, coalesce=2 * num_partitions,
     )
+
+
+def cms_join_size(
+    a: ray.data.Dataset,
+    col_a: str,
+    b: ray.data.Dataset,
+    col_b: str,
+    depth: int = CMS_D,
+    width: int = CMS_W,
+    salt: str = "cms",
+) -> pd.DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches —
+    the inner-product query of Cormode & Muthukrishnan 2005 §4.2:
+    ``|A JOIN B| = sum_k fa(k)*fb(k)`` is estimated per depth as the
+    cell-wise product sum of the two counter rows, then min over
+    depths. Integer arithmetic throughout; NEVER underestimates (every
+    true product survives its cell, collisions only add).
+
+    Scale shape: each side is one streaming :func:`cms_counts` pass
+    (constant ``depth x width`` merge state however large the fact
+    table); the estimate is a depth x width driver-side dot product.
+    The exact answer costs a full keyed co-location of BOTH fact
+    tables — this is the query-planner's one-pass alternative.
+    Returns one row ``(est_join_size,)``.
+    """
+    sa = cms_counts(a, col_a, depth, width, salt).to_pandas()
+    sb = cms_counts(b, col_b, depth, width, salt).to_pandas()
+    m = sa.merge(sb, on=["depth", "cell"], suffixes=("_a", "_b"))
+    per_depth = (
+        m.assign(p=m["n_a"].astype("int64") * m["n_b"].astype("int64"))
+        .groupby("depth")["p"].sum()
+    )
+    # a depth with no shared non-empty cell estimates 0
+    est = min(int(per_depth.get(d, 0)) for d in range(depth))
+    return pd.DataFrame({"est_join_size": pd.array([est], dtype="int64")})

@@ -1247,3 +1247,17 @@ def test_incremental_neardup_cross_only(ray_session):
         ]}))
     out = incremental_neardup(delta, base, threshold=0.8).to_pandas()
     assert sorted(out["doc_id"]) == [11, 12]
+
+
+def test_cms_join_size_overestimates_and_exact_when_wide(ray_session):
+    from biocypher_metta_ray.stages.sketch import cms_join_size
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3, 3, 3]}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": [1, 3, 3, 4]}))
+    exact = 2 * 1 + 3 * 2  # sum_k fa*fb = 8
+    # wide sketch: collision-free -> estimate IS the exact size
+    wide = cms_join_size(a, "k", b, "k", width=1 << 20)
+    assert int(wide["est_join_size"].iloc[0]) == exact
+    # narrow sketch: collisions only ADD
+    narrow = cms_join_size(a, "k", b, "k", width=4)
+    assert int(narrow["est_join_size"].iloc[0]) >= exact
