@@ -4316,6 +4316,38 @@ def _q_kg_growth(sf_dir: str):
     )
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact 3-NN graph over the embeddings table
+    (stages/knn.py::knn_graph — chunked query broadcast,
+    per-(query, block) partial top-k, DISTRIBUTED per-group top-k
+    merge; the recall oracle for the IVF/LSH approximations)."""
+    from biocypher_metta_ray.stages.knn import knn_graph
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=3)
+
+
+def _q_length_outliers(sf_dir: str):
+    """Quantile-band length outlier filter (the corpus-cleaning tail
+    cut): docs outside the exact [p05, p95] band of n_chars —
+    composition: grouped_quantiles on a constant key (the global
+    exact quantile), two-scalar broadcast, streaming filter."""
+    from biocypher_metta_ray.stages.relational import grouped_quantiles
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    qs = grouped_quantiles(
+        ds.map_batches(lambda df: df.assign(__k=0),
+                       batch_format="pandas"),
+        ["__k"], "n_chars", (0.05, 0.95),
+    ).to_pandas()
+    lo = float(qs["p05"].iloc[0])
+    hi = float(qs["p95"].iloc[0])
+    return ds.map_batches(
+        lambda df: df[(df["n_chars"] < lo) | (df["n_chars"] > hi)],
+        batch_format="pandas",
+    )
+
+
 def _q_source_quality(sf_dir: str):
     """Per-source corpus report card (composition over grouped_agg:
     one (sum_chars, sum_tokens, n_docs) partial row per batch per
@@ -4626,6 +4658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_similarity": _q_centroid_similarity,
         "profile_table": _q_profile_table,
         "kg_growth": _q_kg_growth,
+        "knn_graph": _q_knn_graph,
+        "length_outliers": _q_length_outliers,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7301,6 +7335,27 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # self-excluded unrounded-cos window ranking, k=3 per vector
+        # (the knn_batch oracle pattern over ALL vectors)
+        "knn_graph": """
+            SELECT vec_id, nbr_id FROM (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               b.embedding, a.embedding) DESC,
+                               b.vec_id ASC) AS rn
+                FROM embeddings a
+                JOIN embeddings b ON b.vec_id <> a.vec_id)
+            WHERE rn <= 3
+        """,
+        "length_outliers": """
+            WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                              quantile_cont(n_chars, 0.95) AS hi
+                       FROM documents)
+            SELECT doc_id, n_chars FROM documents CROSS JOIN q
+            WHERE n_chars < lo OR n_chars > hi
         """,
         # first_seen per edge from the corpus synthesis rule (the
         # kg_edge_provenance oracle), hour-bucketed, window prefix sum

@@ -538,3 +538,88 @@ def hard_negatives(
         cand, query_matrix, k=1, id_col=id_col, col=col,
         query_ids=query_ids)
     return out.rename(columns={id_col: "neg_id"})
+
+
+def knn_graph(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    num_partitions: int = 16,
+    chunk_rows: int = 65536,
+) -> ray.data.Dataset:
+    """EXACT k-NN graph over an embedding table: every vector's top-k
+    cosine neighbors, self excluded — the ANN-graph construction
+    baseline (NN-descent seeding, graph-based index bootstrap,
+    SemDedup-style diversification) and the recall oracle for the
+    bucketed approximations (``ivf_knn``, ``embedding_dup_pairs``).
+
+    Block-nested-loop shape (exact compute is inherently O(N^2)):
+    the table is swept in QUERY CHUNKS of ``chunk_rows`` — each chunk
+    is pulled to the driver once (bounded chunk x d memory),
+    broadcast via ``ray.put``, and the corpus streams ONE matmul per
+    batch emitting at most k rows per (query, block); the merge is
+    the DISTRIBUTED per-group top-k (``relational.top_k_per_group``)
+    — no driver-side candidate table, unlike the bounded-query-set
+    ``knn_bruteforce_multi``. Corpus passes = ceil(N / chunk_rows);
+    pick ``chunk_rows`` so chunk x d doubles fit plasma comfortably
+    (the stated memory bound). Cosines stay UNROUNDED through the
+    merge so ranking matches the SQL oracle's unrounded window order;
+    the returned columns are ``(vec_id, nbr_id)`` only.
+    """
+    from .relational import top_k_per_group
+
+    data = ds.materialize()  # streamed once per chunk below
+
+    partials = []
+    for q_tbl in data.select_columns([id_col, col]).iter_batches(
+        batch_size=chunk_rows, batch_format="pyarrow"
+    ):
+        Q = _embedding_matrix(q_tbl, col)
+        qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qids = q_tbl[id_col].to_numpy(zero_copy_only=False).copy()
+        q_ref = ray.put(qn)
+        qid_ref = ray.put(qids)
+
+        def partial_topk(batch: pa.Table, _qr=q_ref, _ir=qid_ref
+                         ) -> pa.Table:
+            qm = ray.get(_qr)
+            qi = ray.get(_ir)
+            M = _embedding_matrix(batch, col)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (M @ qm.T) / norms[:, None]  # (rows, n_queries)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            # self-exclusion: a vector never neighbors itself
+            cos[ids[:, None] == qi[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            out_q, out_id, out_cos = [], [], []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                keep = np.isfinite(cos[order, j])
+                order = order[keep]
+                out_q.append(np.full(len(order), qi[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_cos.append(cos[order, j])
+            return pa.table(
+                {
+                    id_col: pa.array(np.concatenate(out_q)),
+                    "nbr_id": pa.array(np.concatenate(out_id)),
+                    "cos": pa.array(np.concatenate(out_cos)),
+                }
+            )
+
+        partials.append(
+            data.map_batches(partial_topk, batch_format="pyarrow")
+        )
+
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.union(p)
+    top = top_k_per_group(
+        allp, [id_col], by="cos", k=k, tiebreak=["nbr_id"],
+        num_partitions=num_partitions,
+    )
+    return top.map_batches(
+        lambda df: df[[id_col, "nbr_id"]], batch_format="pandas"
+    )

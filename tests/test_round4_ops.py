@@ -1261,3 +1261,45 @@ def test_cms_join_size_overestimates_and_exact_when_wide(ray_session):
     # narrow sketch: collisions only ADD
     narrow = cms_join_size(a, "k", b, "k", width=4)
     assert int(narrow["est_join_size"].iloc[0]) >= exact
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    from biocypher_metta_ray.stages.knn import knn_graph
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 8))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(X.tolist(), type=pa.list_(pa.float64())),
+    }))
+    out = knn_graph(ds, k=3).to_pandas()
+    assert len(out) == 40 * 3
+    assert (out["vec_id"] != out["nbr_id"]).all()
+    # brute-force check
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    np.fill_diagonal(cos, -np.inf)
+    for q in (0, 17, 39):
+        exp = list(np.lexsort((np.arange(40), -cos[q]))[:3])
+        got = list(out[out["vec_id"] == q]["nbr_id"])
+        assert sorted(got) == sorted(exp)
+
+
+def test_knn_graph_chunked_sweep_equals_single(ray_session):
+    from biocypher_metta_ray.stages.knn import knn_graph
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(30, 6))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+        "embedding": pa.array(X.tolist(), type=pa.list_(pa.float64())),
+    }))
+    one = knn_graph(ds, k=2).to_pandas().sort_values(
+        ["vec_id", "nbr_id"]).reset_index(drop=True)
+    many = knn_graph(ds, k=2, chunk_rows=7).to_pandas().sort_values(
+        ["vec_id", "nbr_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
