@@ -4316,6 +4316,17 @@ def _q_kg_growth(sf_dir: str):
     )
 
 
+def _q_skipgram_pairs(sf_dir: str):
+    """word2vec-prep skip-gram pair counts at window 2
+    (stages/lm.py::skipgram_pairs — one dictionary-encode per batch,
+    one shifted-mask pass per offset, distinct code-pair partials;
+    only pair-vocab rows shuffle)."""
+    from biocypher_metta_ray.stages.lm import skipgram_pairs
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return skipgram_pairs(ds, window=2)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 3-NN graph over the embeddings table
     (stages/knn.py::knn_graph — chunked query broadcast,
@@ -4660,6 +4671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_growth": _q_kg_growth,
         "knn_graph": _q_knn_graph,
         "length_outliers": _q_length_outliers,
+        "skipgram_pairs": _q_skipgram_pairs,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7335,6 +7347,26 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # both directions of every within-window co-occurrence — the
+        # SGNS training multiset; lowercase single-space tokenization
+        # matches the lm.py kernels
+        "skipgram_pairs": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(lower(text), ' '))
+                                  AS tok,
+                              generate_subscripts(
+                                  string_split(lower(text), ' '), 1) AS p
+                       FROM documents),
+            pr AS (SELECT a.tok AS w1, b.tok AS w2
+                   FROM t a JOIN t b ON a.doc_id = b.doc_id
+                                    AND b.p - a.p BETWEEN 1 AND 2
+                   UNION ALL
+                   SELECT b.tok, a.tok
+                   FROM t a JOIN t b ON a.doc_id = b.doc_id
+                                    AND b.p - a.p BETWEEN 1 AND 2)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2
         """,
         # self-excluded unrounded-cos window ranking, k=3 per vector
         # (the knn_batch oracle pattern over ALL vectors)

@@ -336,3 +336,70 @@ def char_pair_counts(
     decoded = summed.map_batches(decode, batch_format="pandas")
     return top_k(decoded, k, by=["cnt", "pair"],
                  ascending=[False, True])
+
+
+def skipgram_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    window: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """word2vec-prep skip-gram pair counts (Mikolov et al. 2013): for
+    every center token, each context token within ``window`` positions
+    contributes one DIRECTED (center, context) pair — both directions
+    of every co-occurrence, the exact multiset SGNS trains on.
+
+    Scale shape (the _doc_bigrams contract, widened to w offsets):
+    each batch dictionary-encodes its token stream ONCE in Arrow, then
+    every offset d in 1..window is one vectorized shifted-mask pass
+    over the int64 code array; the batch collapses to its DISTINCT
+    code-pair partial before any string decodes (token strings cross
+    into Python only at pair-vocab scale), and only pair-vocab rows
+    shuffle through grouped_agg's map-side-combined sum. Returns
+    ``(w1, w2, n)``.
+    """
+    from .relational import grouped_agg
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.utf8_lower(batch[text_col]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten()
+        uniq = pc.unique(flat)
+        empty = pd.DataFrame(
+            {"w1": pd.Series(dtype="object"),
+             "w2": pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64")})
+        if not len(flat):
+            return empty
+        codes = pc.index_in(flat, uniq).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        didx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        first = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(codes.size, dtype=np.int64) - np.repeat(
+            first, lengths
+        )
+        c1s, c2s = [], []
+        for d in range(1, window + 1):
+            i = np.flatnonzero(pos < lengths[didx] - d)
+            c1s += [codes[i], codes[i + d]]
+            c2s += [codes[i + d], codes[i]]
+        if not c1s or not sum(len(c) for c in c1s):
+            return empty
+        c1 = np.concatenate(c1s)
+        c2 = np.concatenate(c2s)
+        v = np.int64(len(uniq))
+        upair, counts = np.unique(c1 * v + c2, return_counts=True)
+        uv = uniq.to_pandas().to_numpy()
+        return pd.DataFrame(
+            {"w1": uv[upair // v], "w2": uv[upair % v],
+             "n": counts.astype("int64")}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, ["w1", "w2"], sums=["n"],
+                       shuffle_partitions=num_partitions)

@@ -1303,3 +1303,15 @@ def test_knn_graph_chunked_sweep_equals_single(ray_session):
     many = knn_graph(ds, k=2, chunk_rows=7).to_pandas().sort_values(
         ["vec_id", "nbr_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_skipgram_pairs_hand_check(ray_session):
+    from biocypher_metta_ray.stages.lm import skipgram_pairs
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["a b c"]}))
+    out = skipgram_pairs(ds, window=2).to_pandas()
+    got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+    # offsets 1: (a,b),(b,c) + reverses; offset 2: (a,c) + reverse
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+                   ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1}
