@@ -830,6 +830,7 @@ def incremental_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
+    max_base_per_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Incremental NEAR-dup of a new ingest drop against an ingested
     base snapshot — the harder production sibling of
@@ -852,6 +853,19 @@ def incremental_neardup(
        first pass).
     4. The delta anti-joins the dropped-id set (distributed; the drop
        list never lands on the driver).
+
+    ``max_base_per_bucket`` is the cross-pair analog of the LSH
+    star-edge cap: a delta doc only needs ONE verified base match to
+    be dropped, so within a hot bucket each delta doc pairs with at
+    most the C smallest base ids instead of ALL of them — candidate
+    volume falls from |delta| x |base| to |delta| x C per bucket (a
+    boilerplate flood of k copies otherwise emits O(k^2) cross
+    pairs). Honest recall note: with the cap, a delta doc whose true
+    >= threshold base matches all rank above C in some bucket AND
+    never co-bucket elsewhere is missed; duplicate floods (where the
+    cap matters) verify at J=1 against every copy, so the practical
+    effect is nil. None (default) keeps the exact all-cross-pairs
+    semantics the SQL oracle states.
     """
     from .joins import anti_join, pair_payload_join
     from .pool import autoscale_pool
@@ -890,6 +904,13 @@ def incremental_neardup(
                   ["band", "band_hash", "doc_id"]].drop_duplicates()
         b = g.loc[g["__side"] == "B",
                   ["band", "band_hash", "doc_id"]].drop_duplicates()
+        if max_base_per_bucket is not None:
+            # deterministic cap: the C smallest base ids per bucket
+            b = (
+                b.sort_values("doc_id", kind="mergesort")
+                .groupby(["band", "band_hash"], sort=False)
+                .head(max_base_per_bucket)
+            )
         m = d.merge(b, on=["band", "band_hash"], suffixes=("_d", "_b"))
         out = m[["doc_id_b", "doc_id_d"]].drop_duplicates()
         out.columns = ["doc_a", "doc_b"]  # a = base, b = delta

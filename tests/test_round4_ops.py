@@ -1315,3 +1315,20 @@ def test_skipgram_pairs_hand_check(ray_session):
     # offsets 1: (a,b),(b,c) + reverses; offset 2: (a,c) + reverse
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
                    ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1}
+
+
+def test_incremental_neardup_bucket_cap(ray_session):
+    from biocypher_metta_ray.stages.dedup import incremental_neardup
+
+    text = "the quick brown fox jumps over the lazy dog by the river " * 4
+    other = "entirely different words about engines and shuffles here " * 4
+    # base: 6 exact copies of `text`; delta: one copy + one unrelated
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(range(6)), "text": [text] * 6}))
+    delta = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [10, 11], "text": [text, other]}))
+    out = incremental_neardup(
+        delta, base, threshold=0.8, max_base_per_bucket=2
+    ).to_pandas()
+    # the capped candidates still verify at J=1 -> 10 dropped, 11 kept
+    assert list(out["doc_id"]) == [11]
