@@ -4327,6 +4327,31 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_near_dup_eval(sf_dir: str):
+    """Detector evaluation harness: SimHash (hamming <= 3) candidate
+    pairs scored against the exact word-3-shingle Jaccard >= 0.8
+    ground truth — precision/recall computed from the two BOUNDED pair
+    tables (each produced by its own distributed pass; the comparison
+    itself is pair-scale). The ops-side answer to "can we swap the
+    cheap detector in?"."""
+    pred = _q_simhash_pairs(sf_dir).to_pandas()[["doc_a", "doc_b"]]
+    true = _q_minhash_pairs(sf_dir)
+    if hasattr(true, "to_pandas"):
+        true = true.to_pandas()
+    true = true[["doc_a", "doc_b"]]
+    n_pred, n_true = len(pred), len(true)
+    n_common = len(pred.merge(true, on=["doc_a", "doc_b"]))
+    return pd.DataFrame(
+        {
+            "n_pred": pd.array([n_pred], dtype="int64"),
+            "n_true": pd.array([n_true], dtype="int64"),
+            "n_common": pd.array([n_common], dtype="int64"),
+            "precision": [round(n_common / n_pred, 6)],
+            "recall": [round(n_common / n_true, 6)],
+        }
+    )
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 3-NN graph over the embeddings table
     (stages/knn.py::knn_graph — chunked query broadcast,
@@ -4672,6 +4697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "length_outliers": _q_length_outliers,
         "skipgram_pairs": _q_skipgram_pairs,
+        "near_dup_eval": _q_near_dup_eval,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7347,6 +7373,26 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # SimHash predictions vs exact-Jaccard truth, both CTE bundles
+        # composed (no name collisions: jaccard = words/sh/dsh/sizes/
+        # inter/jpairs, simhash = toks/uh/th/bits/fp)
+        "near_dup_eval": f"""
+            WITH {_JACCARD_CTES}, {_SIMHASH_CTES},
+            sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+                         + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+            m AS (SELECT count(*) AS n_common
+                  FROM sp JOIN jpairs USING (doc_a, doc_b)),
+            np AS (SELECT count(*) AS n_pred FROM sp),
+            nt AS (SELECT count(*) AS n_true FROM jpairs)
+            SELECT CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common::DOUBLE / n_pred, 6) AS "precision",
+                   round(n_common::DOUBLE / n_true, 6) AS recall
+            FROM np CROSS JOIN nt CROSS JOIN m
         """,
         # both directions of every within-window co-occurrence — the
         # SGNS training multiset; lowercase single-space tokenization
