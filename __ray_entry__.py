@@ -4327,6 +4327,34 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_scd2_history(sf_dir: str):
+    """SCD type-2 validity-interval history from the snapshot_diff
+    synthetic snapshot pair (stages/joins.py::scd2_history — same
+    tagged-union single co-location as diff_snapshots; classic
+    high-date sentinel for open intervals, no NULLs)."""
+    from biocypher_metta_ray.stages.joins import scd2_history
+
+    base = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    old = base.map_batches(
+        lambda df: df[df["o_orderkey"] % 10 != 0], batch_format="pandas")
+    new = base.map_batches(
+        lambda df: df[df["o_orderkey"] % 10 != 3].assign(
+            o_totalprice=lambda x: np.where(
+                x["o_orderkey"] % 7 == 0,
+                x["o_totalprice"] * 2, x["o_totalprice"])),
+        batch_format="pandas")
+    out = scd2_history(
+        old, new, ["o_orderkey"], ["o_totalprice"],
+        t_old="2024-01-01", t_new="2024-02-01",
+    )
+    return out.map_batches(
+        lambda df: df.astype({"o_orderkey": "int64",
+                              "o_totalprice": "float64",
+                              "valid_from": "str", "valid_to": "str"}),
+        batch_format="pandas",
+    )
+
+
 def _q_near_dup_eval(sf_dir: str):
     """Detector evaluation harness: SimHash (hamming <= 3) candidate
     pairs scored against the exact word-3-shingle Jaccard >= 0.8
@@ -4698,6 +4726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "skipgram_pairs": _q_skipgram_pairs,
         "near_dup_eval": _q_near_dup_eval,
+        "scd2_history": _q_scd2_history,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7373,6 +7402,32 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # the snapshot_diff synthesis rule, reshaped to SCD2 interval
+        # rows; IS DISTINCT FROM = the stated null-compare semantics
+        "scd2_history": """
+            WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 10 <> 0),
+            n AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 7 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS o_totalprice
+                  FROM orders WHERE o_orderkey % 10 <> 3),
+            j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                         o.o_totalprice AS vo, n.o_totalprice AS vn,
+                         o.o_orderkey IS NOT NULL AS in_o,
+                         n.o_orderkey IS NOT NULL AS in_n
+                  FROM o FULL OUTER JOIN n
+                    ON o.o_orderkey = n.o_orderkey)
+            SELECT k AS o_orderkey, vo AS o_totalprice,
+                   '2024-01-01' AS valid_from,
+                   CASE WHEN NOT in_n OR vo IS DISTINCT FROM vn
+                        THEN '2024-02-01' ELSE '9999-12-31' END
+                       AS valid_to
+            FROM j WHERE in_o
+            UNION ALL
+            SELECT k, vn, '2024-02-01', '9999-12-31'
+            FROM j WHERE in_n AND (NOT in_o OR vo IS DISTINCT FROM vn)
         """,
         # SimHash predictions vs exact-Jaccard truth, both CTE bundles
         # composed (no name collisions: jaccard = words/sh/dsh/sizes/

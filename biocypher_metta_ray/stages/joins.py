@@ -673,3 +673,82 @@ def diff_snapshots(
         return out
 
     return partitioned_group_map(both, key, body, num_partitions)
+
+
+def scd2_history(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: list[str],
+    compare_cols: list[str],
+    t_old: str,
+    t_new: str,
+    open_label: str = "9999-12-31",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension TYPE-2 history built from two
+    snapshots — the warehouse-side sibling of :func:`diff_snapshots`:
+    every key becomes validity-interval rows ``(key..., compare...,
+    valid_from, valid_to)``:
+
+    - only in old:  (old values, t_old, t_new)            — retired
+    - only in new:  (new values, t_new, open_label)       — born
+    - changed:      (old values, t_old, t_new) AND
+                    (new values, t_new, open_label)
+    - unchanged:    (old values, t_old, open_label)
+
+    ``open_label`` is the classic SCD2 high-date sentinel (no NULLs in
+    the interval columns, so downstream BETWEEN predicates and the
+    oracle's value-hash both stay null-free). Null compare semantics
+    match diff_snapshots: two nulls equal, null vs value differs.
+
+    Scale shape: the same tagged-union single key co-location as
+    diff_snapshots — only key + compare columns ship; output is
+    |new| + |removed| + |changed| rows (unchanged keys emit exactly
+    one row, never two).
+    """
+    cols = key + compare_cols
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[cols].assign(__side=side)
+        return fn
+
+    both = old.map_batches(tag("O"), batch_format="pandas").union(
+        new.map_batches(tag("N"), batch_format="pandas"))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["__side"] == "O"].drop(columns=["__side"])
+        n = g[g["__side"] == "N"].drop(columns=["__side"])
+        m = o.merge(n, on=key, how="outer", suffixes=("__o", "__n"),
+                    indicator=True)
+        in_o = (m["_merge"] != "right_only").to_numpy()
+        in_n = (m["_merge"] != "left_only").to_numpy()
+        diff = np.zeros(len(m), dtype=bool)
+        for c in compare_cols:
+            a, b = m[f"{c}__o"], m[f"{c}__n"]
+            diff |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        closed = in_o & (~in_n | diff)
+
+        def rows(mask, sfx, vfrom, vto):
+            r = m.loc[mask, key + [f"{c}{sfx}" for c in compare_cols]]
+            r.columns = cols
+            r["valid_from"] = vfrom
+            r["valid_to"] = vto if isinstance(vto, str) else vto
+            return r
+
+        out = pd.concat(
+            [
+                rows(in_o & ~closed, "__o", t_old, open_label),
+                rows(closed, "__o", t_old, t_new),
+                rows(in_n & (~in_o | diff), "__n", t_new, open_label),
+            ],
+            ignore_index=True,
+        )
+        if out.empty:
+            e = g[cols].iloc[:0].copy()
+            e["valid_from"] = pd.Series([], dtype="object")
+            e["valid_to"] = pd.Series([], dtype="object")
+            return e
+        return out
+
+    return partitioned_group_map(both, key, body, num_partitions)

@@ -1332,3 +1332,22 @@ def test_incremental_neardup_bucket_cap(ray_session):
     ).to_pandas()
     # the capped candidates still verify at J=1 -> 10 dropped, 11 kept
     assert list(out["doc_id"]) == [11]
+
+
+def test_scd2_history_intervals(ray_session):
+    from biocypher_metta_ray.stages.joins import scd2_history
+
+    old = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}))
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 4], "v": [20.0, 99.0, 40.0]}))
+    out = scd2_history(old, new, ["k"], ["v"], "T0", "T1").to_pandas()
+    rows = set(map(tuple, out[["k", "v", "valid_from", "valid_to"]]
+                   .itertuples(index=False)))
+    assert rows == {
+        (1, 10.0, "T0", "T1"),            # removed: closed at T1
+        (2, 20.0, "T0", "9999-12-31"),    # unchanged: one open row
+        (3, 30.0, "T0", "T1"),            # changed: old closed...
+        (3, 99.0, "T1", "9999-12-31"),    # ...new open
+        (4, 40.0, "T1", "9999-12-31"),    # added: open at T1
+    }
