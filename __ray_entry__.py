@@ -4327,6 +4327,36 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_hll_set_ops(sf_dir: str):
+    """HLL set algebra (stages/sketch.py::hll_set_estimates): distinct
+    part-key overlap between the low-quantity and high-quantity
+    lineitem slices — union via register MAX merge, intersection via
+    inclusion-exclusion, the four exact answers beside (the sets sit
+    in the linear-counting regime at sf0.01, where the estimator is
+    integer-exact arithmetic both sides)."""
+    from biocypher_metta_ray.stages.relational import distinct
+    from biocypher_metta_ray.stages.sketch import hll_set_estimates
+
+    li = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    a = li.map_batches(
+        lambda df: df.loc[df["l_quantity"] <= 25, ["l_partkey"]],
+        batch_format="pandas",
+    )
+    b = li.map_batches(
+        lambda df: df.loc[df["l_quantity"] >= 20, ["l_partkey"]],
+        batch_format="pandas",
+    )
+    est = hll_set_estimates(a, "l_partkey", b, "l_partkey")
+    na = distinct(a, ["l_partkey"]).count()
+    nb = distinct(b, ["l_partkey"]).count()
+    nu = distinct(a.union(b), ["l_partkey"]).count()
+    est["exact_a"] = pd.array([na], dtype="int64")
+    est["exact_b"] = pd.array([nb], dtype="int64")
+    est["exact_union"] = pd.array([nu], dtype="int64")
+    est["exact_inter"] = pd.array([na + nb - nu], dtype="int64")
+    return est
+
+
 def _q_scd2_history(sf_dir: str):
     """SCD type-2 validity-interval history from the snapshot_diff
     synthetic snapshot pair (stages/joins.py::scd2_history — same
@@ -4727,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "near_dup_eval": _q_near_dup_eval,
         "scd2_history": _q_scd2_history,
+        "hll_set_ops": _q_hll_set_ops,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -5494,6 +5525,34 @@ def _cms_cte_sql(table: str, col: str, name: str,
                   FROM v{name}),
             {name} AS (SELECT depth, lo % {width} AS cell, count(*) AS n
                        FROM h{name} GROUP BY 1, 2)"""
+
+
+def _hll_reg_cte_sql(src: str, name: str) -> str:
+    """CTE chain rebuilding an HLL register table bit-for-bit (the
+    hll_registers oracle pattern, parameterized): ``src`` is a SELECT
+    yielding one column ``x``."""
+    h = ("list_sum(list_transform(range(8), i -> "
+         "(strpos('0123456789abcdef', substr(md5(s), CAST(i + {o} "
+         "AS INT), 1)) - 1)::BIGINT << (4 * (7 - i))))::BIGINT")
+    return f"""v{name} AS (SELECT DISTINCT 'hll:' || CAST(x AS VARCHAR)
+                       AS s FROM ({src})),
+            h{name} AS (SELECT {h.format(o=1)} AS hi,
+                               {h.format(o=9)} AS lo
+                        FROM v{name}),
+            {name} AS (SELECT hi >> 20 AS register,
+                              max(53 - length(ltrim(bin(
+                                  ((hi & 1048575) << 32) | lo), '0')))
+                                  AS rho
+                       FROM h{name} GROUP BY 1),
+            e{name} AS (SELECT
+                4096 - count(*) AS zeros,
+                (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                    / (sum(pow(2.0, -rho)) + (4096 - count(*))) AS raw
+                FROM {name}),
+            x{name} AS (SELECT CASE
+                WHEN raw <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096 * ln(4096.0 / zeros)
+                ELSE raw END AS est FROM e{name})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7402,6 +7461,45 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # three register tables (A, B, max-merged union) rebuilt
+        # bit-for-bit; both sets sit in the linear-counting branch at
+        # sf0.01 (m*ln(m/zeros), integer-exact arithmetic both sides)
+        "hll_set_ops": f"""
+            WITH {_hll_reg_cte_sql(
+                "SELECT l_partkey AS x FROM lineitem"
+                " WHERE l_quantity <= 25", "ra")},
+            {_hll_reg_cte_sql(
+                "SELECT l_partkey AS x FROM lineitem"
+                " WHERE l_quantity >= 20", "rb")},
+            ru AS (SELECT register, max(rho) AS rho
+                   FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                   GROUP BY 1),
+            eru AS (SELECT
+                4096 - count(*) AS zeros,
+                (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                    / (sum(pow(2.0, -rho)) + (4096 - count(*))) AS raw
+                FROM ru),
+            xru AS (SELECT CASE
+                WHEN raw <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096 * ln(4096.0 / zeros)
+                ELSE raw END AS est FROM eru),
+            ex AS (SELECT
+                (SELECT count(DISTINCT l_partkey) FROM lineitem
+                 WHERE l_quantity <= 25) AS na,
+                (SELECT count(DISTINCT l_partkey) FROM lineitem
+                 WHERE l_quantity >= 20) AS nb,
+                (SELECT count(DISTINCT l_partkey) FROM lineitem
+                 WHERE l_quantity <= 25 OR l_quantity >= 20) AS nu)
+            SELECT round(xra.est, 6) AS est_a,
+                   round(xrb.est, 6) AS est_b,
+                   round(xru.est, 6) AS est_union,
+                   round(xra.est + xrb.est - xru.est, 6) AS est_inter,
+                   CAST(na AS BIGINT) AS exact_a,
+                   CAST(nb AS BIGINT) AS exact_b,
+                   CAST(nu AS BIGINT) AS exact_union,
+                   CAST(na + nb - nu AS BIGINT) AS exact_inter
+            FROM xra CROSS JOIN xrb CROSS JOIN xru CROSS JOIN ex
         """,
         # the snapshot_diff synthesis rule, reshaped to SCD2 interval
         # rows; IS DISTINCT FROM = the stated null-compare semantics

@@ -566,3 +566,38 @@ def cms_join_size(
     # a depth with no shared non-empty cell estimates 0
     est = min(int(per_depth.get(d, 0)) for d in range(depth))
     return pd.DataFrame({"est_join_size": pd.array([est], dtype="int64")})
+
+
+def hll_set_estimates(
+    a: ray.data.Dataset,
+    col_a: str,
+    b: ray.data.Dataset,
+    col_b: str,
+    salt: str = "hll",
+) -> pd.DataFrame:
+    """HLL set algebra over two key sets — the sketch-side answer to
+    "how much do these corpora overlap" without a distinct shuffle:
+    ``|A|``/``|B|`` from each register table, ``|A u B|`` from the
+    register-wise MAX merge (LOSSLESS for union — the defining HLL
+    mergeability), ``|A n B|`` by inclusion-exclusion (the standard
+    intersection estimate; variances ADD, so it degrades for tiny
+    overlaps of huge sets — stated). One streaming register pass per
+    side, register-scale driver algebra. Returns one row of the four
+    estimates rounded 6.
+    """
+    ra = hll_registers(a, col_a, salt=salt).to_pandas()
+    rb = hll_registers(b, col_b, salt=salt).to_pandas()
+    ru = (
+        pd.concat([ra, rb])
+        .groupby("register", sort=True)["rho"].max().reset_index()
+        .astype({"register": "int64", "rho": "int64"})
+    )
+    ea, eb, eu = hll_estimate(ra), hll_estimate(rb), hll_estimate(ru)
+    return pd.DataFrame(
+        {
+            "est_a": [round(ea, 6)],
+            "est_b": [round(eb, 6)],
+            "est_union": [round(eu, 6)],
+            "est_inter": [round(ea + eb - eu, 6)],
+        }
+    )

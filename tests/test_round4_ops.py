@@ -1351,3 +1351,16 @@ def test_scd2_history_intervals(ray_session):
         (3, 99.0, "T1", "9999-12-31"),    # ...new open
         (4, 40.0, "T1", "9999-12-31"),    # added: open at T1
     }
+
+
+def test_hll_set_estimates_accuracy(ray_session):
+    from biocypher_metta_ray.stages.sketch import hll_set_estimates
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": np.arange(0, 800)}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": np.arange(400, 1200)}))
+    est = hll_set_estimates(a, "k", b, "k").iloc[0]
+    # linear-counting regime: ~1-2% error at these cardinalities
+    assert abs(est["est_a"] - 800) / 800 < 0.05
+    assert abs(est["est_b"] - 800) / 800 < 0.05
+    assert abs(est["est_union"] - 1200) / 1200 < 0.05
+    assert abs(est["est_inter"] - 400) / 400 < 0.2  # variance adds
