@@ -4327,6 +4327,60 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_encode_docs(sf_dir: str):
+    """Tokenizer apply (stages/text_stats.py::encode_docs): the corpus
+    encoded against a 20-token vocab (small so OOV -> unk actually
+    fires) — (doc_id, pos, token_id) rows, vocab in the task closure,
+    Arrow dictionary arithmetic per batch, zero shuffle."""
+    from biocypher_metta_ray.stages.text_stats import (
+        build_vocab,
+        encode_docs,
+    )
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, "text", k=20)
+    return encode_docs(ds, vocab, unk_id=-1)
+
+
+def _q_dataset_card(sf_dir: str):
+    """One-row corpus report card in ONE fused streaming pass
+    (composition: heterogeneous per-batch partials — counts, token/
+    char sums, language counts, per-batch distinct sources — summed
+    at batch scale; nothing but partial rows ever leaves a task)."""
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        srcs = pc.unique(t["source"]).to_pylist()
+        return pd.DataFrame(
+            {
+                "n_docs": [len(t)],
+                "n_tokens": [int(pc.sum(toks).as_py())],
+                "n_chars": [int(pc.sum(t["n_chars"]).as_py())],
+                "n_en": [int(pc.sum(
+                    pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+                ).as_py())],
+                "sources": [",".join(sorted(srcs))],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sources = set()
+    for s in parts["sources"]:
+        sources.update(s.split(","))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([parts["n_docs"].sum()], dtype="int64"),
+            "n_tokens": pd.array(
+                [parts["n_tokens"].sum()], dtype="int64"),
+            "n_chars": pd.array([parts["n_chars"].sum()], dtype="int64"),
+            "n_en": pd.array([parts["n_en"].sum()], dtype="int64"),
+            "n_sources": pd.array([len(sources)], dtype="int64"),
+        }
+    )
+
+
 def _q_hll_set_ops(sf_dir: str):
     """HLL set algebra (stages/sketch.py::hll_set_estimates): distinct
     part-key overlap between the low-quantity and high-quantity
@@ -4758,6 +4812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_eval": _q_near_dup_eval,
         "scd2_history": _q_scd2_history,
         "hll_set_ops": _q_hll_set_ops,
+        "encode_docs": _q_encode_docs,
+        "dataset_card": _q_dataset_card,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7461,6 +7517,37 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # vocab = the build_vocab oracle at k=20; OOV -> -1
+        "encode_docs": """
+            WITH c AS (
+                SELECT tok AS token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(lower(text), ' '))
+                          AS tok FROM documents)
+                GROUP BY 1),
+            v AS (SELECT token,
+                         row_number() OVER (ORDER BY cnt DESC, token)
+                             - 1 AS token_id
+                  FROM c ORDER BY cnt DESC, token LIMIT 20),
+            t AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tok,
+                         generate_subscripts(
+                             string_split(lower(text), ' '), 1) - 1
+                             AS pos
+                  FROM documents)
+            SELECT t.doc_id, t.pos,
+                   CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+            FROM t LEFT JOIN v ON t.tok = v.token
+        """,
+        "dataset_card": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
         """,
         # three register tables (A, B, max-merged union) rebuilt
         # bit-for-bit; both sets sit in the linear-counting branch at

@@ -477,3 +477,49 @@ def build_vocab(ds, text_col: str = "text", k: int = 1000):
     top["token_id"] = top.index.astype("int64")
     return top[["token", "token_id", "cnt"]].astype(
         {"token": str, "token_id": "int64", "cnt": "int64"})
+
+
+def encode_docs(
+    ds,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+):
+    """Tokenizer APPLY — the encode step of LM data prep: explode
+    ``lower(text)`` on single spaces into ``(doc_id, pos, token_id)``
+    rows, OOV tokens mapped to ``unk_id``. The k-row vocab (from
+    :func:`build_vocab`) ships once in the task closure; per batch the
+    encoding is pure Arrow dictionary arithmetic (``pc.index_in``
+    against the vocab token array + one fancy-index into the id
+    vector — token strings never enter Python). Streaming, zero
+    shuffle; output is token-stream scale by definition.
+    """
+    import pandas as pd
+
+    tokens = pa.array(list(vocab["token"]), pa.string())
+    ids = np.asarray(vocab["token_id"], dtype=np.int64)
+
+    def enc(t: pa.Table) -> pd.DataFrame:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(col), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        idx = pc.index_in(flat, value_set=tokens)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos_in_vocab = idx.fill_null(0).to_numpy(zero_copy_only=False)
+        tid = np.where(valid, ids[pos_in_vocab], np.int64(unk_id))
+        did = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), lens
+        )
+        first = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(tid.size, dtype=np.int64) - np.repeat(
+            first, lens
+        )
+        return pd.DataFrame(
+            {id_col: did, "pos": pos, "token_id": tid.astype("int64")}
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -1364,3 +1364,15 @@ def test_hll_set_estimates_accuracy(ray_session):
     assert abs(est["est_b"] - 800) / 800 < 0.05
     assert abs(est["est_union"] - 1200) / 1200 < 0.05
     assert abs(est["est_inter"] - 400) / 400 < 0.2  # variance adds
+
+
+def test_encode_docs_oov_and_positions(ray_session):
+    from biocypher_metta_ray.stages.text_stats import encode_docs
+
+    vocab = pd.DataFrame({"token": ["a", "b"], "token_id": [0, 1],
+                          "cnt": [5, 3]})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [7], "text": ["a zzz B a"]}))  # B lowercases to b
+    out = encode_docs(ds, vocab, unk_id=-1).to_pandas().sort_values("pos")
+    assert list(out["token_id"]) == [0, -1, 1, 0]
+    assert list(out["pos"]) == [0, 1, 2, 3]
