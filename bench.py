@@ -175,6 +175,7 @@ def timed_queries() -> dict:
         "inverted_index", "mix_weights", "kg_truss",
         "comention_pmi", "rrf_fusion", "char_entropy",
         "clean_corpus", "dedup_incremental",
+        "skipgram_pairs", "scd2_history", "knn_graph",
     ]
     # related_docs is NOT timed here: the sf0.1 gazetteer postings are
     # ~2k docs per entity with NO stop-entity above the query's cap,
