@@ -4327,6 +4327,23 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_dedup_best(sf_dir: str):
+    """Quality-aware near-dedup (stages/dedup.py::dedup_corpus_best):
+    per duplicate cluster keep the LONGEST member (n_chars, ties by
+    min doc_id) instead of dedup_corpus's quality-blind min-id rule —
+    cluster labels join scores through one doc-keyed co-location,
+    winners via the distributed per-group top-1, losers anti-joined
+    off the corpus stream."""
+    from biocypher_metta_ray.stages.dedup import dedup_corpus_best
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    out = dedup_corpus_best(ds, score_col="n_chars", threshold=0.8)
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_chars"]].astype("int64"),
+        batch_format="pandas",
+    )
+
+
 def _q_encode_docs(sf_dir: str):
     """Tokenizer apply (stages/text_stats.py::encode_docs): the corpus
     encoded against a 20-token vocab (small so OOV -> unk actually
@@ -4814,6 +4831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_set_ops": _q_hll_set_ops,
         "encode_docs": _q_encode_docs,
         "dataset_card": _q_dataset_card,
+        "dedup_best": _q_dedup_best,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7517,6 +7535,31 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # the near_dup_groups component CTE + a per-component argmax
+        # (n_chars DESC, doc_id) — winners stay, other members drop
+        "dedup_best": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w
+                JOIN edges e ON e.u = w.node),
+            grp AS (SELECT node AS doc_id, min(comp) AS comp
+                    FROM walk GROUP BY node),
+            ranked AS (SELECT g.doc_id,
+                              row_number() OVER (
+                                  PARTITION BY g.comp
+                                  ORDER BY d.n_chars DESC, g.doc_id)
+                                  AS r
+                       FROM grp g JOIN documents d USING (doc_id)),
+            losers AS (SELECT doc_id FROM ranked WHERE r > 1)
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         # vocab = the build_vocab oracle at k=20; OOV -> -1
         "encode_docs": """

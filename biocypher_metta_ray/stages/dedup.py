@@ -931,3 +931,84 @@ def incremental_neardup(
     )
     return anti_join(delta, dropped, on=id_col,
                      num_partitions=num_partitions)
+
+
+def dedup_corpus_best(
+    docs: ray.data.Dataset,
+    score_col: str,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    num_bands: int = 16,
+    n_shingle: int = 3,
+    max_clique_bucket: int | None = 256,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Quality-aware near-dedup: per duplicate cluster keep the member
+    with the HIGHEST ``score_col`` (ties by min doc_id) — what a
+    production cleaning pipeline actually wants (the min-id rule of
+    :func:`dedup_corpus` is parallel-deterministic but quality-blind:
+    it can keep the truncated copy and drop the full one).
+
+    Scale shape: near_dup_groups elects clusters (LSH + star-capped
+    CC); cluster labels join their scores through ONE doc-keyed
+    tagged-union co-location (dup-scale side x corpus scores, payload
+    = one score column); winners come from the distributed per-group
+    top-1 (``relational.top_k_per_group``); losers anti-join the
+    corpus stream. Nothing routes through the driver.
+    """
+    from .relational import top_k_per_group
+    from .joins import anti_join
+    from .skew import partitioned_group_map
+
+    groups = near_dup_groups(
+        docs, threshold=threshold, num_perms=num_perms,
+        num_bands=num_bands, n_shingle=n_shingle,
+        max_clique_bucket=max_clique_bucket,
+    )
+
+    def tag_g(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__side="G")
+
+    def tag_s(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", score_col]].assign(__side="S")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g[g["__side"] == "G"].reindex(
+            columns=["doc_id", "group_id"])
+        ss = g[g["__side"] == "S"].reindex(columns=["doc_id", score_col])
+        m = gg.merge(ss, on="doc_id")
+        m["doc_id"] = m["doc_id"].astype("int64")
+        m["group_id"] = m["group_id"].astype("int64")
+        return m
+
+    scored = partitioned_group_map(
+        groups.map_batches(tag_g, batch_format="pandas").union(
+            docs.map_batches(tag_s, batch_format="pandas")
+        ),
+        ["doc_id"], attach, num_partitions,
+    )
+    winners = top_k_per_group(
+        scored, ["group_id"], by=score_col, k=1, tiebreak=["doc_id"],
+        num_partitions=num_partitions,
+    )
+
+    def tag_m(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id"]].assign(__side="M")
+
+    def tag_w(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id"]].assign(__side="W")
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["__side"] == "M"][["doc_id"]]
+        w = set(g.loc[g["__side"] == "W", "doc_id"])
+        out = m[~m["doc_id"].isin(w)].drop_duplicates()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    loser_ids = partitioned_group_map(
+        scored.map_batches(tag_m, batch_format="pandas").union(
+            winners.map_batches(tag_w, batch_format="pandas")
+        ),
+        ["doc_id"], losers, num_partitions,
+    )
+    return anti_join(docs, loser_ids, on="doc_id")

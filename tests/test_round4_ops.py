@@ -1376,3 +1376,24 @@ def test_encode_docs_oov_and_positions(ray_session):
     out = encode_docs(ds, vocab, unk_id=-1).to_pandas().sort_values("pos")
     assert list(out["token_id"]) == [0, -1, 1, 0]
     assert list(out["pos"]) == [0, 1, 2, 3]
+
+
+def test_dedup_corpus_best_keeps_longest(ray_session):
+    from biocypher_metta_ray.stages.dedup import dedup_corpus_best
+
+    base = "the quick brown fox jumps over the lazy dog near a river "
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            base * 4,                    # cluster member, shorter
+            base * 4 + "extra",          # LONGEST -> winner
+            "a completely different unrelated document entirely",
+            base * 4,                    # exact copy of 1
+        ],
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    out = dedup_corpus_best(
+        ray.data.from_pandas(docs), score_col="n_chars"
+    ).to_pandas()
+    # min-id rule would keep 1; the quality rule keeps 2 (longest)
+    assert sorted(out["doc_id"]) == [2, 3]
