@@ -1815,6 +1815,15 @@ def k_truss(
     ).materialize()
     prev_n = cur.count()
     if prev_n == 0:
+        # nothing survives canonicalization (e.g. self-loops only):
+        # type the empty (u, v) frame from the INPUT edge columns so
+        # downstream selects see the contract columns
+        head = edges.select_columns([src, dst]).limit(1).to_pandas()
+        if len(head):
+            return ray.data.from_pandas(
+                pd.DataFrame({"u": head[src].iloc[:0],
+                              "v": head[dst].iloc[:0]})
+            )
         return cur
     # dtype-faithful empty edge frame for the full-peel exits: an
     # all-empty round otherwise surfaces as schema-less blocks

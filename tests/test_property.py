@@ -138,3 +138,47 @@ def test_ntile_sizes_differ_by_at_most_one(ray_session, n, tiles):
     mn = got.groupby("tile")["v"].min()
     for t in range(1, len(mx)):
         assert mx.iloc[t - 1] <= mn.iloc[t]
+
+
+def _brute_truss(edges: set, k: int) -> set:
+    """Reference k-truss: iterate support-filtering to a fixpoint."""
+    cur = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    while True:
+        adj = {}
+        for u, v in cur:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        nxt = {
+            (u, v) for u, v in cur
+            if len(adj[u] & adj[v]) >= k - 2
+        }
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    ),
+    k=st.integers(3, 4),
+)
+def test_k_truss_matches_bruteforce(ray_session, edges, k):
+    """Bounded distributed peeling at a fixpoint-reaching round count
+    equals the reference iterate-to-fixpoint k-truss on ANY small
+    graph (cascades, disconnected pieces, self-loops, duplicates)."""
+    from biocypher_metta_ray.stages.graph import k_truss
+
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+    ds = ray.data.from_pandas(df)
+    # 10-node graphs peel to fixpoint well within 10 rounds
+    res = k_truss(ds, k=k, max_rounds=10)
+    assert set(res.schema().names) == {"u", "v"}  # typed even when empty
+    out = res.to_pandas()
+    # Ray's to_pandas() drops columns on 0-row datasets (schema above
+    # proves the Dataset itself is typed)
+    got = (set() if out.empty else
+           {(int(u), int(v)) for u, v in out[["u", "v"]].to_numpy()})
+    assert got == _brute_truss(set(map(tuple, edges)), k)
