@@ -115,6 +115,29 @@ def grouped_agg(
         nbytes = None
     if nbytes is not None and nbytes < driver_finish_bytes:
         pdf = partials.to_pandas()
+        if len(pdf.columns) == 0:
+            # Ray's to_pandas() drops columns on 0-row datasets even
+            # though the Dataset schema is intact — rebuild the typed
+            # empty from the schema so the groupby below keeps its
+            # key/sum columns (an all-empty input is a valid corpus)
+            sch = partials.schema()
+            cols = {}
+            if sch is not None and getattr(sch, "names", None):
+                for c, t in zip(sch.names, sch.types):
+                    try:
+                        cols[c] = pd.Series(dtype=t)
+                    except (TypeError, ValueError):
+                        cols[c] = pd.Series(
+                            dtype=getattr(t, "to_pandas_dtype",
+                                          lambda: "object")())
+            else:
+                # schema unavailable (all blocks empty): fall back to
+                # this function's own column contract
+                cols = {c: pd.Series(dtype="object") for c in keys}
+                cols.update(
+                    {c: pd.Series(dtype="float64") for c in sums})
+                cols["__n"] = pd.Series(dtype="int64")
+            pdf = pd.DataFrame(cols)
         out = pdf.groupby(keys, sort=False, as_index=False)[
             sums + ["__n"]].sum()
         if count_as is None:

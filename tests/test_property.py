@@ -182,3 +182,75 @@ def test_k_truss_matches_bruteforce(ray_session, edges, k):
     got = (set() if out.empty else
            {(int(u), int(v)) for u, v in out[["u", "v"]].to_numpy()})
     assert got == _brute_truss(set(map(tuple, edges)), k)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=10),
+        min_size=1, max_size=6,
+    ),
+    window=st.integers(1, 3),
+)
+def test_skipgram_pairs_match_bruteforce(ray_session, docs, window):
+    """Window co-occurrence counts equal the brute-force directed
+    multiset for any corpus and window."""
+    from collections import Counter
+
+    from biocypher_metta_ray.stages.lm import skipgram_pairs
+
+    texts = [" ".join(d) for d in docs]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts}))
+    out = skipgram_pairs(ds, window=window).to_pandas()
+    got = Counter() if out.empty else Counter(
+        {(r.w1, r.w2): int(r.n) for r in out.itertuples()})
+    exp = Counter()
+    for d in docs:
+        for i, w in enumerate(d):
+            for dd in range(1, window + 1):
+                if i + dd < len(d):
+                    exp[(w, d[i + dd])] += 1
+                    exp[(d[i + dd], w)] += 1
+    assert got == exp
+
+
+@settings(**SETTINGS)
+@given(
+    old=st.dictionaries(st.integers(0, 8), st.integers(0, 3),
+                        max_size=8),
+    new=st.dictionaries(st.integers(0, 8), st.integers(0, 3),
+                        max_size=8),
+)
+def test_scd2_history_invariants(ray_session, old, new):
+    """For any snapshot pair: every key in new has exactly one open
+    row holding its NEW value; retired keys close at t_new; row count
+    = |new| + |removed| + |changed|."""
+    from biocypher_metta_ray.stages.joins import scd2_history
+
+    if not old and not new:
+        return
+    o = pd.DataFrame({"k": list(old), "v": list(old.values())},
+                     dtype=np.int64)
+    n = pd.DataFrame({"k": list(new), "v": list(new.values())},
+                     dtype=np.int64)
+    out = scd2_history(
+        ray.data.from_pandas(o) if len(o) else ray.data.from_pandas(
+            pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})),
+        ray.data.from_pandas(n) if len(n) else ray.data.from_pandas(
+            pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})),
+        ["k"], ["v"], "T0", "T1").to_pandas()
+    if out.empty:
+        assert not old and not new
+        return
+    open_rows = out[out["valid_to"] == "9999-12-31"]
+    assert dict(zip(open_rows["k"], open_rows["v"])) == new
+    assert len(open_rows) == len(new)
+    removed = set(old) - set(new)
+    changed = {k for k in set(old) & set(new) if old[k] != new[k]}
+    assert len(out) == len(new) + len(removed) + len(changed)
+    closed = out[out["valid_to"] == "T1"]
+    assert set(closed["k"]) == removed | changed
