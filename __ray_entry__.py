@@ -4327,6 +4327,31 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_merge_intervals(sf_dir: str):
+    """bedtools-merge analog over the interval_join region synthesis
+    (stages/joins.py::merge_intervals): per-chromosome maximal
+    overlap islands via one key co-location + the vectorized
+    gaps-and-islands sweep; oracle = the classic running-max window
+    island SQL."""
+    from biocypher_metta_ray.stages.joins import merge_intervals
+
+    regions = _rp(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "chrom": (df["p_partkey"] % 16).astype("int64"),
+                "rstart": ((df["p_partkey"] * 97) % 100_000).astype(
+                    "int64"),
+                "rend": (
+                    (df["p_partkey"] * 97) % 100_000
+                    + df["p_size"].astype("int64") * 3
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return merge_intervals(regions, ["chrom"], "rstart", "rend")
+
+
 def _q_dedup_best(sf_dir: str):
     """Quality-aware near-dedup (stages/dedup.py::dedup_corpus_best):
     per duplicate cluster keep the LONGEST member (n_chars, ties by
@@ -4832,6 +4857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_docs": _q_encode_docs,
         "dataset_card": _q_dataset_card,
         "dedup_best": _q_dedup_best,
+        "merge_intervals": _q_merge_intervals,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7535,6 +7561,33 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY entity_id ORDER BY n DESC, tok) AS r
                 FROM c)
             WHERE r <= 5
+        """,
+        # gaps-and-islands: island breaks where start exceeds the
+        # running max end of all PRECEDING intervals (inclusive
+        # coords: touching at equality merges)
+        "merge_intervals": """
+            WITH r AS (SELECT (p_partkey % 16) AS chrom,
+                              (p_partkey * 97) % 100000 AS s,
+                              (p_partkey * 97) % 100000 + p_size * 3
+                                  AS e
+                       FROM part),
+            o AS (SELECT chrom, s, e,
+                         max(e) OVER (PARTITION BY chrom
+                             ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+                  FROM r),
+            i AS (SELECT chrom, s, e,
+                         sum(CASE WHEN prev_max IS NULL
+                                  OR s > prev_max
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY chrom ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING)
+                             AS island
+                  FROM o)
+            SELECT chrom, min(s) AS istart, max(e) AS iend,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM i GROUP BY chrom, island
         """,
         # the near_dup_groups component CTE + a per-component argmax
         # (n_chars DESC, doc_id) — winners stay, other members drop

@@ -752,3 +752,58 @@ def scd2_history(
         return out
 
     return partitioned_group_map(both, key, body, num_partitions)
+
+
+def merge_intervals(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """bedtools-merge analog: collapse overlapping intervals per key
+    into maximal islands ``(key..., istart, iend, n_merged)`` —
+    inclusive coordinates, so an interval starting AT the running max
+    end merges (``start > running_max`` opens a new island). The
+    region-arithmetic primitive the reference's BED-shaped sources
+    imply (reference anchor: none — its adapters emit regions but
+    never merge them; this is the engine-side completion).
+
+    Scale shape: one key co-location (a key's intervals must be
+    swept together — the same partitioning assumption as the
+    interval join); the body is the vectorized gaps-and-islands sweep
+    (sort by (start, end), running ``np.maximum.accumulate`` of end,
+    island = cumsum of gap breaks), per key within the partition.
+    Output is island-scale.
+    """
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(key_cols, sort=False):
+            grp = grp.sort_values([start_col, end_col],
+                                  kind="mergesort")
+            s = grp[start_col].to_numpy()
+            e = grp[end_col].to_numpy()
+            cummax = np.maximum.accumulate(e)
+            brk = np.ones(len(grp), dtype=bool)
+            brk[1:] = s[1:] > cummax[:-1]
+            island = np.cumsum(brk) - 1
+            grp = grp.assign(__island=island)
+            agg = grp.groupby([*key_cols, "__island"], sort=False).agg(
+                istart=(start_col, "min"),
+                iend=(end_col, "max"),
+                n_merged=(start_col, "size"),
+            ).reset_index().drop(columns="__island")
+            outs.append(agg)
+        if not outs:
+            out = g[key_cols].iloc[:0].copy()
+            out["istart"] = pd.Series([], dtype="int64")
+            out["iend"] = pd.Series([], dtype="int64")
+            out["n_merged"] = pd.Series([], dtype="int64")
+            return out
+        out = pd.concat(outs, ignore_index=True)
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return out
+
+    return partitioned_group_map(ds, key_cols, body, num_partitions)

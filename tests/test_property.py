@@ -254,3 +254,44 @@ def test_scd2_history_invariants(ray_session, old, new):
     assert len(out) == len(new) + len(removed) + len(changed)
     closed = out[out["valid_to"] == "T1"]
     assert set(closed["k"]) == removed | changed
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30),
+                  st.integers(0, 10)),
+        min_size=1, max_size=20,
+    ),
+)
+def test_merge_intervals_matches_bruteforce(ray_session, iv):
+    """Distributed gaps-and-islands equals the brute sweep for any
+    interval set (containments, duplicates, touching endpoints)."""
+    from biocypher_metta_ray.stages.joins import merge_intervals
+
+    df = pd.DataFrame(
+        {"chrom": [c for c, s, l in iv],
+         "rstart": [s for c, s, l in iv],
+         "rend": [s + l for c, s, l in iv]}
+    ).astype(np.int64)
+    out = merge_intervals(
+        ray.data.from_pandas(df), ["chrom"], "rstart", "rend",
+        num_partitions=2,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["chrom", "istart", "iend",
+                                 "n_merged"]].to_numpy()))
+    exp = []
+    for c in sorted(df["chrom"].unique()):
+        rows = sorted(
+            df[df["chrom"] == c][["rstart", "rend"]].to_numpy().tolist()
+        )
+        cur_s, cur_e, n = rows[0][0], rows[0][1], 1
+        for s, e in rows[1:]:
+            if s > cur_e:
+                exp.append((c, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        exp.append((c, cur_s, cur_e, n))
+    assert got == sorted(exp)
