@@ -4352,6 +4352,30 @@ def _q_merge_intervals(sf_dir: str):
     return merge_intervals(regions, ["chrom"], "rstart", "rend")
 
 
+def _q_interval_gaps(sf_dir: str):
+    """bedtools-complement analog over the same region synthesis
+    (stages/joins.py::interval_gaps): the inter-island gaps per
+    chromosome — merge_intervals' sweep plus one island-scale shift
+    co-location."""
+    from biocypher_metta_ray.stages.joins import interval_gaps
+
+    regions = _rp(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "chrom": (df["p_partkey"] % 16).astype("int64"),
+                "rstart": ((df["p_partkey"] * 97) % 100_000).astype(
+                    "int64"),
+                "rend": (
+                    (df["p_partkey"] * 97) % 100_000
+                    + df["p_size"].astype("int64") * 3
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return interval_gaps(regions, ["chrom"], "rstart", "rend")
+
+
 def _q_dedup_best(sf_dir: str):
     """Quality-aware near-dedup (stages/dedup.py::dedup_corpus_best):
     per duplicate cluster keep the LONGEST member (n_chars, ties by
@@ -4858,6 +4882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_card": _q_dataset_card,
         "dedup_best": _q_dedup_best,
         "merge_intervals": _q_merge_intervals,
+        "interval_gaps": _q_interval_gaps,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7588,6 +7613,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # the merge_intervals island query + lead() per chrom
+        "interval_gaps": """
+            WITH r AS (SELECT (p_partkey % 16) AS chrom,
+                              (p_partkey * 97) % 100000 AS s,
+                              (p_partkey * 97) % 100000 + p_size * 3
+                                  AS e
+                       FROM part),
+            o AS (SELECT chrom, s, e,
+                         max(e) OVER (PARTITION BY chrom
+                             ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+                  FROM r),
+            i AS (SELECT chrom, s, e,
+                         sum(CASE WHEN prev_max IS NULL
+                                  OR s > prev_max
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY chrom ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING)
+                             AS island
+                  FROM o),
+            isl AS (SELECT chrom, min(s) AS istart, max(e) AS iend
+                    FROM i GROUP BY chrom, island),
+            nx AS (SELECT chrom, iend,
+                          lead(istart) OVER (PARTITION BY chrom
+                              ORDER BY istart) AS nxt
+                   FROM isl)
+            SELECT chrom, iend + 1 AS gstart, nxt - 1 AS gend
+            FROM nx WHERE nxt IS NOT NULL
         """,
         # the near_dup_groups component CTE + a per-component argmax
         # (n_chars DESC, doc_id) — winners stay, other members drop

@@ -807,3 +807,48 @@ def merge_intervals(
         return out
 
     return partitioned_group_map(ds, key_cols, body, num_partitions)
+
+
+def interval_gaps(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """bedtools-complement (within data extent): the gaps BETWEEN a
+    key's merged islands — ``(key..., gstart, gend)`` with
+    ``gstart = island_end + 1`` and ``gend = next_island_start - 1``
+    (inclusive coords; the unmerged raw intervals are islanded first
+    via :func:`merge_intervals`'s sweep). Island tables are
+    island-scale, so the gap pass is one more small key co-location
+    with a vectorized shift per key.
+    """
+    from .skew import partitioned_group_map
+
+    merged = merge_intervals(ds, key_cols, start_col, end_col,
+                             num_partitions)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(key_cols, sort=False):
+            grp = grp.sort_values("istart", kind="mergesort")
+            if len(grp) < 2:
+                continue
+            head = grp.iloc[:-1]
+            nxt_start = grp["istart"].to_numpy()[1:]
+            out = head[key_cols].copy()
+            out["gstart"] = head["iend"].to_numpy() + 1
+            out["gend"] = nxt_start - 1
+            outs.append(out)
+        if not outs:
+            out = g[key_cols].iloc[:0].copy()
+            out["gstart"] = pd.Series([], dtype="int64")
+            out["gend"] = pd.Series([], dtype="int64")
+            return out
+        out = pd.concat(outs, ignore_index=True)
+        out["gstart"] = out["gstart"].astype("int64")
+        out["gend"] = out["gend"].astype("int64")
+        return out
+
+    return partitioned_group_map(merged, key_cols, body, num_partitions)
