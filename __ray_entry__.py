@@ -4376,6 +4376,29 @@ def _q_interval_gaps(sf_dir: str):
     return interval_gaps(regions, ["chrom"], "rstart", "rend")
 
 
+def _q_coverage_depth(sf_dir: str):
+    """bedtools-genomecov analog over the same region synthesis
+    (stages/joins.py::coverage_depth): bases at each coverage depth
+    per chromosome — boundary-event sweep, one key co-location."""
+    from biocypher_metta_ray.stages.joins import coverage_depth
+
+    regions = _rp(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "chrom": (df["p_partkey"] % 16).astype("int64"),
+                "rstart": ((df["p_partkey"] * 97) % 100_000).astype(
+                    "int64"),
+                "rend": (
+                    (df["p_partkey"] * 97) % 100_000
+                    + df["p_size"].astype("int64") * 3
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return coverage_depth(regions, ["chrom"], "rstart", "rend")
+
+
 def _q_dedup_best(sf_dir: str):
     """Quality-aware near-dedup (stages/dedup.py::dedup_corpus_best):
     per duplicate cluster keep the LONGEST member (n_chars, ties by
@@ -4883,6 +4906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best": _q_dedup_best,
         "merge_intervals": _q_merge_intervals,
         "interval_gaps": _q_interval_gaps,
+        "coverage_depth": _q_coverage_depth,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7613,6 +7637,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # boundary-event sweep: +1 at start, -1 at end+1, running
+        # depth, segment length between consecutive boundaries
+        "coverage_depth": """
+            WITH r AS (SELECT (p_partkey % 16) AS chrom,
+                              (p_partkey * 97) % 100000 AS s,
+                              (p_partkey * 97) % 100000 + p_size * 3
+                                  AS e
+                       FROM part),
+            ev AS (SELECT chrom, s AS pos, 1 AS d FROM r
+                   UNION ALL SELECT chrom, e + 1, -1 FROM r),
+            ag AS (SELECT chrom, pos, sum(d) AS d
+                   FROM ev GROUP BY 1, 2),
+            c AS (SELECT chrom, pos,
+                         sum(d) OVER (PARTITION BY chrom ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS depth,
+                         lead(pos) OVER (PARTITION BY chrom
+                             ORDER BY pos) AS nxt
+                  FROM ag)
+            SELECT chrom, CAST(depth AS BIGINT) AS depth,
+                   CAST(sum(nxt - pos) AS BIGINT) AS bases
+            FROM c WHERE nxt IS NOT NULL AND depth > 0
+            GROUP BY 1, 2
         """,
         # the merge_intervals island query + lead() per chrom
         "interval_gaps": """

@@ -852,3 +852,60 @@ def interval_gaps(
         return out
 
     return partitioned_group_map(merged, key_cols, body, num_partitions)
+
+
+def coverage_depth(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """bedtools-genomecov analog: per key, the total number of base
+    positions covered by exactly ``depth`` intervals (inclusive
+    coords) — ``(key..., depth, bases)`` for every depth > 0.
+
+    Scale shape: one key co-location (all of a key's intervals sweep
+    together), then the classic boundary-event sweep fully vectorized:
+    events ``(start, +1), (end + 1, -1)`` combine per position
+    (np.unique + bincount), running depth is one cumsum, and each
+    inter-boundary segment contributes ``segment_length`` bases at its
+    depth. Output is (key x distinct-depth)-scale.
+    """
+    from .skew import partitioned_group_map
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, grp in g.groupby(key_cols, sort=False):
+            s = grp[start_col].to_numpy()
+            e = grp[end_col].to_numpy() + 1
+            pos = np.concatenate([s, e])
+            delta = np.concatenate(
+                [np.ones(len(s), dtype=np.int64),
+                 -np.ones(len(e), dtype=np.int64)]
+            )
+            upos, inv = np.unique(pos, return_inverse=True)
+            d = np.bincount(inv, weights=delta).astype(np.int64)
+            depth = np.cumsum(d)[:-1]
+            seg = np.diff(upos)
+            keep = depth > 0
+            if not keep.any():
+                continue
+            df = pd.DataFrame({"depth": depth[keep], "bases": seg[keep]})
+            agg = df.groupby("depth", sort=False)["bases"].sum().reset_index()
+            if not isinstance(key, tuple):
+                key = (key,)
+            for c, v in zip(key_cols, key):
+                agg[c] = v
+            outs.append(agg[[*key_cols, "depth", "bases"]])
+        if not outs:
+            out = g[key_cols].iloc[:0].copy()
+            out["depth"] = pd.Series([], dtype="int64")
+            out["bases"] = pd.Series([], dtype="int64")
+            return out
+        out = pd.concat(outs, ignore_index=True)
+        out["depth"] = out["depth"].astype("int64")
+        out["bases"] = out["bases"].astype("int64")
+        return out
+
+    return partitioned_group_map(ds, key_cols, body, num_partitions)

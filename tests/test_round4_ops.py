@@ -1397,3 +1397,18 @@ def test_dedup_corpus_best_keeps_longest(ray_session):
     ).to_pandas()
     # min-id rule would keep 1; the quality rule keeps 2 (longest)
     assert sorted(out["doc_id"]) == [2, 3]
+
+
+def test_coverage_depth_hand_check(ray_session):
+    from biocypher_metta_ray.stages.joins import coverage_depth
+
+    # [0,4] and [2,6]: depth1 on 0-1 and 5-6 (4 bases), depth2 on 2-4
+    df = pd.DataFrame({"chrom": [0, 0], "rstart": [0, 2],
+                       "rend": [4, 6]}).astype(np.int64)
+    out = coverage_depth(
+        ray.data.from_pandas(df), ["chrom"], "rstart", "rend"
+    ).to_pandas()
+    got = {int(r.depth): int(r.bases) for r in out.itertuples()}
+    assert got == {1: 4, 2: 3}
+    # invariant: sum(depth * bases) == total covered interval mass
+    assert sum(d * b for d, b in got.items()) == (5 + 5)
