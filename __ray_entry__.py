@@ -4327,6 +4327,22 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_suppress_rare(sf_dir: str):
+    """k-anonymity-style rare-category suppression on the events user
+    column (stages/relational.py::suppress_rare): users with fewer
+    than 67 events become 'OTHER' (the threshold splits sf0.01's 150
+    users 75/75, so both branches are data-exercised); the broadcast
+    side is the pigeonhole-bounded KEEP set, never the rare set."""
+    from biocypher_metta_ray.stages.relational import suppress_rare
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+    out = suppress_rare(ds, "user_id", min_count=67, out_col="user_anon")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_anon"]],
+        batch_format="pandas",
+    )
+
+
 def _q_merge_intervals(sf_dir: str):
     """bedtools-merge analog over the interval_join region synthesis
     (stages/joins.py::merge_intervals): per-chromosome maximal
@@ -4907,6 +4923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": _q_merge_intervals,
         "interval_gaps": _q_interval_gaps,
         "coverage_depth": _q_coverage_depth,
+        "suppress_rare": _q_suppress_rare,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7637,6 +7654,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        "suppress_rare": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events
+                       GROUP BY 1)
+            SELECT e.event_id,
+                   CASE WHEN c.n >= 67
+                        THEN CAST(e.user_id AS VARCHAR)
+                        ELSE 'OTHER' END AS user_anon
+            FROM events e JOIN c USING (user_id)
         """,
         # boundary-event sweep: +1 at start, -1 at end+1, running
         # depth, segment length between consecutive boundaries

@@ -1482,3 +1482,44 @@ def mixture_weights(
     df[out_col] = np.round(p / p.sum(), 6)
     df[size_col] = df[size_col].astype("int64")
     return df
+
+
+def suppress_rare(
+    ds: ray.data.Dataset,
+    col: str,
+    min_count: int,
+    other: str = "OTHER",
+    out_col: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """k-anonymity-style rare-category suppression: values of ``col``
+    occurring fewer than ``min_count`` times are replaced with the
+    ``other`` sentinel (the privacy/data-prep pass run before sharing
+    categorical columns — a rare value is an identifier).
+
+    Scale shape: the count pass is grouped_agg's map-side-combined
+    sum (value-cardinality rows shuffle, never the fact stream); the
+    broadcast side is the KEEP set, which by pigeonhole holds at most
+    ``N / min_count`` values — bounded however adversarial the column
+    (broadcasting the RARE set would be unbounded: an all-unique
+    column has N of them). One streaming map rewrites the column;
+    output value is the string rendering (sentinel included).
+    """
+    out_col = out_col or f"{col}_anon"
+    counts = grouped_agg(
+        ds.select_columns([col]), [col], count_as="__n",
+        shuffle_partitions=num_partitions,
+    )
+    keep_df = counts.map_batches(
+        lambda df: df.loc[df["__n"] >= min_count, [col]],
+        batch_format="pandas",
+    ).to_pandas()  # <= N / min_count rows by pigeonhole
+    keep = set(keep_df[col])
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        s = df[col].astype(str)
+        out[out_col] = np.where(df[col].isin(keep), s, other)
+        return out
+
+    return ds.map_batches(rewrite, batch_format="pandas")
