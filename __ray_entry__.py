@@ -4327,6 +4327,62 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_nearest_join(sf_dir: str):
+    """Nearest-event temporal alignment (asof_join
+    direction='nearest'): each purchase matched to the user's click
+    with minimal |ts delta| — the sensor-alignment variant of the
+    backward as-of; no equidistant ties exist in the synthetic stream
+    (verified), so the backward-preference tie rule never fires."""
+    from biocypher_metta_ray.stages.joins import asof_join
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "purchase",
+                          ["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    clicks = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "click", ["user_id", "ts"]]
+        .rename(columns={"ts": "click_ts"})
+        .assign(ts=lambda d: d["click_ts"]),
+        batch_format="pandas",
+    )
+    joined = asof_join(purchases, clicks, by="user_id", on="ts",
+                       direction="nearest")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["nearest_click"] = df["click_ts"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        df["nearest_click"] = df["nearest_click"].where(
+            df["click_ts"].notna(), "never")
+        out = df[["event_id", "user_id", "nearest_click"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["nearest_click"] = out["nearest_click"].astype(str)
+        return out
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
+def _q_fd_check(sf_dir: str):
+    """Functional-dependency profiling (data-quality audit): part keys
+    mapping to MORE than one supplier in lineitem — exact distinct
+    count per key (one distinct co-location + map-side-combined
+    count), violations only."""
+    from biocypher_metta_ray.stages.relational import distinct, grouped_agg
+
+    li = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    d = distinct(li, ["l_partkey", "l_suppkey"])
+    counts = grouped_agg(d, ["l_partkey"], count_as="n_supp")
+    return counts.map_batches(
+        lambda df: df.loc[df["n_supp"] > 1].astype(
+            {"l_partkey": "int64", "n_supp": "int64"}),
+        batch_format="pandas",
+    )
+
+
 def _q_suppress_rare(sf_dir: str):
     """k-anonymity-style rare-category suppression on the events user
     column (stages/relational.py::suppress_rare): users with fewer
@@ -4924,6 +4980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_gaps": _q_interval_gaps,
         "coverage_depth": _q_coverage_depth,
         "suppress_rare": _q_suppress_rare,
+        "nearest_join": _q_nearest_join,
+        "fd_check": _q_fd_check,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7654,6 +7712,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # minimal |delta| per purchase; backward preferred on the
+        # (nonexistent here) equidistant tie — matches merge_asof
+        "nearest_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts FROM events
+                  WHERE event_type = 'click'),
+            d AS (SELECT p.event_id, p.user_id, c.cts,
+                         row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY abs(epoch_us(p.ts)
+                                          - epoch_us(c.cts)),
+                                      CASE WHEN c.cts <= p.ts
+                                           THEN 0 ELSE 1 END) AS rn
+                  FROM p LEFT JOIN c USING (user_id))
+            SELECT event_id, user_id,
+                   coalesce(strftime(cts, '%Y-%m-%d %H:%M:%S.%f'),
+                            'never') AS nearest_click
+            FROM d WHERE rn = 1 OR cts IS NULL
+        """,
+        "fd_check": """
+            SELECT l_partkey,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) > 1
         """,
         "suppress_rare": """
             WITH c AS (SELECT user_id, count(*) AS n FROM events

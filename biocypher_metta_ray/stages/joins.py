@@ -490,10 +490,15 @@ def asof_join(
     on: str,
     num_partitions: int = 16,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward as-of join: for each left row, the latest right row of
-    the same ``by`` key with ``right[on] <= left[on]``.
-    """
+    """As-of join: for each left row, ONE right row of the same
+    ``by`` key — ``backward`` (default): the latest with
+    ``right[on] <= left[on]``; ``forward``: the earliest with
+    ``right[on] >= left[on]``; ``nearest``: minimal ``|right[on] -
+    left[on]|`` (the sensor-alignment variant; equidistant ties take
+    the backward candidate, pandas' merge_asof rule — state it when
+    the oracle must replay it)."""
     lcols = left.schema().names
     rcols = right.schema().names
 
@@ -521,7 +526,7 @@ def asof_join(
         # correct dtypes (merge_asof over the empty frames) so every
         # block unifies to one Arrow schema downstream
         return pd.merge_asof(
-            l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
+            l, r, on=on, by=by, direction=direction, suffixes=("", suffix)
         )
 
     return partitioned_group_map(both, [by], merge, num_partitions)
