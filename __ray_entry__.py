@@ -4327,6 +4327,111 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_bursty_terms(sf_dir: str):
+    """Temporal burst detection: per (crawl hour, token), the
+    PMI-shaped burst score ln(n_ht * T / (n_t * n_h)) over the
+    synthesis-rule timestamps — tokens whose hourly rate spikes above
+    their corpus rate (composition: three grouped_agg count passes,
+    all vocab/hour-bounded, one broadcast score pass; the token
+    stream never co-locates)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hour = (np.repeat(ids, lens) * 137) // 3600
+        return pd.DataFrame(
+            {"hour": hour.astype("int64"),
+             "tok": toks.flatten().to_pandas()}
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    ht = grouped_agg(pairs, ["hour", "tok"], count_as="n_ht")
+    tt = grouped_agg(pairs.select_columns(["tok"]), ["tok"],
+                     count_as="n_t").to_pandas()
+    hh = grouped_agg(pairs.select_columns(["hour"]), ["hour"],
+                     count_as="n_h").to_pandas()
+    total = float(tt["n_t"].sum())
+    t_map = dict(zip(tt["tok"], tt["n_t"].astype("int64")))
+    h_map = dict(zip(hh["hour"].astype("int64"),
+                     hh["n_h"].astype("int64")))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["tok"].map(t_map).astype("float64").to_numpy()
+        nh = df["hour"].astype("int64").map(h_map).astype(
+            "float64").to_numpy()
+        out = df.copy()
+        out["burst"] = np.round(
+            np.log((df["n_ht"].to_numpy().astype("float64") * total)
+                   / (nt * nh)),
+            6,
+        )
+        out["n_ht"] = out["n_ht"].astype("int64")
+        out["hour"] = out["hour"].astype("int64")
+        return out[out["n_ht"] >= 5]
+
+    return ht.map_batches(score, batch_format="pandas")
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the canonical KG: the fraction of
+    directed (subj, obj) pairs whose reverse pair also exists — the
+    one-scalar topology fingerprint beside assortativity (one
+    unordered-pair co-location over the dimension-bounded distinct
+    edge table)."""
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
+
+    edges = _q_kg_canonical_triples(sf_dir).map_batches(
+        lambda df: df.loc[df["subj"] != df["obj"],
+                          ["subj", "obj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def pair_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        u = np.minimum(g["subj"], g["obj"])
+        v = np.maximum(g["subj"], g["obj"])
+        n = (
+            pd.DataFrame({"u": u, "v": v})
+            .groupby(["u", "v"], sort=False).size()
+        )
+        return pd.DataFrame(
+            {"n_directed": pd.array([int(n.sum())], dtype="int64"),
+             "n_recip": pd.array([int((n == 2).sum() * 2)],
+                                 dtype="int64")}
+        )
+
+    parts = partitioned_group_map(
+        edges.map_batches(
+            lambda df: df.assign(
+                __u=np.minimum(df["subj"], df["obj"]),
+                __v=np.maximum(df["subj"], df["obj"]),
+            ),
+            batch_format="pandas",
+        ).map_batches(
+            lambda df: df[["subj", "obj", "__u", "__v"]],
+            batch_format="pandas",
+        ),
+        ["__u", "__v"],
+        lambda g: pair_stats(g[["subj", "obj"]]),
+        8,
+    ).to_pandas()  # one 2-int row per partition
+    nd = int(parts["n_directed"].sum())
+    nr = int(parts["n_recip"].sum())
+    return pd.DataFrame(
+        {
+            "n_directed": pd.array([nd], dtype="int64"),
+            "n_reciprocal": pd.array([nr], dtype="int64"),
+            "reciprocity": [round(nr / nd, 6)],
+        }
+    )
+
+
 def _q_nearest_join(sf_dir: str):
     """Nearest-event temporal alignment (asof_join
     direction='nearest'): each purchase matched to the user's click
@@ -4982,6 +5087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppress_rare": _q_suppress_rare,
         "nearest_join": _q_nearest_join,
         "fd_check": _q_fd_check,
+        "bursty_terms": _q_bursty_terms,
+        "kg_reciprocity": _q_kg_reciprocity,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7712,6 +7819,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # hour = doc_id * 137 s // 3600 (the corpus synthesis rule);
+        # burst = ln(n_ht * T / (n_t * n_h)), integer-exact doubles
+        "bursty_terms": """
+            WITH t AS (SELECT (doc_id * 137) // 3600 AS hour,
+                              unnest(string_split(lower(text), ' '))
+                                  AS tok
+                       FROM documents),
+            ht AS (SELECT hour, tok, count(*) AS n_ht
+                   FROM t GROUP BY 1, 2),
+            tt AS (SELECT tok, count(*) AS n_t FROM t GROUP BY 1),
+            hh AS (SELECT hour, count(*) AS n_h FROM t GROUP BY 1),
+            tot AS (SELECT count(*) AS total FROM t)
+            SELECT ht.hour, ht.tok, CAST(ht.n_ht AS BIGINT) AS n_ht,
+                   round(ln((ht.n_ht * total)::DOUBLE
+                            / (tt.n_t * hh.n_h)), 6) AS burst
+            FROM ht JOIN tt USING (tok) JOIN hh USING (hour)
+            CROSS JOIN tot
+            WHERE ht.n_ht >= 5
+        """,
+        "kg_reciprocity": f"""
+            WITH t AS ({p['triples']}),
+            ed AS (SELECT DISTINCT gaz.entity_id AS subj,
+                          g2.entity_id AS obj
+                   FROM t
+                   JOIN {p['gaz']} ON t.subj_surface = gaz.surface
+                   JOIN {p['gaz2']} ON t.obj_surface = g2.surface
+                   WHERE gaz.entity_id <> g2.entity_id),
+            r AS (SELECT count(*) AS nd,
+                         sum(CASE WHEN EXISTS (
+                             SELECT 1 FROM ed b
+                             WHERE b.subj = ed.obj
+                               AND b.obj = ed.subj)
+                             THEN 1 ELSE 0 END) AS nr
+                  FROM ed)
+            SELECT CAST(nd AS BIGINT) AS n_directed,
+                   CAST(nr AS BIGINT) AS n_reciprocal,
+                   round(nr::DOUBLE / nd, 6) AS reciprocity
+            FROM r
         """,
         # minimal |delta| per purchase; backward preferred on the
         # (nonexistent here) equidistant tie — matches merge_asof
