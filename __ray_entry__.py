@@ -4327,6 +4327,28 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_langid_eval(sf_dir: str):
+    """Language-ID confusion matrix: the stopword-heuristic
+    predictions crossed against the corpus's gold lang labels —
+    (gold, pred, n) counts via one streaming pass + the
+    map-side-combined grouped count (the eval-harness member for the
+    classifier family, beside near_dup_eval's detector scoring)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.text_stats import lang_id_batch
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pred(t: pa.Table) -> pd.DataFrame:
+        p = lang_id_batch(t)
+        return pd.DataFrame(
+            {"gold": t["lang"].to_pandas(),
+             "pred": p["pred_lang"].to_pandas()}
+        )
+
+    pairs = ds.map_batches(pred, batch_format="pyarrow")
+    return grouped_agg(pairs, ["gold", "pred"], count_as="n")
+
+
 def _q_bursty_terms(sf_dir: str):
     """Temporal burst detection: per (crawl hour, token), the
     PMI-shaped burst score ln(n_ht * T / (n_t * n_h)) over the
@@ -5089,6 +5111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check": _q_fd_check,
         "bursty_terms": _q_bursty_terms,
         "kg_reciprocity": _q_kg_reciprocity,
+        "langid_eval": _q_langid_eval,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7819,6 +7842,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # the lang_id CASE crossed with the gold column
+        "langid_eval": """
+            WITH p AS (SELECT lang AS gold,
+                   CASE WHEN de_c = 0 AND en_c = 0 AND fr_c = 0
+                            THEN 'und'
+                        WHEN de_c >= en_c AND de_c >= fr_c THEN 'de'
+                        WHEN en_c >= fr_c THEN 'en'
+                        ELSE 'fr' END AS pred
+                FROM (
+                    SELECT lang,
+                        len(list_filter(string_split(text, ' '),
+                            x -> x IN ('der','die','und','das','ein')))
+                            AS de_c,
+                        len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','and','of','to')))
+                            AS en_c,
+                        len(list_filter(string_split(text, ' '),
+                            x -> x IN ('le','la','et','les','des')))
+                            AS fr_c
+                    FROM documents))
+            SELECT gold, pred, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
         """,
         # hour = doc_id * 137 s // 3600 (the corpus synthesis rule);
         # burst = ln(n_ht * T / (n_t * n_h)), integer-exact doubles
