@@ -4327,6 +4327,63 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_cleaning_funnel(sf_dir: str):
+    """Pipeline observability: stage-wise survivor counts of the
+    clean_corpus chain — input -> language gate -> quality gate ->
+    exact dedup — in ONE fused streaming pass for the gate counts
+    (per-batch sums of the same masks the chain applies) plus the
+    dedup survivor count from the chain's own output; the ops
+    dashboard row behind every production cleaning run."""
+    from biocypher_metta_ray.stages.cleaning import (
+        clean_corpus,
+        normalize_text_batch,
+    )
+    from biocypher_metta_ray.stages.text_stats import STOPWORDS
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    langs = sorted(STOPWORDS)
+    lang_j = langs.index("en")
+
+    def gate_counts(t: pa.Table) -> pd.DataFrame:
+        t = normalize_text_batch(t, "text")
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        counts = np.zeros((len(t), len(langs)), dtype=np.int64)
+        for j, lg in enumerate(langs):
+            m = pc.is_in(
+                flat, value_set=pa.array(list(STOPWORDS[lg]))
+            ).to_numpy(zero_copy_only=False)
+            counts[:, j] = np.bincount(didx[m], minlength=len(t))
+        lang_ok = (counts.argmax(axis=1) == lang_j) & (
+            counts.max(axis=1) > 0)
+        nt = lens.astype(np.int64)
+        qual_ok = lang_ok & (nt >= 20) & (
+            counts[:, lang_j] * 100 >= 5 * nt)
+        return pd.DataFrame(
+            {"n_input": [len(t)],
+             "n_lang": [int(lang_ok.sum())],
+             "n_quality": [int(qual_ok.sum())]}
+        )
+
+    parts = ds.map_batches(gate_counts, batch_format="pyarrow").to_pandas()
+    n_dedup = clean_corpus(ds, lang="en", min_tokens=20,
+                           stopword_pct=5).count()
+    return pd.DataFrame(
+        {
+            "n_input": pd.array([parts["n_input"].sum()], dtype="int64"),
+            "n_lang_pass": pd.array([parts["n_lang"].sum()],
+                                    dtype="int64"),
+            "n_quality_pass": pd.array([parts["n_quality"].sum()],
+                                       dtype="int64"),
+            "n_distinct": pd.array([n_dedup], dtype="int64"),
+        }
+    )
+
+
 def _q_langid_eval(sf_dir: str):
     """Language-ID confusion matrix: the stopword-heuristic
     predictions crossed against the corpus's gold lang labels —
@@ -5112,6 +5169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bursty_terms": _q_bursty_terms,
         "kg_reciprocity": _q_kg_reciprocity,
         "langid_eval": _q_langid_eval,
+        "cleaning_funnel": _q_cleaning_funnel,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7842,6 +7900,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # the clean_corpus gate chain restated as staged counts
+        "cleaning_funnel": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text),
+                                   '\\s+', ' ', 'g')) AS text
+                       FROM documents),
+            s AS (SELECT doc_id, text,
+                         len(string_split(text, ' ')) AS n_tokens,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('der','die','und','das','ein')))
+                             AS de_c,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','and','of','to')))
+                             AS en_c,
+                         len(list_filter(string_split(text, ' '),
+                             x -> x IN ('le','la','et','les','des')))
+                             AS fr_c
+                  FROM n),
+            f AS (SELECT text,
+                         (CASE WHEN de_c = 0 AND en_c = 0 AND fr_c = 0
+                                   THEN 'und'
+                               WHEN de_c >= en_c AND de_c >= fr_c
+                                   THEN 'de'
+                               WHEN en_c >= fr_c THEN 'en'
+                               ELSE 'fr' END) = 'en' AS lang_ok,
+                         n_tokens, en_c
+                  FROM s),
+            g AS (SELECT text, lang_ok,
+                         lang_ok AND n_tokens >= 20
+                             AND en_c * 100 >= 5 * n_tokens AS q_ok
+                  FROM f)
+            SELECT CAST(count(*) AS BIGINT) AS n_input,
+                   CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lang_pass,
+                   CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality_pass,
+                   CAST(count(DISTINCT CASE WHEN q_ok THEN text END)
+                        AS BIGINT) AS n_distinct
+            FROM g
         """,
         # the lang_id CASE crossed with the gold column
         "langid_eval": """
