@@ -4327,6 +4327,42 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate pressure: docs vs distinct texts and the
+    dup ratio — 'which crawl source is boilerplate-heavy', the report
+    that steers per-source cleaning budgets (distinct over (source,
+    content-hash+text) through one bounded co-location, then two
+    dimension-scale counts)."""
+    from biocypher_metta_ray.stages.dedup import add_content_hash
+    from biocypher_metta_ray.stages.relational import grouped_agg
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    totals = grouped_agg(ds.select_columns(["source"]), ["source"],
+                         count_as="n_docs").to_pandas()
+
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t.select(["source", "text"])),
+        batch_format="pyarrow",
+    )
+    dist = partitioned_group_map(
+        hashed, ["content_hash"],
+        lambda g: g.drop_duplicates(subset=["source", "text"])[
+            ["source"]],
+        16,
+    )
+    distinct_counts = grouped_agg(dist, ["source"],
+                                  count_as="n_distinct").to_pandas()
+    out = totals.merge(distinct_counts, on="source")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["dup_ratio"] = (
+        1.0 - out["n_distinct"].astype("float64")
+        / out["n_docs"].astype("float64")
+    ).round(6)
+    return out
+
+
 def _q_cleaning_funnel(sf_dir: str):
     """Pipeline observability: stage-wise survivor counts of the
     clean_corpus chain — input -> language gate -> quality gate ->
@@ -5170,6 +5206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "langid_eval": _q_langid_eval,
         "cleaning_funnel": _q_cleaning_funnel,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7900,6 +7937,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        "dup_rate_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+                   round(1.0 - count(DISTINCT text)::DOUBLE
+                         / count(*), 6) AS dup_ratio
+            FROM documents GROUP BY source
         """,
         # the clean_corpus gate chain restated as staged counts
         "cleaning_funnel": """
