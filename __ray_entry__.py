@@ -4327,6 +4327,21 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe 25% train split (stages/dedup.py::
+    leakage_safe_split): whole near-dup clusters land on one side —
+    the eval-integrity splitter (a row split would put one copy of a
+    duplicated doc in train and another in test)."""
+    from biocypher_metta_ray.stages.dedup import leakage_safe_split
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    train, _hold = leakage_safe_split(ds, fraction=0.25)
+    return train.map_batches(
+        lambda df: df[["doc_id", "n_chars", "gid"]].astype("int64"),
+        batch_format="pandas",
+    )
+
+
 def _q_dup_rate_by_source(sf_dir: str):
     """Per-source duplicate pressure: docs vs distinct texts and the
     dup ratio — 'which crawl source is boilerplate-heavy', the report
@@ -5207,6 +5222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_eval": _q_langid_eval,
         "cleaning_funnel": _q_cleaning_funnel,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "leakage_safe_split": _q_leakage_safe_split,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7937,6 +7953,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # near_dup_groups components -> group key (self for
+        # singletons) -> the hash_split md5-bucket rule on the GROUP
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.comp FROM walk w
+                JOIN edges e ON e.u = w.node),
+            grp AS (SELECT node AS doc_id, min(comp) AS comp
+                    FROM walk GROUP BY node),
+            gk AS (SELECT d.doc_id, d.n_chars,
+                          CAST(coalesce(g.comp, d.doc_id) AS BIGINT)
+                              AS gid
+                   FROM documents d LEFT JOIN grp g USING (doc_id)),
+            h AS (SELECT doc_id, n_chars, gid,
+                   list_sum(list_transform(range(8), i ->
+                       (strpos('0123456789abcdef',
+                            substr(md5('split:'
+                                || CAST(gid AS VARCHAR)),
+                                CAST(i + 1 AS INT), 1))
+                        - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS hi,
+                   list_sum(list_transform(range(8), i ->
+                       (strpos('0123456789abcdef',
+                            substr(md5('split:'
+                                || CAST(gid AS VARCHAR)),
+                                CAST(i + 9 AS INT), 1))
+                        - 1)::BIGINT << (4 * (7 - i))))::BIGINT AS lo
+                   FROM gk)
+            SELECT doc_id, n_chars, gid FROM h
+            WHERE ((hi % 10000) * 7296 + (lo % 10000)) % 10000 < 2500
         """,
         "dup_rate_by_source": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1012,3 +1012,55 @@ def dedup_corpus_best(
         ["doc_id"], losers, num_partitions,
     )
     return anti_join(docs, loser_ids, on="doc_id")
+
+
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    fraction: float,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    num_partitions: int = 16,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """GROUP-aware train/holdout split: every member of a near-dup
+    cluster lands on the SAME side — the leakage-safe splitter (a
+    plain row split puts one copy of a duplicated document in train
+    and another in test, silently inflating eval; same integrity
+    motivation as decontamination, applied to the split itself).
+
+    Scale shape: near_dup_groups elects clusters; the cluster label
+    joins back through ONE doc-keyed tagged-union co-location
+    (singletons fall back to their own id as group key); the split is
+    the deterministic hash_split rule on the GROUP key — stable across
+    runs, partitionings and cluster sizes. Returns (train, holdout)
+    with the group key attached as ``gid``.
+    """
+    from .skew import partitioned_group_map
+    from .relational import hash_split
+
+    groups = near_dup_groups(docs, threshold=threshold)
+
+    def tag_g(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__side="G")
+
+    def tag_d(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__side="D")
+
+    dcols = [c for c in docs.schema().names]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g[g["__side"] == "G"].reindex(columns=[id_col, "group_id"])
+        dd = g[g["__side"] == "D"].reindex(columns=dcols)
+        m = dd.merge(gg, on=id_col, how="left")
+        m["gid"] = (
+            m["group_id"].fillna(m[id_col]).astype("int64")
+        )
+        return m.drop(columns=["group_id"])
+
+    with_gid = partitioned_group_map(
+        groups.map_batches(tag_g, batch_format="pandas").union(
+            docs.map_batches(tag_d, batch_format="pandas")
+        ),
+        [id_col], attach, num_partitions,
+    )
+    return hash_split(with_gid, "gid", fraction, salt=salt)

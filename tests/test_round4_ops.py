@@ -1412,3 +1412,34 @@ def test_coverage_depth_hand_check(ray_session):
     assert got == {1: 4, 2: 3}
     # invariant: sum(depth * bases) == total covered interval mass
     assert sum(d * b for d, b in got.items()) == (5 + 5)
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    from biocypher_metta_ray.stages.dedup import leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog by a river "
+    rows = []
+    # 10 clusters of 3 near-identical docs each + 10 singletons
+    for c in range(10):
+        t = base.replace("fox", f"fox{c}") * 4
+        for j in range(3):
+            rows.append({"doc_id": c * 10 + j, "text": t + "x" * j,
+                         "n_chars": 1})
+    for s in range(10):
+        rows.append({"doc_id": 1000 + s,
+                     "text": f"unique document number {s} " * 8,
+                     "n_chars": 1})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    train, hold = leakage_safe_split(ds, fraction=0.5)
+    tr, ho = train.to_pandas(), hold.to_pandas()
+    assert len(tr) + len(ho) == len(rows)
+    # no cluster is split across sides
+    tr_g = set(tr["gid"]) if len(tr) else set()
+    ho_g = set(ho["gid"]) if len(ho) else set()
+    assert not (tr_g & ho_g)
+    # clusters stay whole: members of one cluster share a gid
+    both = pd.concat([tr, ho])
+    for c in range(10):
+        gids = both[both["doc_id"].isin([c * 10, c * 10 + 1,
+                                         c * 10 + 2])]["gid"]
+        assert gids.nunique() == 1
