@@ -4327,6 +4327,86 @@ def _q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(ds, window=2)
 
 
+def _q_packing_stats(sf_dir: str):
+    """Packing-efficiency report at seq_len=32: padding waste of
+    naive one-doc-per-sequence batching vs concat-and-chunk packing —
+    the decision metric behind pack_sequences (one streaming
+    token-count pass; two integer partials per batch, driver
+    arithmetic on two scalars)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    L = 32
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"__k": [0],
+             "n_tokens": [int(n.sum())],
+             "naive_slots": [int((-(-n // L) * L).sum())]}
+        )
+
+    parts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["__k"], sums=["n_tokens", "naive_slots"],
+    ).to_pandas()
+    total = int(parts["n_tokens"].iloc[0])
+    naive = int(parts["naive_slots"].iloc[0])
+    packed = -(-total // L) * L
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.array([total], dtype="int64"),
+            "naive_pad": pd.array([naive - total], dtype="int64"),
+            "packed_pad": pd.array([packed - total], dtype="int64"),
+            "naive_waste": [round((naive - total) / naive, 6)],
+            "packed_waste": [round((packed - total) / packed, 6)],
+        }
+    )
+
+
+def _q_oov_rate(sf_dir: str):
+    """Vocab-size selection curve: token-occurrence OOV rate at vocab
+    sizes 10/20/50/100 — the tokenizer-design metric (one
+    vocab-bounded count pass via build_vocab's machinery, then
+    cumulative arithmetic over the ORDERED count table; the token
+    stream never co-locates)."""
+    from biocypher_metta_ray.stages.relational import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(pc.split_pattern(
+            pc.utf8_lower(col), " ").flatten())
+        return pd.DataFrame(
+            {"token": vc.field("values").to_numpy(zero_copy_only=False),
+             "cnt": vc.field("counts").to_numpy(
+                 zero_copy_only=False).astype("int64")}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], sums=["cnt"],
+    ).to_pandas()  # vocab-scale
+    counts = counts.sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = float(counts["cnt"].sum())
+    cum = counts["cnt"].cumsum()
+    rows = []
+    for k in (10, 20, 50, 100):
+        top = float(cum.iloc[min(k, len(cum)) - 1])
+        rows.append((k, round(1.0 - top / total, 6)))
+    return pd.DataFrame(
+        {"vocab_k": pd.array([r[0] for r in rows], dtype="int64"),
+         "oov_rate": [r[1] for r in rows]}
+    )
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Leakage-safe 25% train split (stages/dedup.py::
     leakage_safe_split): whole near-dup clusters land on one side —
@@ -5223,6 +5303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cleaning_funnel": _q_cleaning_funnel,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "leakage_safe_split": _q_leakage_safe_split,
+        "packing_stats": _q_packing_stats,
+        "oov_rate": _q_oov_rate,
         "inverted_index": _q_inverted_index,
         "mix_weights": _q_mix_weights,
         "co_mentions": _q_co_mentions,
@@ -7953,6 +8035,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT chrom, min(s) AS istart, max(e) AS iend,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM i GROUP BY chrom, island
+        """,
+        # ceil(x / 32.0) is float-exact (power-of-two divisor only
+        # shifts the exponent); DuckDB's // truncates toward zero, so
+        # the -(x // -L) idiom does NOT work here
+        "packing_stats": """
+            WITH n AS (SELECT len(string_split(text, ' ')) AS nt
+                       FROM documents),
+            s AS (SELECT sum(nt) AS total,
+                         sum(CAST(ceil(nt / 32.0) AS BIGINT) * 32)
+                             AS naive
+                  FROM n),
+            p AS (SELECT total, naive,
+                         CAST(ceil(total / 32.0) AS BIGINT) * 32
+                             AS packed FROM s)
+            SELECT CAST(total AS BIGINT) AS n_tokens,
+                   CAST(naive - total AS BIGINT) AS naive_pad,
+                   CAST(packed - total AS BIGINT) AS packed_pad,
+                   round((naive - total)::DOUBLE / naive, 6)
+                       AS naive_waste,
+                   round((packed - total)::DOUBLE / packed, 6)
+                       AS packed_waste
+            FROM p
+        """,
+        "oov_rate": """
+            WITH c AS (SELECT tok, count(*) AS cnt
+                       FROM (SELECT unnest(string_split(lower(text),
+                                 ' ')) AS tok FROM documents)
+                       GROUP BY 1),
+            o AS (SELECT cnt,
+                         row_number() OVER (ORDER BY cnt DESC, tok)
+                             AS r,
+                         sum(cnt) OVER (ORDER BY cnt DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c),
+            t AS (SELECT sum(cnt) AS total FROM c),
+            ks AS (SELECT unnest([10, 20, 50, 100]) AS vocab_k)
+            SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+                   round(1.0 - (SELECT max(cum) FROM o
+                                WHERE r <= least(vocab_k,
+                                    (SELECT count(*) FROM c)))::DOUBLE
+                             / total, 6) AS oov_rate
+            FROM ks CROSS JOIN t
         """,
         # near_dup_groups components -> group key (self for
         # singletons) -> the hash_split md5-bucket rule on the GROUP
