@@ -4683,19 +4683,28 @@ def _q_nearest_join(sf_dir: str):
 
 def _q_fd_check(sf_dir: str):
     """Functional-dependency profiling (data-quality audit): part keys
-    mapping to MORE than one supplier in lineitem — exact distinct
-    count per key (one distinct co-location + map-side-combined
-    count), violations only."""
-    from biocypher_metta_ray.stages.relational import distinct, grouped_agg
+    mapping to MORE than one supplier in lineitem — ONE key
+    co-location with per-batch (key, dep) distinct combining first,
+    exact nunique per key in the body, violations only. (The original
+    distinct + native-groupby composition paid the many-small-blocks
+    sort-aggregate cliff: measured 115 s -> ~3 s at sf0.1.)"""
+    from biocypher_metta_ray.stages.skew import partitioned_group_map
 
     li = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    d = distinct(li, ["l_partkey", "l_suppkey"])
-    counts = grouped_agg(d, ["l_partkey"], count_as="n_supp")
-    return counts.map_batches(
-        lambda df: df.loc[df["n_supp"] > 1].astype(
-            {"l_partkey": "int64", "n_supp": "int64"}),
-        batch_format="pandas",
+    pre = li.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
     )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates()
+            .groupby("l_partkey", sort=False)["l_suppkey"]
+            .nunique().reset_index(name="n_supp")
+        )
+        out = out[out["n_supp"] > 1]
+        return out.astype({"l_partkey": "int64", "n_supp": "int64"})
+
+    return partitioned_group_map(pre, ["l_partkey"], body, 16)
 
 
 def _q_suppress_rare(sf_dir: str):

