@@ -981,12 +981,15 @@ def dedup_corpus_best(
         m["group_id"] = m["group_id"].astype("int64")
         return m
 
+    # two consumers (winners + the loser pass) — materialize once or
+    # the attach chain (and the LSH clustering above it) re-executes
+    # per consumer (the pagerank static-table lesson)
     scored = partitioned_group_map(
         groups.map_batches(tag_g, batch_format="pandas").union(
             docs.map_batches(tag_s, batch_format="pandas")
         ),
         ["doc_id"], attach, num_partitions,
-    )
+    ).materialize()
     winners = top_k_per_group(
         scored, ["group_id"], by=score_col, k=1, tiebreak=["doc_id"],
         num_partitions=num_partitions,

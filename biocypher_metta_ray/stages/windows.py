@@ -32,14 +32,18 @@ def tumbling_window(
     agg: dict[str, tuple[str, str]],
 ) -> ray.data.Dataset:
     """Fixed windows: groupby (key, floor(ts, freq)) with map-side
-    partials. ``agg`` maps output column -> (input column, op) with op
-    in {sum, count}."""
-    from ray.data.aggregate import Sum
+    partials, merged through ONE bounded hash co-location (the
+    (key, window) cardinality is high — one window-key per user per
+    bucket — so the previous native ``groupby().aggregate(Sum)``
+    ground through barely-shrunk partials: the same sort-aggregate
+    cliff as the distinct/HLL/token_doc_freq fixes; measured
+    30.3 s -> ~2 s at sf0.1). ``agg`` maps output column -> (input
+    column, op) with op in {sum, count}."""
+    from .skew import partitioned_group_map
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["window"] = df[ts_col].dt.floor(freq)
-        names = {}
         g = df.groupby([key, "window"], sort=False)
         out = pd.DataFrame(index=g.size().index)
         for out_col, (col, op) in agg.items():
@@ -51,9 +55,15 @@ def tumbling_window(
                 raise ValueError(op)
         return out.reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas").repartition(16)
-    aggs = [Sum(c, alias_name=c) for c in agg]
-    return partials.groupby([key, "window"]).aggregate(*aggs)
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([key, "window"], sort=False)[list(agg)]
+            .sum().reset_index()
+        )
+
+    return partitioned_group_map(partials, [key, "window"], finish, 16)
 
 
 def session_windows(
@@ -350,13 +360,11 @@ def decayed_sum(
         b["__w"] = v * np.power(0.5, age / float(half_life_s))
         return b.groupby(keys, sort=False, as_index=False).sum()
 
-    from ray.data.aggregate import Sum
+    from .relational import grouped_agg
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(shuffle_partitions)
-        .groupby(keys)
-        .aggregate(Sum("__w", alias_name="__w"))
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys, sums=["__w"], shuffle_partitions=shuffle_partitions,
     )
     return out.map_batches(
         lambda df: df.assign(**{out_col: df.pop("__w").round(6)}),
