@@ -432,8 +432,18 @@ def _cov_stats(ds: ray.data.Dataset, col: str):
         .map_batches(merge, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-    n = float(rows.loc[(rows["i"] == -1) & (rows["j"] == -1),
-                       "val"].iloc[0])
+    if rows.empty or "i" not in rows.columns:
+        # an empty dataset yields schema-less blocks (no partials)
+        n = 0.0
+    else:
+        cnt = rows.loc[(rows["i"] == -1) & (rows["j"] == -1), "val"]
+        n = float(cnt.iloc[0]) if len(cnt) else 0.0
+    if n < 2:
+        # sample covariance divides by n - 1: undefined for n < 2
+        # (inf/nan would silently propagate into covariance_matrix
+        # and pca_leading_projection); minimum-rows contract is 2
+        raise ValueError(
+            f"_cov_stats requires at least 2 rows, got {int(n)}")
     sums = rows[(rows["j"] == -1) & (rows["i"] >= 0)].sort_values("i")
     s = sums["val"].to_numpy(np.float64)
     d = len(s)
@@ -453,7 +463,8 @@ def covariance_matrix(
     """Full (i, j, cov) sample-covariance table of an embedding
     column (0-based dims, float64 rounded to 6) — the PCA / whitening
     / Mahalanobis sufficient statistic, computed as a shuffle-free
-    additive reduction (see _cov_stats)."""
+    additive reduction (see _cov_stats). Requires >= 2 input rows
+    (sample covariance divides by n - 1); raises ValueError below."""
     _, _, cov = _cov_stats(ds, col)
     d = cov.shape[0]
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")

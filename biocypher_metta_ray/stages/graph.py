@@ -1576,12 +1576,23 @@ def ancestor_closure(
                 "ids must be in [0, 2^32)")
         return df.assign(__pair=(node << 32) | anc)
 
-    base = edges.map_batches(
-        lambda df: _pack(pd.DataFrame(
-            {"node": df[child].astype("int64"),
-             "ancestor": df[parent].astype("int64"),
-             "depth": np.int64(1)})),
-        batch_format="pandas",
+    # depth-1 base level is deduped on the packed pair through the
+    # same co-location later frontiers use — duplicate (child, parent)
+    # input rows must not violate the documented set semantics
+    def _dedup_base(df: pd.DataFrame) -> pd.DataFrame:
+        if "__pair" not in df.columns:
+            return _empty()
+        return df.drop_duplicates("__pair")
+
+    base = partitioned_group_map(
+        edges.map_batches(
+            lambda df: _pack(pd.DataFrame(
+                {"node": df[child].astype("int64"),
+                 "ancestor": df[parent].astype("int64"),
+                 "depth": np.int64(1)})),
+            batch_format="pandas",
+        ),
+        ["__pair"], _dedup_base, num_partitions=nparts,
     ).materialize()
 
     # static hop table, reused every sweep
@@ -1824,6 +1835,12 @@ def k_truss(
                 pd.DataFrame({"u": head[src].iloc[:0],
                               "v": head[dst].iloc[:0]})
             )
+        return cur
+    if k <= 2:
+        # support threshold k - 2 <= 0 is satisfied by EVERY edge
+        # (zero-triangle edges included — they never appear in the
+        # support table, so the peel loop would wrongly drop them);
+        # the 2-truss is by definition the whole simple graph
         return cur
     # dtype-faithful empty edge frame for the full-peel exits: an
     # all-empty round otherwise surfaces as schema-less blocks

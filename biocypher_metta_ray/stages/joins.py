@@ -706,6 +706,12 @@ def scd2_history(
     oracle's value-hash both stay null-free). Null compare semantics
     match diff_snapshots: two nulls equal, null vs value differs.
 
+    PRECONDITION (same latent assumption as diff_snapshots, enforced
+    here): each snapshot holds AT MOST ONE row per key — snapshots
+    are keyed states, not event logs. A duplicate key on either side
+    would otherwise produce a silent cross product of interval rows;
+    instead the per-key body raises ValueError.
+
     Scale shape: the same tagged-union single key co-location as
     diff_snapshots — only key + compare columns ship; output is
     |new| + |removed| + |changed| rows (unchanged keys emit exactly
@@ -724,6 +730,12 @@ def scd2_history(
     def body(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["__side"] == "O"].drop(columns=["__side"])
         n = g[g["__side"] == "N"].drop(columns=["__side"])
+        for side, name in ((o, "old"), (n, "new")):
+            if len(side) and side.duplicated(subset=key).any():
+                raise ValueError(
+                    f"scd2_history: duplicate key rows in the {name} "
+                    "snapshot — snapshots must hold at most one row "
+                    "per key")
         m = o.merge(n, on=key, how="outer", suffixes=("__o", "__n"),
                     indicator=True)
         in_o = (m["_merge"] != "right_only").to_numpy()

@@ -314,7 +314,14 @@ def char_pair_counts(
         p2 = buf[1:].astype(np.uint32)
         ok = np.ones(buf.size - 1, dtype=bool)
         starts = off[1:-1] - lo  # row starts after the first row
-        ok[starts - 1] = False   # pair spanning a row boundary
+        # Empty EDGE rows make boundary offsets coincide with the
+        # buffer ends: a leading empty row gives start 0 (`0 - 1`
+        # wraps to -1, wrongly masking the LAST pair) and a trailing
+        # empty row gives start == buf.size (one past the pair
+        # array → IndexError). Only boundaries strictly inside the
+        # buffer have a spanning pair to mask.
+        b = starts[(starts > 0) & (starts < buf.size)]
+        ok[b - 1] = False        # pair spanning a row boundary
         ok &= (p1 != 32) & (p2 != 32)
         key = (p1[ok] << 8) | p2[ok]
         counts = np.bincount(key, minlength=1 << 16)
