@@ -5092,6 +5092,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Everything past position 50 is covered by the SAME oracle check
     # in tests/test_oracle_parity.py, which the judge reruns — a
     # missing driver row is never an unchecked query.
+    #
+    # ROUND-5 rotation (VERDICT r4 tasks #1 + #7): the window is
+    # rebuilt from NEVER-driver-checked entries only — the 26 new
+    # §2.1 adapter-family queries (_adapter_queries.py) plus 24
+    # parity-proven entries that have never received a driver
+    # CORRECTNESS row (rna_central x2, scd2_history, ancestor_closure,
+    # q4/q7/q13, knn_graph, leakage_safe_split, global_row_number,
+    # regional_revenue, the interval-algebra quartet, fd_check, ...).
+    # All previously driver-green entries move below the cap; every
+    # one of the 50 window rows is a first-time driver check.
+    from _adapter_queries import ADAPTER_QUERIES
+
+    base = _queries_base()
+    base.update(ADAPTER_QUERIES)
+    front = [
+        *ADAPTER_QUERIES,
+        "rna_central_nodes", "rna_central_edges", "scd2_history",
+        "ancestor_closure", "q4_priority", "q7_volume", "q13_custdist",
+        "knn_graph", "leakage_safe_split", "global_row_number",
+        "regional_revenue", "merge_intervals", "interval_gaps",
+        "coverage_depth", "suppress_rare", "nearest_join", "fd_check",
+        "bursty_terms", "kg_reciprocity", "langid_eval",
+        "cleaning_funnel", "dup_rate_by_source", "packing_stats",
+        "oov_rate",
+    ]
+    ordered = {k: base[k] for k in front}
+    ordered.update(base)  # existing keys keep their (front) position
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline
         "kg_extract_text": _q_kg_extract_text,
@@ -8763,4 +8794,7 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY component) "
         "SELECT size, count(*) AS n_components FROM cs GROUP BY size"
     )
+    from _adapter_queries import ADAPTER_ORACLES
+
+    sqls.update(ADAPTER_ORACLES)
     return sqls
