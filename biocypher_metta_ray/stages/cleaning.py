@@ -401,17 +401,19 @@ def clean_corpus(
     Scale shape: the three gates FUSE into one streaming Arrow pass
     per batch (normalize + one tokenize feeding both the language
     histogram and the quality counts — the corpus is read and decoded
-    once, never shuffled); the only wide step is the final
-    content-hash co-location, and it moves only the already-shrunk
-    survivor set with map-side (hash, text) combining first. This is
+    once, NEVER shuffled); the dedup leg is the fingerprint-only
+    pipeline of stages/dedup.py (round-5 rework): only (md5-128, id)
+    triples enter the one wide co-location, and the surviving text
+    re-attaches map-only via a broadcast of the winner (id, n_copies)
+    table — output-scale, one 16-byte row per distinct text. This is
     the chain CCNet runs before LM training (Wenzek et al. 2020),
     stated filter-for-filter so DuckDB can replay it.
 
     Returns ``(doc_id, n_copies, text)`` — one row per surviving
     distinct normalized text.
     """
-    from .dedup import add_content_hash
-    from .skew import partitioned_group_map
+    from .dedup import exact_dedup_decisions
+    from .relational import semi_join_filter
     from .text_stats import STOPWORDS
 
     langs = sorted(STOPWORDS)
@@ -444,25 +446,26 @@ def clean_corpus(
         )
         return batch.filter(pa.array(keep))
 
-    kept = ds.map_batches(gates, batch_format="pyarrow").map_batches(
-        lambda t: add_content_hash(t.select([id_col, text_col])),
-        batch_format="pyarrow",
+    kept = ds.map_batches(gates, batch_format="pyarrow")
+    # winner pull is output-scale (one (id, n_copies) row per distinct
+    # surviving text); the gated corpus itself streams map-only twice
+    # (fingerprint pass + survivor filter) — recomputing the cheap
+    # gates beats materializing the survivor corpus in the store
+    winners = exact_dedup_decisions(
+        kept, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )["winners"].to_pandas()
+    surv = semi_join_filter(
+        kept.map_batches(lambda t: t.select([id_col, text_col]),
+                         batch_format="pyarrow"),
+        winners[id_col], on=id_col,
     )
+    wref = ray.put(winners)  # output-scale (id, n_copies), put once
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["content_hash", text_col], sort=False).agg(
-            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
-        )
-        return g.reset_index()
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wref)
+        out = df.merge(w, on=id_col)
+        return out[[id_col, "n_copies", text_col]].astype(
+            {"n_copies": "int64"})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(text_col, sort=False).agg(
-            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")}
-        ).reset_index()
-        out["n_copies"] = out["n_copies"].astype("int64")
-        return out[[id_col, "n_copies", text_col]]
-
-    return partitioned_group_map(
-        kept.map_batches(partial, batch_format="pandas"),
-        ["content_hash"], final, num_partitions,
-    )
+    return surv.map_batches(attach, batch_format="pandas")
