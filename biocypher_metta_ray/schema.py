@@ -34,10 +34,21 @@ DEFAULT_SCHEMA_PATH = Path(__file__).parent / "config" / "schema.yaml"
 # named thing and association hang directly off it). The reference
 # gets these "extra" ancestors implicitly from BioCypher's biolink
 # ontology graph; pass this map to ``hierarchy_lines`` for parity.
+# The round-5 full schema port references four more external parents
+# ("ontology class", "biological process", "related to at
+# instance/concept level", "gene ontology") — they resolve here with
+# their public-Biolink placement (compressed to the nearest ancestor
+# already in the chain).
 BIOLINK_CORE_PARENTS: dict[str, str | None] = {
     "entity": None,
     "named thing": "entity",
     "association": "entity",
+    "ontology class": None,
+    "biological process": "biological entity",
+    "related to": "association",
+    "related to at instance level": "related to",
+    "related to at concept level": "related to",
+    "gene ontology": "ontology class",
 }
 
 
