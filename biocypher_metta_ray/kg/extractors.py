@@ -771,6 +771,7 @@ def rna_central_extractor(
     bed_path: str,
     rfam_path: str,
     label: str = "non_coding_rna",
+    edge_label: str = "go_rna",
     chrom: str | None = None,
     start: int | None = None,
     end: int | None = None,
@@ -788,8 +789,10 @@ def rna_central_extractor(
 
     Edges: 3-column rfam TSV (accession, GO term, Rfam family); only
     human rows (accession ending ``_9606``) survive, suffix stripped
-    (rna_central_adapter.py:60-74). Both inputs are gzip-transparent
-    via sources.read_lines.
+    (rna_central_adapter.py:60-74); the edge label is ``go_rna`` (the
+    schema's non_coding_rna -> go association, output_label
+    belongs_to). Both inputs are gzip-transparent via
+    sources.read_lines.
     """
     from ..sources.bio_formats import read_lines
 
@@ -847,7 +850,7 @@ def rna_central_extractor(
         return pd.DataFrame(
             {
                 "subj": parts[0].str.split("_").str[0],
-                "pred": label,
+                "pred": edge_label,
                 "obj": parts[1].str.strip(),
                 "props_json": None,
             }

@@ -188,7 +188,9 @@ def test_rna_central_edges(ray_session, rna_files):
         "URS0000000001", "URS0000000003", "URS0000000003"
     ]
     assert set(edges["obj"]) == {"GO:0003735"}
-    assert set(edges["pred"]) == {"non_coding_rna"}
+    # schema-declared association label (non_coding_rna -> go,
+    # output_label belongs_to) since the round-5 full schema port
+    assert set(edges["pred"]) == {"go_rna"}
 
 
 def test_rna_central_via_registry(ray_session, rna_files, tmp_path):
