@@ -5090,7 +5090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # missing driver row is never an unchecked query.
     #
     # ROUND-5 rotation (VERDICT r4 tasks #1 + #7): the window is
-    # rebuilt from NEVER-driver-checked entries only — the 26 new
+    # rebuilt from NEVER-driver-checked entries only — the 27 new
     # §2.1 adapter-family queries (_adapter_queries.py) plus 24
     # parity-proven entries that have never received a driver
     # CORRECTNESS row (rna_central x2, scd2_history, ancestor_closure,

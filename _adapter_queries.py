@@ -1432,3 +1432,98 @@ def full_build_config() -> dict:
                         "args": {"bed_path": rna_bed,
                                  "rfam_path": rna_rfam}},
     }}
+
+
+# ---------------------------------------------------------------------------
+# Real-codec multimodal query (VERDICT r4 task #6): MediaDecoder over
+# spec-conformant PNG payloads decoded by the vendored pure-Python
+# codec — non-fake bytes through the real-codec path, oracled.
+# ---------------------------------------------------------------------------
+
+def _png_media_table():
+    import pyarrow as pa
+
+    from biocypher_metta_ray.functions.png import (
+        encode_png_gray8,
+        encode_png_rgb8,
+    )
+
+    W, H = 16, 25  # 400 px: means are exact at 4 decimals (400 | 10^4)
+    y, x = np.mgrid[0:H, 0:W]
+    ids, payloads = [], []
+    for i in range(40):
+        if i % 10 == 9:  # malformed payload -> dropped with accounting
+            ids.append(i)
+            payloads.append(b"truncated\x89PNG")
+            continue
+        if i % 3 == 0:
+            rgb = np.stack([
+                (i * 13 + y * 7 + x) % 256,
+                (i * 5 + y + x * 11) % 256,
+                (i * 3 + y * 9 + x * 5) % 256,
+            ], axis=2).astype(np.uint8)
+            payloads.append(encode_png_rgb8(rgb))
+        else:
+            payloads.append(
+                encode_png_gray8(((i * 11 + y * 5 + x * 3) % 256)
+                                 .astype(np.uint8)))
+        ids.append(i)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def q_multimodal_png_features(sf_dir: str):
+    """Feature extraction over REAL PNG bytes: the use_real_codec path
+    (vendored functions/png.py decoder; PIL on clusters that have it —
+    pinned to png_decode here so the oracle's integer-luma formula
+    holds regardless of environment). Truncated payloads drop."""
+    import ray as _ray
+
+    from biocypher_metta_ray.stages.multimodal import (
+        MediaDecoder,
+        png_decode,
+    )
+
+    from biocypher_metta_ray.stages.pool import autoscale_pool
+
+    ds = _ray.data.from_arrow(_png_media_table())
+    feats = ds.map_batches(
+        MediaDecoder, fn_constructor_kwargs={"decode_fn": png_decode},
+        batch_format="pyarrow", batch_size=16,
+        concurrency=autoscale_pool(),
+    )
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({
+            "media_id": "int64", "width": "int64", "height": "int64",
+            "n_frames": "int64", "mean_intensity": "float64",
+        })
+
+    return feats.map_batches(flat, batch_format="pandas")
+
+
+ADAPTER_QUERIES["multimodal_png_features"] = q_multimodal_png_features
+ADAPTER_ORACLES["multimodal_png_features"] = """
+    WITH px AS (
+        SELECT i,
+               CASE WHEN i % 3 = 0 THEN
+                   (((i * 13 + y * 7 + x) % 256) * 299
+                    + ((i * 5 + y + x * 11) % 256) * 587
+                    + ((i * 3 + y * 9 + x * 5) % 256) * 114) // 1000
+               ELSE (i * 11 + y * 5 + x * 3) % 256 END AS v
+        FROM (SELECT unnest(range(40)) AS i),
+             (SELECT unnest(range(25)) AS y),
+             (SELECT unnest(range(16)) AS x)
+        WHERE i % 10 != 9
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           'image' AS media_type,
+           CAST(16 AS BIGINT) AS width,
+           CAST(25 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           ROUND(AVG(v), 4) AS mean_intensity
+    FROM px GROUP BY i
+"""

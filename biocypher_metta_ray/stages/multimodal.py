@@ -3,12 +3,14 @@
 Media travels as opaque Arrow ``binary`` columns plus typed metadata
 columns — never Python objects — and every transform is an actor-pool
 ``map_batches`` stage sized for large payloads (small ``batch_size``,
-bounded pool). The decode kernels themselves are STUBBED: the real
-codecs (PIL/torchaudio/pyav) are not in this container, so each stage
-takes a ``decode_fn`` injection point and ships a deterministic
-fake-format codec used by tests and fixtures. The Ray-side surface —
-schemas, batch sizing, actor signatures, output layout — is real and
-tested; swapping in a real codec touches nothing but ``decode_fn``.
+bounded pool). Codec resolution (round 5): ``use_real_codec=True``
+decodes REAL image bytes — PIL when installed, else the vendored
+pure-Python PNG codec (functions/png.py), which this container
+exercises end-to-end (oracled query ``multimodal_png_features`` over
+spec-conformant PNG payloads). The deterministic fake-format codec
+remains the default for the audio/video shapes whose real codecs
+(torchaudio/pyav) are genuinely absent here; every stage still takes
+a ``decode_fn`` injection point with the same signature.
 
 Fake media format (deterministic, seeded): a 16-byte header
 ``b"FAKEMEDIA" + media_kind(1B) + width(2B) + height(2B) + n_frames(2B)``
@@ -71,15 +73,36 @@ def pil_decode(buf: bytes):
     return "image", w, h, 1, arr.reshape(1, h, w)
 
 
+def png_decode(buf: bytes):
+    """Real-format decode via the vendored pure-Python PNG codec
+    (functions/png.py; spec-conformant 8-bit gray/RGB/RGBA,
+    non-interlaced). RGB(A) converts to 8-bit luma with the integer
+    ITU-R 601-2 weights ``(299 R + 587 G + 114 B) // 1000`` —
+    deterministic, so the DuckDB oracle can recompute it exactly.
+    Malformed payloads return None (log-and-skip)."""
+    from ..functions.png import decode_png
+
+    arr = decode_png(buf)
+    if arr is None:
+        return None
+    if arr.ndim == 3:  # RGB / RGBA -> luma (alpha ignored)
+        a = arr.astype(np.int64)
+        arr = ((a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114)
+               // 1000).astype(np.uint8)
+    h, w = arr.shape
+    return "image", w, h, 1, arr.reshape(1, h, w)
+
+
 def available_real_codec():
-    """Optional-import codec resolution: returns :func:`pil_decode`
-    when PIL is installed (a real cluster image), else None (this
-    container). Stages pass ``use_real_codec=True`` to demand it and
-    get a clear NotImplementedError where it cannot be satisfied."""
+    """Real-codec resolution: :func:`pil_decode` when PIL is installed
+    (a real cluster image), else the vendored pure-Python PNG decoder
+    (:func:`png_decode`) — REAL image bytes decode in this container
+    too, just restricted to PNG. Stages pass ``use_real_codec=True``
+    to take this path instead of the fake-format codec."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError:
-        return None
+        return png_decode
     return pil_decode
 
 
