@@ -170,7 +170,16 @@ def connected_components(
     + RuntimeWarning.
     """
     edges = edges.materialize()
-    if local_threshold and edges.count() <= local_threshold:
+    n_edges = edges.count()
+    if n_edges == 0:
+        # Ray 2.49 to_pandas() on a 0-row dataset drops the columns
+        # (see grouped_agg's identical guard): a dup-free corpus is a
+        # legitimate input, so return the typed empty, don't KeyError.
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="object"),
+                          "component": pd.Series([], dtype="object")})
+        )
+    if local_threshold and n_edges <= local_threshold:
         df = edges.to_pandas()
         return ray.data.from_pandas(_local_union_find(df))
 

@@ -583,6 +583,8 @@ def near_dup_groups(
     num_bands: int = 16,
     n_shingle: int = 3,
     max_clique_bucket: int | None = 256,
+    checkpoint_root: str | None = None,
+    checkpoint_fingerprint: str | None = None,
 ) -> ray.data.Dataset:
     """Full near-dedup: MinHash-LSH pairs -> connected components ->
     (doc_id, group_id) with group_id = min doc_id of the duplicate
@@ -592,8 +594,35 @@ def near_dup_groups(
 
     CC only needs CONNECTIVITY, never the full clique, so buckets
     hotter than ``max_clique_bucket`` emit O(k) star edges (see
-    :func:`_bucket_pairs` for the exactness/recall statement)."""
+    :func:`_bucket_pairs` for the exactness/recall statement).
+
+    ``checkpoint_root``: when set, the (doc_id, group_id) cluster
+    table — the expensive multi-pass LSH+CC product this whole chain
+    hangs off — is an atomic resumable checkpoint
+    (state/checkpoint.py::run_stage): a killed downstream run (split,
+    anti-join, scoring) restarts WITHOUT re-running shingling, banding
+    or the CC sweeps. ``checkpoint_fingerprint`` should identify the
+    input snapshot; the LSH parameters are always folded in, so a
+    parameter change invalidates the checkpoint even under a stale
+    caller fingerprint."""
     from .canonicalize import connected_components
+
+    if checkpoint_root is not None:
+        from ..state.checkpoint import run_stage
+
+        fp = (
+            f"{checkpoint_fingerprint or ''}|ndg:{threshold}:{num_perms}"
+            f":{num_bands}:{n_shingle}:{max_clique_bucket}"
+        )
+        out, _man = run_stage(
+            checkpoint_root, "near_dup_groups", fp,
+            lambda: near_dup_groups(
+                docs, threshold=threshold, num_perms=num_perms,
+                num_bands=num_bands, n_shingle=n_shingle,
+                max_clique_bucket=max_clique_bucket,
+            ),
+        )
+        return out
 
     pairs = minhash_dedup(
         docs, threshold=threshold, num_perms=num_perms,
@@ -632,6 +661,8 @@ def dedup_corpus(
     num_bands: int = 16,
     n_shingle: int = 3,
     max_clique_bucket: int | None = 256,
+    checkpoint_root: str | None = None,
+    checkpoint_fingerprint: str | None = None,
 ) -> ray.data.Dataset:
     """End-to-end corpus cleaning: drop near-duplicates, keep one
     representative per cluster (the min doc id — deterministic at any
@@ -646,6 +677,8 @@ def dedup_corpus(
         docs, threshold=threshold, num_perms=num_perms,
         num_bands=num_bands, n_shingle=n_shingle,
         max_clique_bucket=max_clique_bucket,
+        checkpoint_root=checkpoint_root,
+        checkpoint_fingerprint=checkpoint_fingerprint,
     )
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
@@ -941,6 +974,8 @@ def incremental_neardup(
     text_col: str = "text",
     num_partitions: int = 32,
     max_base_per_bucket: int | None = None,
+    checkpoint_root: str | None = None,
+    checkpoint_fingerprint: str | None = None,
 ) -> ray.data.Dataset:
     """Incremental NEAR-dup of a new ingest drop against an ingested
     base snapshot — the harder production sibling of
@@ -1026,19 +1061,35 @@ def incremental_neardup(
         out.columns = ["doc_a", "doc_b"]  # a = base, b = delta
         return out
 
-    cand = partitioned_group_map(
-        bands, ["band", "band_hash"], cross_pairs, num_partitions,
-    )
+    def _dropped() -> ray.data.Dataset:
+        cand = partitioned_group_map(
+            bands, ["band", "band_hash"], cross_pairs, num_partitions,
+        )
+        verified = verify_jaccard(
+            cand, base.union(delta), threshold=threshold,
+            n_shingle=n_shingle, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions,
+        )
+        return verified.map_batches(
+            lambda df: pd.DataFrame({id_col: df["doc_b"].unique()}),
+            batch_format="pandas",
+        )
 
-    verified = verify_jaccard(
-        cand, base.union(delta), threshold=threshold,
-        n_shingle=n_shingle, id_col=id_col, text_col=text_col,
-        num_partitions=num_partitions,
-    )
-    dropped = verified.map_batches(
-        lambda df: pd.DataFrame({id_col: df["doc_b"].unique()}),
-        batch_format="pandas",
-    )
+    if checkpoint_root is not None:
+        # the drop-id set is the whole multi-pass LSH chain's product
+        # (band -> cross-candidate -> exact verify); checkpointing it
+        # means a killed refresh resumes at the cheap final anti-join
+        from ..state.checkpoint import run_stage
+
+        fp = (
+            f"{checkpoint_fingerprint or ''}|indd:{threshold}:{num_perms}"
+            f":{num_bands}:{n_shingle}:{max_base_per_bucket}"
+        )
+        dropped, _man = run_stage(
+            checkpoint_root, "neardup_dropped_ids", fp, _dropped,
+        )
+    else:
+        dropped = _dropped()
     return anti_join(delta, dropped, on=id_col,
                      num_partitions=num_partitions)
 
@@ -1134,6 +1185,8 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     salt: str = "split",
     num_partitions: int = 16,
+    checkpoint_root: str | None = None,
+    checkpoint_fingerprint: str | None = None,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """GROUP-aware train/holdout split: every member of a near-dup
     cluster lands on the SAME side — the leakage-safe splitter (a
@@ -1151,7 +1204,11 @@ def leakage_safe_split(
     from .skew import partitioned_group_map
     from .relational import hash_split
 
-    groups = near_dup_groups(docs, threshold=threshold)
+    groups = near_dup_groups(
+        docs, threshold=threshold,
+        checkpoint_root=checkpoint_root,
+        checkpoint_fingerprint=checkpoint_fingerprint,
+    )
 
     def tag_g(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(__side="G")
