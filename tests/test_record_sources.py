@@ -144,7 +144,10 @@ def test_registry_end_to_end_with_record_sources(ray_session, files, tmp_path):
     assert "(protein P12345)" in lines
     assert "(go GO:0000001)" in lines
     assert "(subclass (go GO:0000001) (go GO:0048308))" in lines
-    assert "(go_gene_product (go GO:0005515) (protein P12345))" in lines
+    # endpoint type comes from the schema's ``source: gene ontology``
+    # (metta_writer.py:66-76 lowers+underscores the TYPE name, which
+    # differs from the go NODE label — reference-faithful asymmetry)
+    assert "(go_gene_product (gene_ontology GO:0005515) (protein P12345))" in lines
     assert "(translates_to (transcript ENST00000001) (protein P12345))" in lines
 
 
