@@ -829,6 +829,31 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(expand, batch_format="pyarrow"))
 
 
+def _q_outlinks(sf_dir: str):
+    """Page-level hyperlink extraction (stages/weblinks.py): every
+    ``<a href>`` in the raw html resolved to an absolute URL, one row
+    per distinct (url, target) with its occurrence count — the web
+    graph beside the mention/triple KG. Zero shuffle (per-page counts
+    combine in-batch). Oracle reproduces the synthesized chrome's
+    link formula (md5-indexed nav words + the footer privacy link)
+    in pure SQL."""
+    from biocypher_metta_ray.sources.corpus import read_documents_as_corpus
+    from biocypher_metta_ray.stages.weblinks import outlink_edges
+
+    return outlink_edges(read_documents_as_corpus(sf_dir))
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-level link graph (stages/weblinks.py::host_graph):
+    outlink extraction collapsed to (src_host, dst_host, n_links)
+    through grouped_agg's map-side-combined sum — the webgraph
+    aggregate; the only shuffle is hosts²-scale."""
+    from biocypher_metta_ray.sources.corpus import read_documents_as_corpus
+    from biocypher_metta_ray.stages.weblinks import host_graph
+
+    return host_graph(read_documents_as_corpus(sf_dir))
+
+
 def _q_bm25(sf_dir: str):
     """BM25 top-10 for a 3-term query: stats pass touches scalars +
     per-term df only, scoring pass is per-block vectorized with
@@ -5269,6 +5294,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "decontaminate": _q_decontaminate,
         "url_dedup": _q_url_dedup,
+        "outlinks": _q_outlinks,
+        "host_graph": _q_host_graph,
         "interval_join": _q_interval_join,
         "mix_sample": _q_mix_sample,
         "lm_score": _q_lm_score,
@@ -6530,6 +6557,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
             FROM documents GROUP BY text
+        """,
+        # synthesize_html's chrome links, reproduced in SQL: five nav
+        # anchors at word index (h + i) % 12 (h = big-endian first 4
+        # md5(url) bytes, functions/html.py:57-62) plus the footer
+        # /privacy anchor; all root-relative, resolved against the
+        # page host by extract_links
+        "outlinks": """
+            WITH d AS (SELECT 'https://' || source || '.example/doc/'
+                              || CAST(doc_id AS VARCHAR) AS url,
+                              source
+                       FROM documents),
+            h AS (SELECT url, source,
+                         list_sum(list_transform(range(8), i ->
+                             (strpos('0123456789abcdef',
+                                     substr(md5(url),
+                                            CAST(i + 1 AS INT), 1))
+                              - 1)::BIGINT << (4 * (7 - i))))::BIGINT
+                             AS h
+                  FROM d),
+            navlinks AS (
+                SELECT url, source,
+                       '/' || (['home','about','archive','contact',
+                                'privacy','terms','jobs','press',
+                                'help','sitemap','login','subscribe'])
+                             [CAST((h + i) % 12 AS INT) + 1] AS path
+                FROM h, range(5) t(i)),
+            alllinks AS (
+                SELECT url, source, path FROM navlinks
+                UNION ALL SELECT url, source, '/privacy' FROM h)
+            SELECT url,
+                   'https://' || source || '.example' || path AS target,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM alllinks GROUP BY 1, 2
+        """,
+        # every synthesized page carries exactly 6 anchors, all
+        # host-internal — the host graph is 6 x docs-per-source on
+        # the (host, host) diagonal
+        "host_graph": """
+            SELECT source || '.example' AS src_host,
+                   source || '.example' AS dst_host,
+                   CAST(6 * count(*) AS BIGINT) AS n_links
+            FROM documents GROUP BY 1, 2
         """,
         **_cleaning_sql(),
         # Robertson idf, Okapi tf-part, k1=1.2 b=0.75 — the formula

@@ -131,3 +131,52 @@ def extract_text(html_bytes: bytes | None) -> str | None:
         return body if body else None
     except (UnicodeDecodeError, ValueError):
         return None
+
+
+_HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'#>]+)["']""", re.I)
+
+
+def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
+    """Extract every ``<a href=...>`` target from raw HTML bytes,
+    resolved to an absolute URL against ``base_url`` — the hyperlink
+    edge source for web-graph construction (one emitted row per anchor
+    OCCURRENCE; callers aggregate counts).
+
+    Pure and deterministic (the byte-identical-per-url discipline of
+    :func:`extract_text` applies). Resolution covers the cases a crawl
+    actually contains: absolute ``scheme://``, protocol-relative
+    ``//host/...``, root-relative ``/path`` and relative ``path``
+    (resolved against the base url's directory). ``javascript:`` /
+    ``mailto:`` / ``data:`` pseudo-links are dropped. Undecodable
+    anchors are skipped row-locally (log-and-skip per-row policy).
+    """
+    if html_bytes is None:
+        return []
+    out: list[str] = []
+    scheme, _, rest = base_url.partition("://")
+    host = rest.split("/", 1)[0]
+    base_dir = base_url.rsplit("/", 1)[0] if "/" in rest else base_url
+    for m in _HREF_RE.finditer(html_bytes):
+        try:
+            href = _htmllib.unescape(m.group(1).decode("utf-8")).strip()
+        except UnicodeDecodeError:
+            continue
+        if not href:
+            continue
+        low = href.lower()
+        if low.startswith(("javascript:", "mailto:", "data:", "tel:")):
+            continue
+        if "://" in href:
+            out.append(href)
+        elif href.startswith("//"):
+            out.append(f"{scheme}:{href}")
+        elif href.startswith("/"):
+            out.append(f"{scheme}://{host}{href}")
+        else:
+            out.append(f"{base_dir}/{href}")
+    return out
+
+
+def host_of(url: str) -> str:
+    """Registrable host of an absolute URL (scheme and path stripped)."""
+    return _site_of(url)
