@@ -854,6 +854,40 @@ def _q_host_graph(sf_dir: str):
     return host_graph(read_documents_as_corpus(sf_dir))
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Anchor-text alias table (stages/weblinks.py::anchor_text_table):
+    (target, anchor, n_links) — the web-scale surface-form source for
+    entity-linking tries. Batch-local pair combine, one alias-scale
+    grouped_agg shuffle. Oracle reproduces the synthesized chrome's
+    md5 nav-word anchors + the footer Privacy anchor in SQL."""
+    from biocypher_metta_ray.sources.corpus import read_documents_as_corpus
+    from biocypher_metta_ray.stages.weblinks import anchor_text_table
+
+    return anchor_text_table(read_documents_as_corpus(sf_dir))
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023;
+    stages/selection.py): hashed-unigram target-vs-raw log ratio per
+    document — the data-selection knob upstream of weighted_sample.
+    Target corpus = source 'src0'. One ≤256-row count pass trains the
+    two distributions, the log-ratio table is closure-broadcast, and
+    the corpus streams through scoring; no fact-scale shuffle. Oracle
+    recomputes the md5 bucket (8th hash byte — the hash_split nibble
+    pattern) and the smoothed log ratio in SQL."""
+    import pyarrow.compute as _pc
+
+    from biocypher_metta_ray.stages.selection import dsir_weights
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", _pc.equal(t["source"], "src0"))
+
+    return dsir_weights(ds.map_batches(tag, batch_format="pyarrow"))
+
+
 def _q_bm25(sf_dir: str):
     """BM25 top-10 for a 3-term query: stats pass touches scalars +
     per-term df only, scoring pass is per-block vectorized with
@@ -5296,6 +5330,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "outlinks": _q_outlinks,
         "host_graph": _q_host_graph,
+        "dsir_weights": _q_dsir_weights,
+        "anchor_texts": _q_anchor_texts,
         "interval_join": _q_interval_join,
         "mix_sample": _q_mix_sample,
         "lm_score": _q_lm_score,
@@ -6590,6 +6626,78 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || source || '.example' || path AS target,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM alllinks GROUP BY 1, 2
+        """,
+        # anchor text of the synthesized chrome: the 5 nav anchors
+        # show the (capitalized) nav word and point at its lowercased
+        # path; the footer anchor is always ('/privacy', 'Privacy')
+        "anchor_texts": """
+            WITH d AS (SELECT 'https://' || source || '.example/doc/'
+                              || CAST(doc_id AS VARCHAR) AS url,
+                              source
+                       FROM documents),
+            h AS (SELECT url, source,
+                         list_sum(list_transform(range(8), i ->
+                             (strpos('0123456789abcdef',
+                                     substr(md5(url),
+                                            CAST(i + 1 AS INT), 1))
+                              - 1)::BIGINT << (4 * (7 - i))))::BIGINT
+                             AS h
+                  FROM d),
+            navanchors AS (
+                SELECT source,
+                       (['Home','About','Archive','Contact','Privacy',
+                         'Terms','Jobs','Press','Help','Sitemap',
+                         'Login','Subscribe'])
+                           [CAST((h + i) % 12 AS INT) + 1] AS word
+                FROM h, range(5) t(i)),
+            allanchors AS (
+                SELECT 'https://' || source || '.example/'
+                       || lower(word) AS target,
+                       word AS anchor
+                FROM navanchors
+                UNION ALL
+                SELECT 'https://' || source || '.example/privacy',
+                       'Privacy'
+                FROM h)
+            SELECT target, anchor, CAST(count(*) AS BIGINT) AS n_links
+            FROM allanchors GROUP BY 1, 2
+        """,
+        # DSIR (Xie et al. 2023): bucket = 8th byte of md5-64
+        # ('dsir:'-salted, the hash_split nibble reassembly; 2^32 is
+        # divisible by 256 so the low byte IS hash64 % 256); Laplace
+        # smoothing 1.0 over 256 buckets; per-doc sum of the
+        # target-vs-raw log ratio
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, (source = 'src0') AS is_t,
+                       unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents),
+            bt AS (
+                SELECT doc_id, is_t,
+                       ((strpos('0123456789abcdef',
+                                substr(md5('dsir:' || tok), 15, 1)) - 1)
+                        * 16
+                        + strpos('0123456789abcdef',
+                                 substr(md5('dsir:' || tok), 16, 1))
+                        - 1)::BIGINT AS bucket
+                FROM toks),
+            cnt AS (
+                SELECT bucket,
+                       sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE
+                           AS n_t,
+                       sum(CASE WHEN is_t THEN 0 ELSE 1 END)::DOUBLE
+                           AS n_r
+                FROM bt GROUP BY bucket),
+            tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM cnt),
+            lr AS (SELECT bucket,
+                          ln((n_t + 1.0) / (tt + 256.0))
+                          - ln((n_r + 1.0) / (tr + 256.0)) AS lr
+                   FROM cnt, tot)
+            SELECT bt.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(lr.lr) AS dsir_logweight
+            FROM bt JOIN lr USING (bucket)
+            GROUP BY bt.doc_id
         """,
         # every synthesized page carries exactly 6 anchors, all
         # host-internal — the host graph is 6 x docs-per-source on

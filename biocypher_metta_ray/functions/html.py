@@ -134,6 +134,29 @@ def extract_text(html_bytes: bytes | None) -> str | None:
 
 
 _HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'#>]+)["']""", re.I)
+_ANCHOR_RE = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*["']([^"'#>]+)["'][^>]*>(.*?)</a>""",
+    re.I | re.S,
+)
+
+
+def _resolve_href(
+    href: str, scheme: str, host: str, base_dir: str
+) -> str | None:
+    """Absolute URL for one href, or None for pseudo-links/empties."""
+    href = href.strip()
+    if not href:
+        return None
+    low = href.lower()
+    if low.startswith(("javascript:", "mailto:", "data:", "tel:")):
+        return None
+    if "://" in href:
+        return href
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{href}"
+    return f"{base_dir}/{href}"
 
 
 def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
@@ -158,22 +181,45 @@ def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
     base_dir = base_url.rsplit("/", 1)[0] if "/" in rest else base_url
     for m in _HREF_RE.finditer(html_bytes):
         try:
-            href = _htmllib.unescape(m.group(1).decode("utf-8")).strip()
+            href = _htmllib.unescape(m.group(1).decode("utf-8"))
         except UnicodeDecodeError:
             continue
-        if not href:
+        target = _resolve_href(href, scheme, host, base_dir)
+        if target is not None:
+            out.append(target)
+    return out
+
+
+def extract_anchor_texts(
+    html_bytes: bytes | None, base_url: str
+) -> list[tuple[str, str]]:
+    """``(resolved target, visible anchor text)`` per ``<a>`` element —
+    the raw material of the anchor-text alias table (anchor text is the
+    classic web-scale surface-form source for entity linking: how the
+    web refers to a target page). Inner markup is stripped, entities
+    unescaped, whitespace collapsed; anchors with empty visible text or
+    pseudo hrefs are dropped. Same purity/skip discipline as
+    :func:`extract_links`.
+    """
+    if html_bytes is None:
+        return []
+    out: list[tuple[str, str]] = []
+    scheme, _, rest = base_url.partition("://")
+    host = rest.split("/", 1)[0]
+    base_dir = base_url.rsplit("/", 1)[0] if "/" in rest else base_url
+    for m in _ANCHOR_RE.finditer(html_bytes):
+        try:
+            href = _htmllib.unescape(m.group(1).decode("utf-8"))
+            inner = m.group(2).decode("utf-8")
+        except UnicodeDecodeError:
             continue
-        low = href.lower()
-        if low.startswith(("javascript:", "mailto:", "data:", "tel:")):
+        target = _resolve_href(href, scheme, host, base_dir)
+        if target is None:
             continue
-        if "://" in href:
-            out.append(href)
-        elif href.startswith("//"):
-            out.append(f"{scheme}:{href}")
-        elif href.startswith("/"):
-            out.append(f"{scheme}://{host}{href}")
-        else:
-            out.append(f"{base_dir}/{href}")
+        text = _htmllib.unescape(_TAG_RE.sub(" ", inner))
+        text = re.sub(r"\s+", " ", text).strip()
+        if text:
+            out.append((target, text))
     return out
 
 

@@ -84,3 +84,35 @@ def host_graph(corpus: ray.data.Dataset) -> ray.data.Dataset:
 
     hosts = links.map_batches(to_hosts, batch_format="pandas")
     return grouped_agg(hosts, ["src_host", "dst_host"], sums=["n_links"])
+
+
+def _anchor_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) -> batch-combined (target, anchor, n) partials."""
+    from ..functions.html import extract_anchor_texts
+
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    counts: dict[tuple[str, str], int] = {}
+    for u, h in zip(urls, htmls):
+        for pair in extract_anchor_texts(h, u):
+            counts[pair] = counts.get(pair, 0) + 1
+    items = sorted(counts.items())
+    return pa.table(
+        {
+            "target": pa.array([k[0] for k, _ in items], type=pa.string()),
+            "anchor": pa.array([k[1] for k, _ in items], type=pa.string()),
+            "n_links": pa.array([n for _, n in items], type=pa.int64()),
+        }
+    )
+
+
+def anchor_text_table(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Anchor-text alias table ``(target, anchor, n_links)`` — how the
+    web refers to each target URL, the classic surface-form source for
+    entity-linking alias tries (the gazetteer the north-star mention
+    stage loads per actor). (target, anchor) pairs combine INSIDE each
+    batch first; the one shuffle moves pre-combined alias-scale
+    partials through grouped_agg's map-side-combined sum.
+    """
+    partials = corpus.map_batches(_anchor_batch, batch_format="pyarrow")
+    return grouped_agg(partials, ["target", "anchor"], sums=["n_links"])

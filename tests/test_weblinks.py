@@ -75,3 +75,36 @@ def test_outlink_edges_and_host_graph(ray_session):
         "n_links": [2, 1, 1],
     }
     assert host_of("https://a.example/x/y") == "a.example"
+
+
+def test_extract_anchor_texts_strip_and_skip():
+    from biocypher_metta_ray.functions.html import extract_anchor_texts
+
+    html = (
+        b'<a href="/x"><b>Bold</b> Label</a>'
+        b'<a href="/y">a &amp; b</a>'
+        b'<a href="javascript:x()">Nope</a>'
+        b'<a href="/z"><img src="i.png"></a>'  # no visible text
+    )
+    assert extract_anchor_texts(html, BASE) == [
+        ("https://news.example/x", "Bold Label"),
+        ("https://news.example/y", "a & b"),
+    ]
+    assert extract_anchor_texts(None, BASE) == []
+
+
+def test_anchor_text_table(ray_session):
+    from biocypher_metta_ray.stages.weblinks import anchor_text_table
+
+    corpus = ray.data.from_arrow(pa.table({
+        "url": ["https://a.example/doc/1", "https://a.example/doc/2"],
+        "html": [b'<a href="/p">Team</a><a href="/p">Team</a>',
+                 b'<a href="/p">The Team</a>'],
+    }))
+    got = anchor_text_table(corpus).to_pandas() \
+        .sort_values(["target", "anchor"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "target": ["https://a.example/p", "https://a.example/p"],
+        "anchor": ["Team", "The Team"],
+        "n_links": [2, 1],
+    }
