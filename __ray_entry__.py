@@ -5161,6 +5161,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     base = _queries_base()
     base.update(ADAPTER_QUERIES)
+    # Round-5 mid-round refresh: the session's four NEW flagship
+    # operators (web-graph outlinks/host_graph/anchor_texts +
+    # dsir_weights — all first-timers by definition) take the last
+    # window slots; the displaced compositions (langid_eval,
+    # cleaning_funnel, dup_rate_by_source, packing_stats, oov_rate)
+    # stay parity-covered below the cap. Every window row remains a
+    # first-time driver check.
     front = [
         *ADAPTER_QUERIES,
         "rna_central_nodes", "rna_central_edges", "scd2_history",
@@ -5168,9 +5175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph", "leakage_safe_split", "global_row_number",
         "regional_revenue", "merge_intervals", "interval_gaps",
         "coverage_depth", "suppress_rare", "nearest_join", "fd_check",
-        "bursty_terms", "kg_reciprocity", "langid_eval",
-        "cleaning_funnel", "dup_rate_by_source", "packing_stats",
-        "oov_rate",
+        "bursty_terms", "kg_reciprocity",
+        "outlinks", "host_graph", "anchor_texts", "dsir_weights",
     ]
     ordered = {k: base[k] for k in front}
     ordered.update(base)  # existing keys keep their (front) position
