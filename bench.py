@@ -176,6 +176,8 @@ def timed_queries() -> dict:
         "comention_pmi", "rrf_fusion", "char_entropy",
         "clean_corpus", "dedup_incremental",
         "skipgram_pairs", "scd2_history", "knn_graph",
+        # round-5 additions (web graph + data selection)
+        "outlinks", "host_graph", "anchor_texts", "dsir_weights",
     ]
     # related_docs is NOT timed here: the sf0.1 gazetteer postings are
     # ~2k docs per entity with NO stop-entity above the query's cap,
