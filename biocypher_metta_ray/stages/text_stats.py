@@ -329,10 +329,15 @@ def hash_embed_batch(
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     lengths = lengths.astype(np.int64)
-    flat = toks.flatten()
-    h = hash64_column(
-        pa.array([f"{salt}:{t}" for t in flat.to_pylist()], pa.string())
-    )
+    # dictionary-encode so only the VOCAB is materialized as Python
+    # strings and md5-hashed; occurrences stay int32 codes (the
+    # selection.py lesson: 4.9x at 40M docs)
+    enc = pc.dictionary_encode(toks.flatten())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hv = hash64_column([f"{salt}:{t}" for t in enc.dictionary.to_pylist()])
+    h = hv[codes]
     dim = (h % np.uint64(dims)).astype(np.int64)
     sign = np.where((h >> np.uint64(63)) > 0, 1, -1).astype(np.int64)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
