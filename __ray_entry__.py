@@ -888,6 +888,27 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(ds.map_batches(tag, batch_format="pyarrow"))
 
 
+def _q_dsir_resample(sf_dir: str):
+    """The full DSIR loop (stages/selection.py::dsir_resample):
+    Gumbel-top-k importance resampling — 100 docs drawn ∝ their DSIR
+    weight, deterministically (stable hash-derived uniforms), without
+    replacement. Log-scale priorities keep the 6-decimal rounding
+    contract safe; the oracle unrolls the weight CTEs + the Gumbel
+    arithmetic in SQL."""
+    import pyarrow.compute as _pc
+
+    from biocypher_metta_ray.stages.selection import dsir_resample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", _pc.equal(t["source"], "src0"))
+
+    return dsir_resample(
+        ds.map_batches(tag, batch_format="pyarrow"), k=100)
+
+
 def _q_bm25(sf_dir: str):
     """BM25 top-10 for a 3-term query: stats pass touches scalars +
     per-term df only, scoring pass is per-block vectorized with
@@ -5338,6 +5359,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "dsir_weights": _q_dsir_weights,
         "anchor_texts": _q_anchor_texts,
+        "dsir_resample": _q_dsir_resample,
         "interval_join": _q_interval_join,
         "mix_sample": _q_mix_sample,
         "lm_score": _q_lm_score,
@@ -6632,6 +6654,59 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || source || '.example' || path AS target,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM alllinks GROUP BY 1, 2
+        """,
+        # Gumbel-top-k (Kool et al. 2019) over the dsir_weights CTEs:
+        # priority = logweight - ln(-ln u), u from the md5 1/10000
+        # uniform grid ('dsirs:'-salted ids), top 100, ties by id
+        "dsir_resample": """
+            WITH toks AS (
+                SELECT doc_id, (source = 'src0') AS is_t,
+                       unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents),
+            bt AS (
+                SELECT doc_id, is_t,
+                       ((strpos('0123456789abcdef',
+                                substr(md5('dsir:' || tok), 15, 1)) - 1)
+                        * 16
+                        + strpos('0123456789abcdef',
+                                 substr(md5('dsir:' || tok), 16, 1))
+                        - 1)::BIGINT AS bucket
+                FROM toks),
+            cnt AS (
+                SELECT bucket,
+                       sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE
+                           AS n_t,
+                       sum(CASE WHEN is_t THEN 0 ELSE 1 END)::DOUBLE
+                           AS n_r
+                FROM bt GROUP BY bucket),
+            tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM cnt),
+            lr AS (SELECT bucket,
+                          ln((n_t + 1.0) / (tt + 256.0))
+                          - ln((n_r + 1.0) / (tr + 256.0)) AS lr
+                   FROM cnt, tot),
+            lw AS (SELECT bt.doc_id, sum(lr.lr) AS logweight
+                   FROM bt JOIN lr USING (bucket)
+                   GROUP BY bt.doc_id),
+            u AS (SELECT doc_id, logweight,
+                         ((((list_sum(list_transform(range(8), i ->
+                                 (strpos('0123456789abcdef',
+                                         substr(md5('dsirs:'
+                                                    || CAST(doc_id AS VARCHAR)),
+                                                CAST(i + 1 AS INT), 1))
+                                  - 1)::BIGINT << (4 * (7 - i))))::BIGINT
+                             % 10000) * 7296
+                            + (list_sum(list_transform(range(8), i ->
+                                 (strpos('0123456789abcdef',
+                                         substr(md5('dsirs:'
+                                                    || CAST(doc_id AS VARCHAR)),
+                                                CAST(i + 9 AS INT), 1))
+                                  - 1)::BIGINT << (4 * (7 - i))))::BIGINT
+                               % 10000)) % 10000) + 0.5) / 10000.0 AS u
+                  FROM lw)
+            SELECT doc_id, round(logweight - ln(-ln(u)), 6) AS pri
+            FROM u
+            ORDER BY pri DESC, doc_id
+            LIMIT 100
         """,
         # anchor text of the synthesized chrome: the 5 nav anchors
         # show the (capitalized) nav word and point at its lowercased

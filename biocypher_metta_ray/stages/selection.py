@@ -138,3 +138,47 @@ def dsir_weights(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_resample(
+    ds: ray.data.Dataset,
+    k: int,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    smoothing: float = 1.0,
+    salt: str = "dsirs",
+) -> pd.DataFrame:
+    """The full DSIR loop: importance-resample ``k`` documents
+    proportionally to their importance weight, WITHOUT replacement and
+    deterministically — Gumbel-top-k (Vieira 2014; Kool et al. 2019):
+    priority ``logweight + (-ln(-ln u))`` with ``u`` the stable
+    hash-derived uniform of :func:`..relational.weighted_sample`'s
+    grid, global top-``k`` priorities win, ties break by id. Working
+    on the LOG scale keeps the arithmetic bounded (no ``exp``
+    amplification), so the 6-decimal rounding contract the oracle
+    relies on is safe. Returns the k sampled rows as pandas
+    (driver-scale), ``(id_col, pri)``.
+    """
+    from ..functions.helpers import hash64_column
+    from .relational import top_k
+
+    scored = dsir_weights(
+        ds, target_col=target_col, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, smoothing=smoothing,
+    )
+
+    def pri(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{salt}:{v}" for v in batch[id_col].tolist()]
+        bucket = (hash64_column(pa.array(keys, pa.string()))
+                  % np.uint64(10_000)).astype(np.float64)
+        u = (bucket + 0.5) / 10_000.0
+        g = -np.log(-np.log(u))
+        out = batch[[id_col]].copy()
+        out["pri"] = np.round(
+            batch["dsir_logweight"].to_numpy(dtype=np.float64) + g, 6)
+        return out
+
+    return top_k(scored.map_batches(pri, batch_format="pandas"), k,
+                 by=["pri", id_col], ascending=[False, True])

@@ -49,3 +49,23 @@ def test_dsir_empty_and_single_token(ray_session):
     out = dsir_weights(_ds(rows)).to_pandas()
     assert len(out) == 2
     assert set(out["n_tokens"]) == {1}
+
+
+def test_dsir_resample_deterministic_and_weight_biased(ray_session):
+    from biocypher_metta_ray.stages.selection import dsir_resample
+
+    # target speaks "alpha"; raw docs 0..49 speak alpha (target-like),
+    # 50..99 speak zeta — the sample must over-represent the alphas
+    rows = (
+        [(1000 + i, "alpha alpha alpha", True) for i in range(5)]
+        + [(i, "alpha alpha alpha", False) for i in range(50)]
+        + [(50 + i, "zeta zeta zeta", False) for i in range(50)]
+    )
+    a = dsir_resample(_ds(rows), k=30)
+    b = dsir_resample(_ds(rows).repartition(7), k=30)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 30
+    picked_raw = [d for d in a["doc_id"] if d < 1000]
+    n_alpha = sum(1 for d in picked_raw if d < 50)
+    n_zeta = sum(1 for d in picked_raw if 50 <= d < 100)
+    assert n_alpha > n_zeta
