@@ -866,6 +866,18 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_text_table(read_documents_as_corpus(sf_dir))
 
 
+def _q_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (subword tokens per whitespace
+    word — the multilingual-tokenizer equity metric;
+    stages/text_stats.py::tokenizer_fertility). Two integer partials
+    per batch through grouped_agg's map-side combine; explicit float64
+    division at group scale."""
+    from biocypher_metta_ray.stages.text_stats import tokenizer_fertility
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+    return tokenizer_fertility(ds, group_col="lang")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023;
     stages/selection.py): hashed-unigram target-vs-raw log ratio per
@@ -5360,6 +5372,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "anchor_texts": _q_anchor_texts,
         "dsir_resample": _q_dsir_resample,
+        "fertility": _q_fertility,
         "interval_join": _q_interval_join,
         "mix_sample": _q_mix_sample,
         "lm_score": _q_lm_score,
@@ -6654,6 +6667,18 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || source || '.example' || path AS target,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM alllinks GROUP BY 1, 2
+        """,
+        "fertility": """
+            SELECT lang,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))::BIGINT
+                       AS n_subwords,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))::DOUBLE
+                   / sum(len(string_split(text, ' ')))::DOUBLE
+                       AS fertility
+            FROM documents GROUP BY lang
         """,
         # Gumbel-top-k (Kool et al. 2019) over the dsir_weights CTEs:
         # priority = logweight - ln(-ln u), u from the md5 1/10000

@@ -528,3 +528,45 @@ def encode_docs(
         )
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def tokenizer_fertility(
+    ds, group_col: str = "lang", text_col: str = "text"
+):
+    """Per-group tokenizer fertility — subword tokens per whitespace
+    word (the multilingual-tokenizer equity metric: scripts a BPE
+    over-fragments show fertility ≫ 1, driving per-language compute
+    cost). One grouped_agg over two per-batch integer partials; the
+    division is explicit float64 at group scale.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_sub = pc.count_substring_regex(
+            batch[text_col], SUBWORD_PATTERN).cast(pa.int64())
+        n_words = pc.list_value_length(
+            pc.split_pattern(batch[text_col], " ")).cast(pa.int64())
+        return pa.table({
+            group_col: batch[group_col],
+            "n_subwords": n_sub,
+            "n_words": n_words,
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], sums=["n_subwords", "n_words"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_subwords"] = df["n_subwords"].astype("int64")
+        df["n_words"] = df["n_words"].astype("int64")
+        df["fertility"] = (
+            df["n_subwords"].astype("float64")
+            / df["n_words"].astype("float64")
+        )
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
